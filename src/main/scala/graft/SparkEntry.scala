@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the named query catalog from the per-module defs
+  * (graft.queries.*). Every query with SQL-expressible semantics
+  * carries DuckDB oracle SQL; approximate/hash-dependent operators
+  * (MinHash, SimHash) are declared rows-only per the contract.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q01_demand_heatmap")(spark, "/root/testdata/sf0.001")
+
+  private def catalog: Map[String, QueryDef] =
+    graft.queries.Parity.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, v) => k -> v.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }
