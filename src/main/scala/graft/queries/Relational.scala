@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension tier 1: the relational operator families the reference
+  * lacks entirely (SURVEY.md §2.7 — joins, windows, set ops,
+  * distinct, top-k, grouping sets, pivot, JSON extraction, range
+  * join) but a complete engine needs. All built-in Catalyst
+  * operators — no custom rules required.
+  *
+  * Scale stance per operator:
+  *  - star join: dims are `broadcast()` (no shuffle of the fact
+  *    side); the single big-big join (lineitem ⋈ orders) shuffles
+  *    both sides on the join key once, and AQE handles skew.
+  *  - top-k: `orderBy(...).limit(k)` plans TakeOrderedAndProject —
+  *    per-partition heaps + single driver merge, never a global sort.
+  *  - window top-k per group: one shuffle on the partition key.
+  *  - range join: equi-key (user_id) sort-merge join with the range
+  *    as a residual predicate, so no cross product.
+  */
+object Relational {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Star-schema join: revenue by (region, nation) over
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. */
+  val starJoinRevenue: QueryDef = QueryDef.sql(
+    """SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Ranking window: top-3 orders per customer by price (ties broken
+    * by key so row_number is deterministic). */
+  val windowTopk: QueryDef = QueryDef.sql(
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn <= 3 ORDER BY o_custkey, rn""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Analytic window: per-customer running total + lag delta over
+    * order history. Sequential ROWS frame → deterministic doubles. */
+  val windowRunning: QueryDef = QueryDef.sql(
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_total,
+       round(o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)
+         AS delta_prev
+       FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        r6(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_total"),
+        r6(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+          .as("delta_prev"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Set op: INTERSECT (customers with both F- and O-status orders). */
+  val setIntersect: QueryDef = QueryDef.sql(
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_custkey""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Set ops: EXCEPT + UNION ALL (symmetric difference, tagged). */
+  val setExceptUnion: QueryDef = QueryDef.sql(
+    """SELECT o_custkey, 'only_F' AS side FROM
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       UNION ALL
+       SELECT o_custkey, 'only_O' AS side FROM
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       ORDER BY side, o_custkey""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.except(oo).withColumn("side", lit("only_F"))
+      .unionByName(oo.except(f).withColumn("side", lit("only_O")))
+      .orderBy(col("side"), col("o_custkey"))
+  }
+
+  /** DISTINCT projection. */
+  val distinctPairs: QueryDef = QueryDef.sql(
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+       ORDER BY 1, 2""") { (s, d) =>
+    Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  /** Global top-k: plans as TakeOrderedAndProject (per-partition
+    * heaps, no global sort) — the shape that survives 100 TB. */
+  val globalTopk: QueryDef = QueryDef.sql(
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""") { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** ROLLUP grouping sets (subtotal rows COALESCEd to 'ALL' so both
+    * engines agree without NULL-ordering concerns). */
+  val rollupAgg: QueryDef = QueryDef.sql(
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY 1, 2""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r6(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** CUBE grouping sets. */
+  val cubeAgg: QueryDef = QueryDef.sql(
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       round(avg(l_extendedprice), 6) AS avg_price, count(*) AS n_rows
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       ORDER BY 1, 2""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(r6(avg(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("avg_price"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** PIVOT: event counts per user, one column per event type.
+    * Spark pivot with an explicit value list (no extra distinct job,
+    * deterministic column order); nulls → 0 to match FILTER counts. */
+  val pivotEvents: QueryDef = QueryDef.sql(
+    """SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(s"`$t`"), lit(0L))).drop(t)
+    }.orderBy(col("user_id"))
+  }
+
+  /** JSON extraction from the events.props string column. */
+  val jsonExtract: QueryDef = QueryDef.sql(
+    """SELECT CAST(props->>'$.k' AS INTEGER) AS k_value,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k_value",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k_value"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+      .orderBy(col("k_value"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have orders, by segment. */
+  val semiJoin: QueryDef = QueryDef.sql(
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no F-status order
+    * (plain "no orders at all" is empty at every SF — every customer
+    * has orders — which would make the check vacuous). */
+  val antiJoin: QueryDef = QueryDef.sql(
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Range join: pairs of events by the same user within 60s,
+    * ordered (a before-or-at b, key tie-break). Equi-key on user_id
+    * keeps it a sort-merge join with a residual range predicate —
+    * no cross product at scale. Timestamp math in integral epoch
+    * micros on both engines (no interval-dialect drift). */
+  val rangeJoinSessions: QueryDef = QueryDef.sql(
+    """SELECT a.user_id, count(*) AS n_pairs
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 60000000
+        AND a.event_id < b.event_id
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"),
+      unix_micros(col("ts")).as("a_us"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      unix_micros(col("ts")).as("b_us"))
+    a.join(b, col("user_id") === col("b_user")
+        && (col("b_us") - col("a_us")).between(0L, 60000000L)
+        && col("a_id") < col("b_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q10_star_join_revenue" -> starJoinRevenue,
+    "q11_window_topk" -> windowTopk,
+    "q12_window_running" -> windowRunning,
+    "q13_set_intersect" -> setIntersect,
+    "q14_set_except_union" -> setExceptUnion,
+    "q15_distinct_pairs" -> distinctPairs,
+    "q16_global_topk" -> globalTopk,
+    "q17_rollup_agg" -> rollupAgg,
+    "q18_cube_agg" -> cubeAgg,
+    "q19_pivot_events" -> pivotEvents,
+    "q20_json_extract" -> jsonExtract,
+    "q21_semi_join" -> semiJoin,
+    "q22_anti_join" -> antiJoin,
+    "q23_range_join_sessions" -> rangeJoinSessions,
+  )
+}
