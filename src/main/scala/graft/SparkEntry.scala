@@ -17,7 +17,8 @@ object SparkEntry {
     queries("q01_demand_heatmap")(spark, "/root/testdata/sf0.001")
 
   private def catalog: Map[String, QueryDef] =
-    graft.queries.Parity.defs ++ graft.queries.Relational.defs
+    graft.queries.Parity.defs ++ graft.queries.Relational.defs ++
+      graft.queries.Pipeline.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, v) => k -> v.fn }

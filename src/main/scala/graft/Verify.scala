@@ -11,13 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micros (not INT96/nanos) so dumped timestamps carry the same
+      // parquet logical type DuckDB emits — keeps the driver's
+      // schema compare aligned.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Spark TimestampType is an instant (tz-aware); DuckDB's is
+      // naive. Under the pinned UTC session the wall-clock values are
+      // identical, so dump timestamps as NTZ micros to give the
+      // driver's compare the same parquet logical type DuckDB emits.
+      try {
+        val out = fn(spark, sfDir)
+        val ntz = out.schema.fields.filter(_.dataType == TimestampType)
+          .foldLeft(out)((df, f) =>
+            df.withColumn(f.name, col(f.name).cast(TimestampNTZType)))
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

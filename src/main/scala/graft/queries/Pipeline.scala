@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.vector.VectorOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension tier 2: the training-data-pipeline operators
+  * (BASELINE.json north star) — time windows/sessionization, text
+  * analysis, dedup (exact / MinHash / SimHash), similarity search —
+  * instantiated over documents/embeddings/events.
+  *
+  * Oracle policy: everything whose semantics are engine-portable is
+  * DuckDB-checked (including MinHash near-dup, whose *verify stage*
+  * is exact Jaccard, so the oracle is the exact all-pairs query —
+  * valid as long as LSH recall is 1 on the data, which the banding is
+  * tuned for). Hash-family-dependent outputs (SimHash hamming pairs,
+  * LSH-bucketed ANN) are declared rows-only.
+  */
+object Pipeline {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Tumbling-window aggregation (batch form of the streaming op —
+    * graft.streaming.StreamOps runs the same shape incrementally). */
+  val tumblingWindow: QueryDef = QueryDef.sql(
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Sessionization: 30-min-gap sessions per user (lag + running sum
+    * of session starts — the batch analogue of stateful streaming
+    * sessionization; one shuffle on user_id). */
+  val sessionize: QueryDef = QueryDef.sql(
+    """WITH g AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  AS gap
+         FROM events),
+       s AS (
+         SELECT user_id, us,
+                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+         FROM g)
+       SELECT user_id, session_idx, count(*) AS n_events,
+              round((max(us) - min(us)) / 60000000.0, 6) AS duration_min
+       FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("session_idx",
+        sum(when(col("gap").isNull || col("gap") > 1800000000L, 1)
+          .otherwise(0).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        r6((max(col("us")) - min(col("us"))) / lit(60000000.0))
+          .as("duration_min"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  /** Text quality stats: token counts, mean token length, stopword &
+    * punctuation ratios, composite quality score — all row-local. */
+  val textStats: QueryDef = QueryDef.sql(
+    """WITH t AS (
+         SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / len(toks) AS avg_tok,
+                len(list_filter(toks,
+                  x -> x IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
+                  / len(toks) AS stop_ratio,
+                (length(text) - length(regexp_replace(text,
+                  '[.,;:!?]', '', 'g')))::DOUBLE / length(text) AS punct
+         FROM t)
+       SELECT doc_id, n_tokens, round(avg_tok, 6) AS avg_token_len,
+              round(stop_ratio, 6) AS stopword_ratio,
+              round(punct, 6) AS punct_ratio,
+              floor((0.4 * least(n_tokens / 200.0, 1.0)
+                     + 0.3 * (1.0 - stop_ratio)
+                     + 0.3 * least(avg_tok / 8.0, 1.0)) * 1000000 + 0.5)
+                / 1000000 AS quality
+       FROM m ORDER BY doc_id""") { (s, d) =>
+    val df = Tables.documents(s, d)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextOps.avgTokenLen(col("toks")).as("avg_tok"),
+        TextOps.stopwordRatio(col("toks"), stopwords).as("stop_ratio"),
+        TextOps.punctRatio(col("text")).as("punct"))
+    df.select(col("doc_id"), col("n_tokens"),
+        r6(col("avg_tok")).as("avg_token_len"),
+        r6(col("stop_ratio")).as("stopword_ratio"),
+        r6(col("punct")).as("punct_ratio"),
+        // floor(x*1e6 + 0.5)/1e6 instead of round(): Spark rounds
+        // doubles HALF_UP, DuckDB half-to-even — exact .5e-6 ties
+        // (which this ratio arithmetic does produce) would diverge.
+        (floor((lit(0.4) * least(col("n_tokens") / lit(200.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * least(col("avg_tok") / lit(8.0), lit(1.0)))
+          * lit(1000000) + lit(0.5)) / lit(1000000)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "des"),
+    "de" -> Seq("der", "und", "die"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** Language-ID heuristic: whole-word marker occurrence scores per
+    * language (replace-trick counting — engine-portable integer
+    * arithmetic), argmax with deterministic tie order. */
+  val langId: QueryDef = {
+    def duckScore(ms: Seq[String]): String = ms.map { m =>
+      s"(length(p) - length(replace(p, ' $m ', ''))) // ${m.length + 2}"
+    }.mkString(" + ")
+    val cases = langProfiles.map { case (l, _) =>
+      s"WHEN ${l}_score = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    QueryDef.sql(
+      s"""WITH p0 AS (SELECT doc_id, lang,
+            ' ' || text || ' ' AS p FROM documents),
+         sc AS (SELECT doc_id, lang,
+            ${langProfiles.map { case (l, ms) =>
+              s"CAST(${duckScore(ms)} AS BIGINT) AS ${l}_score" }
+              .mkString(", ")}
+            FROM p0),
+         b AS (SELECT *,
+            greatest(${langProfiles.map(_._1 + "_score").mkString(", ")})
+              AS best FROM sc)
+         SELECT doc_id, lang,
+            ${langProfiles.map(_._1 + "_score").mkString(", ")},
+            CASE $cases ELSE 'und' END AS predicted_lang
+         FROM b ORDER BY doc_id""") { (s, d) =>
+      val df = Tables.documents(s, d)
+      val scored = langProfiles.foldLeft(df) { case (acc, (l, ms)) =>
+        acc.withColumn(s"${l}_score", TextOps.langScore(col("text"), ms))
+      }
+      scored.select(
+        Seq(col("doc_id"), col("lang")) ++
+          langProfiles.map(p => col(s"${p._1}_score")) :+
+          TextOps.languageId(col("text"), langProfiles)
+            .as("predicted_lang"): _*)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Document fingerprinting + BPE-ish token estimate. */
+  val fingerprint: QueryDef = QueryDef.sql(
+    """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       substr(md5(lower(trim(text))), 1, 8) AS fp_prefix,
+       greatest(CAST(len(string_split(trim(text), ' ')) AS BIGINT),
+                CAST(ceil(length(text) / 4.0) AS BIGINT)) AS token_est
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        substring(TextOps.fingerprint(col("text")), 1, 8).as("fp_prefix"),
+        TextOps.bpeTokenEstimate(col("text")).as("token_est"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup by content hash over a corpus with planted exact
+    * duplicates (the fixture has none, so the query doubles it via
+    * UNION ALL with offset ids — every group then has n_dups=2 and
+    * the survivor is the original id). */
+  val dedupExact: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000, text FROM documents)
+       SELECT md5(lower(trim(text))) AS fingerprint,
+              min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM u GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    Dedup.exactGroups(doubled, "doc_id", "text")
+      .select(col("fingerprint"), col("keep_id"), col("n_dups"))
+      .orderBy(col("fingerprint"))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.6.
+    * Oracle = exact all-pairs 3-gram Jaccard (valid because the
+    * verify stage is exact and banding recall ≈ 1 above 0.6). */
+  val dedupMinhash: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             >= 0.6
+       ORDER BY 1, 2""") { (s, d) =>
+    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash near-dup pairs (hamming <= 8 via 16-bit banding).
+    * Hash-family-dependent → rows-only check. */
+  val dedupSimhash: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Brute-force cosine top-5 per query vector — the exact ANN
+    * baseline (broadcast queries, corpus never shuffled). */
+  val cosineTopK: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+       p AS (SELECT q_id, e.vec_id AS n_id,
+               round(list_dot_product(q_v, e.v)
+                 / (sqrt(list_dot_product(q_v, q_v))
+                    * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+             FROM q JOIN e ON e.vec_id <> q_id),
+       r AS (SELECT q_id, n_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+             FROM p)
+       SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 5
+       ORDER BY q_id, rank""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (random hyperplanes, 16 bits / 4 bands) —
+    * the approximate scale path; recall is banding-dependent →
+    * rows-only check. */
+  val annLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    VectorOps.lshTopK(emb, emb.filter(col("vec_id") < 10), 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact embedding near-dup pairs at cosine >= 0.45 (brute-force
+    * baseline for the LSH path). */
+  val embeddingNearDup: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45
+       ORDER BY 1, 2""") { (s, d) =>
+    VectorOps.nearDupPairs(Tables.embeddings(s, d), 0.45)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Multimodal metadata plumbing: opaque binary payload column +
+    * typed metadata (byte length, content hash, frame count). The
+    * decode itself is stubbed (graft.multimodal) — this query proves
+    * the schema/partitioning path. */
+  val multimodalMeta: QueryDef = QueryDef.sql(
+    """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       sha256(text) AS content_sha,
+       CAST(octet_length(encode(text)) // 32 AS INTEGER) AS n_frames
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("content_sha"),
+        floor(length(col("payload")) / lit(32)).cast("int").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q24_tumbling_window" -> tumblingWindow,
+    "q25_sessionize" -> sessionize,
+    "q26_text_stats" -> textStats,
+    "q27_lang_id" -> langId,
+    "q28_fingerprint" -> fingerprint,
+    "q29_dedup_exact" -> dedupExact,
+    "q30_dedup_minhash" -> dedupMinhash,
+    "q31_dedup_simhash" -> dedupSimhash,
+    "q32_cosine_topk" -> cosineTopK,
+    "q33_ann_lsh" -> annLsh,
+    "q34_embedding_neardup" -> embeddingNearDup,
+    "q35_multimodal_meta" -> multimodalMeta,
+  )
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine: the same windowed
+  * aggregation shapes as the batch catalog (q24_tumbling_window),
+  * run incrementally with watermarked event-time state, plus a
+  * mapGroupsWithState running-count operator.
+  *
+  * The reference is batch-only (SURVEY.md §2.7 — no streaming
+  * anywhere in its 373 lines); this module is the extension the
+  * engine brief requires. At scale: state is partitioned by group
+  * key across executors, watermark bounds state size, and the sink
+  * contract is append/update per Spark's semantics.
+  */
+object StreamOps {
+
+  /** events schema for streaming reads (ts as epoch-nanos long —
+    * matches the raw parquet physical type; see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events table as a file stream (one-file-per-trigger
+    * friendly); converts raw nanos to a proper event-time column. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source only accepts directories; point it at
+    // the sf dir and glob-filter to the events table
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark: the streaming form of
+    * q24. Late data beyond the watermark is dropped; state for
+    * closed windows is evicted — bounded memory at any scale. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Arbitrary stateful op: running per-user event count via
+    * mapGroupsWithState (KeyValueGroupedDataset). */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (user, n, v)
+      }.toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Drive a streaming DataFrame to a named in-memory table and wait
+    * for all available input (synchronous local smoke path). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

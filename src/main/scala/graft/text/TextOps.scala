@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data
+  * pipelines: tokenization, quality scoring, language-ID heuristics,
+  * fingerprinting, shingling, and set-similarity.
+  *
+  * Everything here is a row-local Catalyst expression (no UDFs, no
+  * shuffles): at 100 TB these run map-side inside whole-stage codegen
+  * (higher-order array functions evaluate interpreted but stay inside
+  * the same stage). The `documents` testdata table is the fixture
+  * (FIXTURES.md); the reference has no text surface (SURVEY.md §2.7),
+  * so this module is extension tier per BASELINE.json's north star.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. Single-space split matches
+    * the documents fixture; swap the pattern for real corpora. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length via a row-local fold (sum of lengths / n). */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast("double") / size(toks)
+
+  /** Fraction of tokens that are stopwords (multiset semantics —
+    * `filter`+`size`, not `array_intersect`, which would dedup). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast("double") / size(toks)
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("double") / length(text)
+
+  /** Occurrences of a literal substring (replace trick — identical
+    * integer arithmetic on any engine, unlike regex counts). */
+  def occurrences(text: Column, literalKw: String): Column =
+    ((length(text) - length(replace(text, lit(literalKw), lit(""))))
+      / lit(literalKw.length)).cast("int")
+
+  /** Marker-word score for one language: total occurrences of its
+    * marker tokens (padded with spaces so only whole words count). */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    markers.map(m => occurrences(padded, s" $m ").cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** n-gram language-ID heuristic: argmax of per-language marker
+    * scores, first-listed language wins ties, 'und' when all zero. */
+  def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), elseC) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(elseC)
+    }
+  }
+
+  /** Content fingerprint: md5 hex of the normalized text. Identical
+    * on every engine (unlike murmur/xxhash whose seeds differ). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** BPE-ish token-count estimate: max(word count, ceil(chars/4)) —
+    * the classic ~4-chars-per-token heuristic, integer-exact. */
+  def bpeTokenEstimate(text: Column): Column =
+    greatest(tokenCount(text).cast("long"),
+      ceil(length(text) / lit(4.0)).cast("long"))
+
+  /** Word n-gram shingles, deduplicated: zip n shifted views of the
+    * token array (slice is O(1) per view; no index lambda needed).
+    * Requires size(toks) >= n — filter shorter docs upstream. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val win = size(toks) - lit(n - 1)
+    val first = slice(toks, lit(1), win)
+    val shin = (1 until n).foldLeft(first) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), win),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(shin)
+  }
+
+  /** Jaccard similarity of two pre-deduplicated string arrays. */
+  def jaccardSets(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.dedup.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 1 & 2 near-identical (one word changed), 3 & 4 unrelated,
+  // 5 an exact copy of 1
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the crazy dog again and again"),
+    (3L, "completely different text about spark query engines at scale"),
+    (4L, "nothing in common with any other document in this tiny corpus"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: exact copy collapses to one group, min id kept") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .where($"n_dups" > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+    assert(g(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash near-dup pairs: finds the planted near-dup + copy") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // exact copy: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup: 1 word of 12 changed
+    assert(pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups small") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 5L)) == 0)
+    assert(m.get((1L, 2L)).exists(_ <= 8))
+  }
+
+  test("keepFirstByKey: lowest order key survives per group") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val kept = Dedup.keepFirstByKey(df, Seq("k"), "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+}

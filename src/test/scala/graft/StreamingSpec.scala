@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowedCounts: streaming result equals the batch equivalent") {
+    val stream = StreamOps.eventsStream(spark, dir)
+    val q = StreamOps.runToMemory(
+      StreamOps.windowedCounts(stream), "wc", OutputMode.Complete())
+    try {
+      val streamed = spark.table("wc")
+        .agg(sum("n"), count(lit(1))).collect()(0)
+      val batch = Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum("n"), count(lit(1))).collect()(0)
+      assert(streamed.getLong(0) == batch.getLong(0)) // total events
+      assert(streamed.getLong(1) == batch.getLong(1)) // distinct windows
+    } finally q.stop()
+  }
+
+  test("runningUserCounts: stateful counts accumulate per user") {
+    val stream = StreamOps.eventsStream(spark, dir)
+    val q = StreamOps.runToMemory(
+      StreamOps.runningUserCounts(stream), "ruc", OutputMode.Update())
+    try {
+      val total = spark.table("ruc")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+      val batch = Tables.events(spark, dir).count()
+      assert(total == batch)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens + counts") {
+    val df = Seq("  the quick brown fox  ").toDF("t")
+    assert(df.select(TextOps.tokenCount(col("t"))).collect()(0).getInt(0) == 4)
+  }
+
+  test("shingles: 3-grams of 5 tokens, deduplicated") {
+    val df = Seq("a b c d e", "x y x y x y").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1).sorted == Seq("x y x", "y x y")) // dedup of repeats
+  }
+
+  test("jaccardSets: exact overlap arithmetic") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextOps.jaccardSets(col("x"), col("y")).as("j"))
+    assert(df.collect()(0).getDouble(0) == 0.5) // 2 / 4
+  }
+
+  test("fingerprint is engine-portable md5 of normalized text") {
+    val df = Seq("  ABC  ").toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("f"))
+    assert(df.collect()(0).getString(0) ==
+      "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("languageId: marker argmax with deterministic ties and und") {
+    val profiles = Seq("en" -> Seq("the"), "es" -> Seq("el"))
+    val df = Seq("the cat sat", "el gato", "zzz qqq").toDF("t")
+      .select(TextOps.languageId(col("t"), profiles).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "und"))
+  }
+
+  test("stopwordRatio uses multiset counts, not distinct") {
+    val df = Seq("the the the word").toDF("t")
+      .select(TextOps.stopwordRatio(
+        TextOps.tokens(col("t")), Seq("the")).as("r"))
+    assert(df.collect()(0).getDouble(0) == 0.75)
+  }
+
+  test("bpeTokenEstimate: max of word count and chars/4") {
+    val df = Seq("ab cd", "abcdefghijklmnopqrstuvwxyz").toDF("t")
+      .select(TextOps.bpeTokenEstimate(col("t")).as("e"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 7L)) // max(2, ceil(5/4)=2); max(1, ceil(26/4)=7)
+  }
+}
