@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a graft session: common config + native
+  * function registration. Centralizing `nanosAsLong` here (instead of
+  * a conf side effect inside `Tables.events`) keeps reads
+  * order-independent — any session built this way can read
+  * events.parquet (TIMESTAMP(NANOS)) first or last.
+  */
+object GraftSession {
+
+  /** Build + configure a session. `tune` appends caller-specific
+    * config (e.g. Verify's parquet timestamp type) before create. */
+  def create(master: String, shufflePartitions: String,
+      tune: SparkSession.Builder => SparkSession.Builder = identity)
+      : SparkSession = {
+    val s = tune(SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // by default ([PARQUET_TYPE_ILLEGAL]); read nanos as Long and
+      // let Tables.events rebuild micros losslessly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // collect_list/collect_set aggregations (dedup bucket grouping)
+      // fall back to sort-based aggregation after 128 distinct keys
+      // per partition by default — pathological for high-cardinality
+      // small groups (measured 3× slower at sf0.1). Partitions are
+      // sized to fit in executor memory, so a large hash map is fine.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+}

@@ -23,12 +23,14 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long (legacy conf) and
-    * rebuild a microsecond timestamp with integral division — exact
-    * (no double round-trip; 2024 epoch-nanos ≈ 1.7e18 exceeds double's
-    * 53-bit mantissa) and identical to DuckDB's ns→µs truncation. */
+    * ([PARQUET_TYPE_ILLEGAL]). Sessions built via `GraftSession`
+    * read nanos as Long (`spark.sql.legacy.parquet.nanosAsLong` set
+    * at session build — not here, so reads stay order-independent);
+    * this loader rebuilds a microsecond timestamp with integral
+    * division — exact (no double round-trip; 2024 epoch-nanos ≈
+    * 1.7e18 exceeds double's 53-bit mantissa) and identical to
+    * DuckDB's ns→µs truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

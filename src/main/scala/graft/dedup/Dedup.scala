@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.functions.GraftFunctions
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -14,10 +15,28 @@ import org.apache.spark.sql.functions._
   * viable at 100 TB: no all-pairs comparison ever materializes;
   * candidates come out of O(rows × bands) bucket entries.
   *
+  * Signatures run through codegen'd expressions (graft_minhash /
+  * graft_simhash): each shingle/token is hashed ONCE with the
+  * built-in xxhash64, then the per-permutation work is a tight JVM
+  * mul-add loop instead of numHashes re-hashes of the string
+  * (BENCH_r01 measured the interpreted re-hash form at 57 s for q30;
+  * the arithmetic family keeps the same LSH guarantees and the exact
+  * verify stage makes the final output hash-family-independent).
+  *
   * No reference counterpart (SURVEY.md §2.7) — extension tier per
   * BASELINE.json north star.
   */
 object Dedup {
+
+  /** Ensure the expensive map-side signature pass runs at session
+    * parallelism: a small single-file parquet read plans one input
+    * partition, which would serialize tokenize/shingle/hash onto one
+    * core. No-op when the input already has enough partitions (at
+    * cluster scale it does — never down-partitions). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Exact dedup: group rows by a content fingerprint; emit one
     * surviving id (min) + duplicate count per group. */
@@ -26,13 +45,11 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Row-local MinHash signature: `numHashes` permutations simulated
-    * by xxhash64(shingle || '|' || k); signature element k is the min
-    * over the document's shingle set. Computed entirely map-side. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shingleCol,
-        s => xxhash64(concat(s, lit("|"), k.cast("string"))))))
+  /** Row-local MinHash signature over pre-hashed shingles
+    * (array<long>): element k = min over shingles of the k-th
+    * arithmetic permutation. Codegen'd tight loop. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    GraftFunctions.minhash(shingleHashes, numHashes)
 
   /** LSH banding: split a signature into `bands` equal slices and
     * hash each; rows sharing any (band index, band hash) cell are
@@ -43,79 +60,128 @@ object Dedup {
         hash(slice(sigCol, b * lit(rowsPerBand) + lit(1),
           lit(rowsPerBand))).as("bucket")))
 
+  /** All ordered pairs (a < b by the array's sort order) from a
+    * sorted bucket-member array — the candidate-generation step after
+    * a groupBy on (band, bucket). One groupBy shuffle replaces a
+    * bucket self-join, so the signature pipeline upstream is consumed
+    * ONCE instead of once per join side. Pair count is quadratic in
+    * bucket size: run exact dedup (exactGroups) first so identical
+    * documents — which share every band — don't inflate one bucket. */
+  private def bucketPairs(members: Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(slice(members, i + lit(2), size(members)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Candidate near-dup pairs via MinHash+LSH over word n-gram
     * shingles, then EXACT Jaccard verification at `threshold`.
     * The verify step makes the output independent of the hash family
-    * (LSH only affects recall, tuned here to ~1 at the threshold):
-    * 128 hashes in 32 bands of 4 → P(candidate) at j=0.7 is
-    * 1-(1-0.7^4)^32 ≈ 0.9998. */
+    * (LSH only affects recall). Banding default is 128 hashes in 64
+    * bands of 2, chosen so recall at the default 0.6 threshold is
+    * ~1 - 1e-12 (P(miss) = (1 - j^2)^64 = 0.64^64 at j=0.6) — a pair
+    * just above the threshold is not left to fixture luck. Band-of-2
+    * false positives cost only candidate checks, and the exact
+    * verify removes them from the output. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double, numHashes: Int = 128, bands: Int = 64,
       ngram: Int = 3): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val docs = df
+    GraftFunctions.register(df.sparkSession)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // (id, hashed shingle set) — the one expensive map-side pass
+    // (tokenize → shingle → xxhash64 per shingle). Persisted because
+    // three consumers read it (banding + both verify sides); it is
+    // ~1% the size of the text (8 bytes per shingle), the shape real
+    // pipelines checkpoint. Verification intersects the HASHED
+    // shingle sets: same set sizes as the string sets barring an
+    // xxhash64 collision inside one pair (~n²/2^64 ≈ 1e-15).
+    val hashed = spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= ngram)
       .withColumn("__sh", TextOps.shingles(col("__toks"), ngram))
-      .select(col(idCol).as("__id"), col("__sh"))
-    val banded = docs
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col(idCol).as("__id"),
+        transform(col("__sh"), s => xxhash64(s)).as("__hs"))
+      .persist()
+    // Materialize the cache NOW: the three consumers below (candidate
+    // pipeline + both verify-side broadcast builds) otherwise launch
+    // concurrently against a cold cache and each recompute the full
+    // shingle pipeline (measured 3× redundant work at sf0.1).
+    hashed.count()
+    // fused signature+banding expression — a projected __sig column
+    // would be inlined by CollapseProject into the banding lambda and
+    // re-evaluated once per band (measured 64× redundant CPU)
+    val banded = hashed
       .select(col("__id"),
-        explode(lshBands(col("__sig"), bands, rowsPerBand)).as("__b"))
-      .select(col("__id"), col("__b.band"), col("__b.bucket"))
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band")
-          && col("x.bucket") === col("y.bucket")
-          && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+        posexplode(GraftFunctions.minhashBuckets(col("__hs"), numHashes,
+          bands)).as(Seq("band", "bucket")))
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(bucketPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
       .distinct()
     candidates
-      .join(docs.select(col("__id").as("a_id"), col("__sh").as("a_sh")), "a_id")
-      .join(docs.select(col("__id").as("b_id"), col("__sh").as("b_sh")), "b_id")
+      .join(hashed.select(col("__id").as("a_id"), col("__hs").as("a_hs")),
+        "a_id")
+      .join(hashed.select(col("__id").as("b_id"), col("__hs").as("b_hs")),
+        "b_id")
       .withColumn("jaccard",
-        TextOps.jaccardSets(col("a_sh"), col("b_sh")))
+        TextOps.jaccardSets(col("a_hs"), col("b_hs")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Row-local 64-bit SimHash over token hashes: bit b is set when
-    * at least half the token hashes have bit b set. Expanded as 64
-    * static bit terms (shift amounts must be Scala Ints in the Column
-    * API); expects a pre-materialized array<long> column of token
-    * hashes so the terms share one evaluation. */
+    * at least half the token hashes have bit b set. Codegen'd tight
+    * loop (graft_simhash). */
   def simhash64(tokenHashes: Column): Column =
-    (0 until 64).map { b =>
-      when(size(filter(tokenHashes,
-        h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L))) * 2
-        >= size(tokenHashes), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftFunctions.simhash(tokenHashes)
 
-
-  /** Near-dup pairs by SimHash: candidates share one of 4 16-bit
-    * chunks (any pair within hamming 8 shares a chunk at hamming<=3
-    * by pigeonhole when distance concentrates; standard banding),
-    * verified by exact popcount of the XOR at `maxHamming`. */
+  /** Near-dup pairs by SimHash: candidates share one of `chunks`
+    * equal-width signature chunks, verified by exact popcount of the
+    * XOR at `maxHamming`.
+    *
+    * Recall guarantee (pigeonhole): a pair with hamming distance d
+    * touches at most d chunks, so with `chunks` > d some chunk is
+    * identical and the pair IS a candidate. The defaults (4 chunks
+    * of 16 bits, maxHamming = 3 — the classic Manku/Jain/Sarma
+    * WWW'07 configuration) therefore have recall exactly 1. Raising
+    * maxHamming above `chunks` - 1 makes the band filter lossy
+    * (a pair whose differing bits spread across every chunk is
+    * missed); narrowing chunks to cover larger distances (e.g. 8×8
+    * bits for d <= 7) collapses the value space to 2^8 per chunk and
+    * the bucket pair count explodes quadratically — measured 5×
+    * slower at sf0.1. Tune chunks to the distance you need, never
+    * below ~12 bits of width. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val sigs = df
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) > 0)
       .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
       .select(col(idCol).as("__id"), simhash64(col("__th")).as("__sim"))
-    val chunked = sigs.select(col("__id"), col("__sim"),
-        explode(array((0 until 4).map(c => struct(
+    // the signature is one long, so it rides the groupBy shuffle
+    // inside the bucket-member struct — no join-back, and the
+    // signature pipeline is consumed exactly once (a self-join here
+    // would recompute it per side).
+    val chunked = sigs.select(
+        struct(col("__id"), col("__sim")).as("__r"),
+        explode(array((0 until chunks).map(c => struct(
           lit(c).as("chunk"),
-          shiftright(col("__sim"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("value"))): _*)).as("__c"))
-      .select(col("__id"), col("__sim"), col("__c.chunk"), col("__c.value"))
-    chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk")
-          && col("x.value") === col("y.value")
-          && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
-        bit_count(col("x.__sim").bitwiseXOR(col("y.__sim"))).as("hamming"))
+          shiftright(col("__sim"), c * width)
+            .bitwiseAND(lit(mask)).as("value"))): _*)).as("__c"))
+      .select(col("__r"), col("__c.chunk"), col("__c.value"))
+    chunked
+      .groupBy(col("chunk"), col("value"))
+      .agg(sort_array(collect_list(col("__r"))).as("__rs"))
+      .filter(size(col("__rs")) > 1)
+      .select(explode(bucketPairs(col("__rs"))).as("__p"))
+      .select(col("__p.a.__id").as("a_id"), col("__p.b.__id").as("b_id"),
+        bit_count(col("__p.a.__sim").bitwiseXOR(col("__p.b.__sim")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

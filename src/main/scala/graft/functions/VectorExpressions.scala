@@ -2,24 +2,44 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
-/** Dot product of two array<double> columns as a native Catalyst
-  * expression with whole-stage codegen.
+/** Native Catalyst expressions for graft's hot per-row/per-pair loops.
   *
-  * The composable form (`zip_with` + `aggregate`) evaluates
-  * interpreted — per-element lambda dispatch plus an intermediate
-  * array allocation per row. In pairwise similarity joins the dot
-  * product runs O(pairs) times, so it dominates: on the sf0.1
-  * embedding near-dup (2M pairs × 64 dims) the interpreted fold costs
-  * ~67 s; this tight-loop codegen brings the whole query to seconds.
-  * Preference order per the brief: built-ins first, custom Expression
-  * second — this is the second rung, taken only after measuring.
+  * The composable forms (`zip_with` + `aggregate`, 64-term CASE sums)
+  * evaluate interpreted — per-element lambda dispatch plus an
+  * intermediate array allocation per row. That is fine for O(rows)
+  * work but dominates when the expression sits inside a pairwise join
+  * (dot product: O(pairs) evaluations) or is structurally wide
+  * (MinHash: hashes × shingles evaluations per row). These
+  * expressions run the same math as a tight JVM loop inside
+  * whole-stage codegen. Preference order per the brief: built-ins
+  * first, custom Expression second — this is the second rung, taken
+  * after measuring (BENCH_r01: 125 s of 155 s total was interpreted
+  * vector/signature math).
   */
+object ExprUtil {
+  /** splitmix64 — public-domain mixing constants (Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14);
+    * same stream on every executor with no driver state. */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Dot product of two array<double> columns with whole-stage codegen.
+  * In pairwise similarity joins this runs O(pairs) times, so it
+  * dominates: on the sf0.1 embedding near-dup (~2M pairs × 64 dims)
+  * the interpreted fold costs ~67 s; this loop brings the query to
+  * seconds. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -59,16 +79,382 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(newLeft, newRight)
 }
 
+/** MinHash signature over pre-hashed shingles: element k of the
+  * output is min over the shingle hashes of the k-th universal-hash
+  * permutation `a_k * h + b_k` (odd multipliers from splitmix64;
+  * Java wrapping arithmetic — a 2-universal family on Z/2^64, the
+  * standard one-hash-per-shingle MinHash construction). Replaces the
+  * interpreted `transform(sequence(...), k => array_min(transform(
+  * shingles, s => xxhash64(concat(s, k)))))` form, which re-hashed
+  * every shingle string numHashes times (~100× the work, all
+  * interpreted — 57 s of BENCH_r01's q30). */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "minhash needs (array<bigint> hashes, foldable int numHashes), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val numHashes: Int =
+    right.eval().asInstanceOf[Int]
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(k => ExprUtil.splitmix64(2L * k) | 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(k => ExprUtil.splitmix64(2L * k + 1))
+
+  /** Tight-loop signature: numHashes × numShingles long mul-adds. */
+  def compute(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val a = coeffA(k); val b = coeffB(k)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val p = a * hashes.getLong(i) + b
+        if (p < best) best = p
+        i += 1
+      }
+      out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(h: Any, nh: Any): Any =
+    compute(h.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, (h, _) =>
+      s"${ev.value} = $self.compute($h);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MinHashSignature = copy(newLeft, newRight)
+}
+
+/** Fused MinHash signature + LSH banding: returns the `bands`
+  * band-bucket values directly (element b = mixed hash of the b-th
+  * signature slice), for `posexplode` into (band, bucket) rows.
+  *
+  * Why fused rather than `minhashSignature` + a per-band `transform`
+  * lambda: CollapseProject inlines a projected signature column into
+  * the banding lambda body, and the signature is then re-evaluated
+  * once PER BAND — measured 64× redundant CPU (56 s of CPU on a 3 s
+  * stage) at sf0.1. A single expression is evaluated once per row no
+  * matter what the optimizer collapses. */
+case class MinHashBuckets(first: Expression, second: Expression,
+    third: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def nullable: Boolean = first.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "minhash buckets needs (array<bigint>, foldable int numHashes, " +
+          s"foldable int bands), got ${children.map(_.dataType.simpleString)}")
+    }
+
+  @transient private lazy val numHashes: Int =
+    second.eval().asInstanceOf[Int]
+  @transient private lazy val bands: Int = third.eval().asInstanceOf[Int]
+  @transient private lazy val rowsPerBand: Int = numHashes / bands
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(k => ExprUtil.splitmix64(2L * k) | 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(k => ExprUtil.splitmix64(2L * k + 1))
+
+  def compute(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0x9E3779B97F4A7C15L
+      var r = 0
+      while (r < rowsPerBand) {
+        val k = b * rowsPerBand + r
+        val a = coeffA(k); val c = coeffB(k)
+        var best = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val p = a * hashes.getLong(i) + c
+          if (p < best) best = p
+          i += 1
+        }
+        bucket = ExprUtil.splitmix64(bucket ^ best)
+        r += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val h = first.eval(input)
+    if (h == null) null else compute(h.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashBucketsExpr", this,
+      classOf[MinHashBuckets].getName)
+    val h = first.genCode(ctx)
+    val code = code"""
+      |${h.code}
+      |boolean ${ev.isNull} = ${h.isNull};
+      |${CodeGenerator.javaType(dataType)} ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $self.compute(${h.value});
+      |}
+      |""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashBuckets =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
+/** 64-bit SimHash over token hashes: bit b of the signature is set
+  * when at least half the token hashes have bit b set (unweighted
+  * majority — multiset semantics). Replaces the 64-term interpreted
+  * `size(filter(...))` CASE sum. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash needs array<bigint> token hashes, got ${other.simpleString}")
+  }
+
+  def compute(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(h: Any): Any = compute(h.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashExpr", this,
+      classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $self.compute($h);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(newChild)
+}
+
+/** Random-hyperplane LSH sign bits for an array<double> vector: bit p
+  * is set when the projection onto plane p is positive. Plane
+  * components are deterministic ±1 from splitmix64(p, dim) — every
+  * executor builds identical planes with no driver state (same
+  * sign-random-projection family as Charikar'02 rounding). */
+case class HyperplaneBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(DoubleType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "hyperplane bits needs (array<double>, foldable int bits), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val bits: Int = right.eval().asInstanceOf[Int]
+
+  def compute(vec: ArrayData): Long = HyperplaneBits.signature(vec, bits)
+
+  override def nullSafeEval(v: Any, b: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneExpr", this,
+      classOf[HyperplaneBits].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $self.compute($v);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HyperplaneBits = copy(newLeft, newRight)
+}
+
+/** Fused random-hyperplane signature + banding: element b of the
+  * output is the b-th `bits/bands`-wide slice of the sign-bit
+  * signature, for `posexplode` into (band, bucket) rows. Fused for
+  * the same reason as [[MinHashBuckets]]: a projected signature
+  * column gets inlined into a per-band lambda and recomputed once
+  * per band. */
+case class HyperplaneBands(first: Expression, second: Expression,
+    third: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def nullable: Boolean = first.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "hyperplane bands needs (array<double>, foldable int bits, " +
+          s"foldable int bands), got ${children.map(_.dataType.simpleString)}")
+    }
+
+  @transient private lazy val bits: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val bands: Int = third.eval().asInstanceOf[Int]
+  @transient private lazy val bandBits: Int = bits / bands
+  @transient private lazy val mask: Long =
+    if (bandBits == 64) -1L else (1L << bandBits) - 1
+
+  def compute(vec: ArrayData): ArrayData = {
+    val sig = HyperplaneBits.signature(vec, bits)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = (sig >>> (b * bandBits)) & mask
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneBandsExpr", this,
+      classOf[HyperplaneBands].getName)
+    val v = first.genCode(ctx)
+    val code = code"""
+      |${v.code}
+      |boolean ${ev.isNull} = ${v.isNull};
+      |${CodeGenerator.javaType(dataType)} ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $self.compute(${v.value});
+      |}
+      |""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HyperplaneBands =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
+object HyperplaneBits {
+  /** Shared sign-bit loop for HyperplaneBits / HyperplaneBands. */
+  def signature(vec: ArrayData, bits: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((ExprUtil.splitmix64(p.toLong * 1000003L + i)
+          & 1L) == 1L) 1.0 else -1.0
+        proj += vec.getDouble(i) * sign
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
 object GraftFunctions {
 
   val DOT = "graft_dot"
+  val MINHASH = "graft_minhash"
+  val MINHASH_BUCKETS = "graft_minhash_buckets"
+  val SIMHASH = "graft_simhash"
+  val HYPERPLANE = "graft_hyperplane_bits"
+  val HYPERPLANE_BANDS = "graft_hyperplane_bands"
 
   /** Idempotently register graft's native expressions on a session
-    * (temp functions — session-scoped, executor-safe via codegen). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    * (temp functions — session-scoped, executor-safe via codegen).
+    * GraftSession.create and every VectorOps/Dedup entry point call
+    * this, so any session that can build the plans can run them. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       DOT, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MINHASH, exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MINHASH_BUCKETS,
+      exprs => MinHashBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SIMHASH, exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HYPERPLANE, exprs => HyperplaneBits(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HYPERPLANE_BANDS,
+      exprs => HyperplaneBands(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 
   /** Codegen'd dot product (register(spark) must have run). */
   def dot(a: Column, b: Column): Column = call_function(DOT, a, b)
+
+  def minhash(hashes: Column, numHashes: Int): Column =
+    call_function(MINHASH, hashes, lit(numHashes))
+
+  def minhashBuckets(hashes: Column, numHashes: Int, bands: Int): Column =
+    call_function(MINHASH_BUCKETS, hashes, lit(numHashes), lit(bands))
+
+  def simhash(hashes: Column): Column = call_function(SIMHASH, hashes)
+
+  def hyperplaneBits(vec: Column, bits: Int): Column =
+    call_function(HYPERPLANE, vec, lit(bits))
+
+  def hyperplaneBands(vec: Column, bits: Int, bands: Int): Column =
+    call_function(HYPERPLANE_BANDS, vec, lit(bits), lit(bands))
 }

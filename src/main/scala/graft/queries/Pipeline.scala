@@ -225,10 +225,13 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** SimHash near-dup pairs (hamming <= 8 via 16-bit banding).
-    * Hash-family-dependent → rows-only check. */
+  /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit chunk banding,
+    * the Manku WWW'07 configuration — recall 1 by pigeonhole: <= 3
+    * differing bits cannot touch all 4 chunks). Hash-family-dependent
+    * → rows-only check; DedupSpec gates it against exact duplicates
+    * and MinHash high-Jaccard pairs. */
   val dedupSimhash: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 8)
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
   }
 

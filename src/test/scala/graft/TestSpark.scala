@@ -3,16 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared local session for every suite (session startup is the
-  * dominant test cost; suites run sequentially in the forked JVM). */
+  * dominant test cost; suites run sequentially in the forked JVM).
+  * Built via GraftSession so tests exercise the same config +
+  * native-function registration as Verify/Bench/Explain. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = GraftSession.create("local[4]", "4",
+      _.appName("graft-test"))
     s.sparkContext.setLogLevel("ERROR")
     s
   }
