@@ -15,6 +15,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Batch glob / multi-file scan with footer schema merge (S2 —
+    * the reference glob-reads its 12 monthly files with a
+    * star-dot-parquet pattern, /root/reference/cleaning.py:7).
+    * `mergeSchema`
+    * unions the footers, so union-compatible files that differ in
+    * columns (a column added mid-year) read as one relation with
+    * nulls where a file lacks the column. Schema merge costs one
+    * footer read per file at planning — fine at any scale; the scan
+    * itself stays a plain distributed FileSourceScan with pushdown. */
+  def glob(spark: SparkSession, pattern: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(pattern)
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -3,16 +3,20 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payload columns with typed metadata, plus decode / feature-extract
   * / frame-sample stages.
   *
   * The Spark-side plumbing (schema, batching via mapPartitions,
-  * partition sizing) is real and tested; the actual media decode is
-  * STUBBED (no codec libraries in this environment) behind
-  * `realDecode` — swap it for an actual decoder (e.g. javacv/ffmpeg
-  * bindings) in production. `fakeDecode` is a deterministic
-  * byte-level stand-in so the pipeline is end-to-end testable.
+  * partition sizing) is real and tested, and so is the decode for
+  * formats a pure JVM can parse without codec libraries: BMP
+  * (BITMAPINFOHEADER dimensions) and WAV (fmt chunk channels/sample
+  * rate). Payloads in other formats fall back to `fakeDecode`, a
+  * deterministic byte-level stand-in with the same shape a full
+  * decoder (javacv/ffmpeg bindings, not present in this container)
+  * would produce.
   *
   * Scale notes: payloads stay distributed; mapPartitions amortizes
   * per-partition decoder init (the expensive part with real codecs);
@@ -21,7 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media feature row. */
+  /** Decoded-media feature row. For images width/height are pixel
+    * dimensions; for audio width=sample rate (Hz), height=channels
+    * (the two load-bearing shape numbers of a PCM stream). */
   case class MediaFeatures(
       doc_id: Long,
       byte_len: Int,
@@ -29,14 +35,65 @@ object Multimodal {
       height: Int,
       histogram: Array[Float])
 
-  /** STUB for the real media decoder — intentionally unimplemented
-    * in this environment (no image/audio libs in the container). */
-  def realDecode(payload: Array[Byte]): MediaFeatures = ???
+  private def leBuffer(b: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
 
-  /** Deterministic fake decode: byte histogram over 16 buckets plus
-    * fake dimensions derived from content bytes. Same shape/batching
-    * as a real decoder would produce. */
-  def fakeDecode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+  /** Parse BMP dimensions from the BITMAPINFOHEADER: magic "BM",
+    * int32-LE width at offset 18, int32-LE height at 22 (negative
+    * height = top-down rows — dimensions reported absolute). */
+  def decodeBmpDims(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+      val buf = leBuffer(payload)
+      Some((math.abs(buf.getInt(18)), math.abs(buf.getInt(22))))
+    } else None
+
+  /** Parse WAV audio shape from the canonical RIFF header:
+    * (channels @22 uint16-LE, sample rate @24 uint32-LE,
+    * bits per sample @34 uint16-LE). */
+  def decodeWavMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (payload.length >= 36 &&
+        payload.startsWith("RIFF".getBytes) &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(payload, 8, 12), "WAVE".getBytes)) {
+      val buf = leBuffer(payload)
+      Some((buf.getShort(22) & 0xFFFF, buf.getInt(24),
+        buf.getShort(34) & 0xFFFF))
+    } else None
+
+  /** Minimal real 24-bpp BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + zeroed bottom-up pixel rows padded to 4
+    * bytes — byte-exact per the format spec, so decode(encode(w,h))
+    * round-trips and total size is 54 + rowSize*h. */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val size = 54 + rowSize * height
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(size).putInt(0).putInt(54) // file size, reserved, data offset
+    buf.putInt(40).putInt(width).putInt(height) // info header
+    buf.putShort(1).putShort(24) // planes, bpp
+    buf.putInt(0).putInt(rowSize * height) // no compression, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette
+    buf.array() // pixel area left zeroed
+  }
+
+  /** Minimal canonical PCM WAV header + silent samples. */
+  def encodeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      numFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = numFrames * blockAlign
+    val buf = ByteBuffer.allocate(44 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1) // PCM
+    buf.putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+    buf.putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes).putInt(dataLen)
+    buf.array()
+  }
+
+  private def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < payload.length) {
@@ -46,11 +103,32 @@ object Multimodal {
     val n = math.max(payload.length, 1)
     var j = 0
     while (j < 16) { hist(j) /= n.toFloat; j += 1 }
+    hist
+  }
+
+  /** Real decode for JVM-parseable formats, deterministic fake for
+    * the rest (a production build swaps the fallback for codec
+    * bindings — the Spark-side shape is identical). */
+  def realDecode(docId: Long, payload: Array[Byte]): MediaFeatures =
+    decodeBmpDims(payload) match {
+      case Some((w, h)) =>
+        MediaFeatures(docId, payload.length, w, h, byteHistogram(payload))
+      case None => decodeWavMeta(payload) match {
+        case Some((channels, rate, _)) =>
+          MediaFeatures(docId, payload.length, rate, channels,
+            byteHistogram(payload))
+        case None => fakeDecode(docId, payload)
+      }
+    }
+
+  /** Deterministic fallback decode: byte histogram over 16 buckets
+    * plus fake dimensions derived from content bytes. Same
+    * shape/batching as a real decoder would produce. */
+  def fakeDecode(docId: Long, payload: Array[Byte]): MediaFeatures =
     MediaFeatures(docId, payload.length,
       width = 16 + ((payload.headOption.getOrElse(0: Byte) & 0xFF) % 64),
       height = 16 + ((payload.lastOption.getOrElse(0: Byte) & 0xFF) % 64),
-      histogram = hist)
-  }
+      histogram = byteHistogram(payload))
 
   /** Attach an opaque binary payload column (here synthesized from
     * text — in production this is the raw media bytes column). */
@@ -67,7 +145,7 @@ object Multimodal {
     payloads.select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
       .mapPartitions { it =>
         // real pipeline: init codec context here, once per partition
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) => realDecode(id, bytes) }
       }
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.text.TextOps
 import graft.vector.VectorOps
 import org.apache.spark.sql.Column
@@ -301,6 +302,31 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end multimodal decode over REAL binary payloads: each doc
+    * id is rendered into an actual BMP (byte-exact 54-byte header +
+    * padded pixel rows) in one mapPartitions stage, then decoded by
+    * the pure-JVM BMP parser in another — the full
+    * encode → binary column → batch-decode plumbing. The oracle
+    * recomputes the expected dimensions and file size arithmetically,
+    * so a wrong header offset or row padding in either codec path
+    * fails the hash compare. */
+  val multimodalDecode: QueryDef = QueryDef.sql(
+    """SELECT doc_id,
+       CAST(1 + doc_id % 64 AS INTEGER) AS width,
+       CAST(1 + doc_id % 48 AS INTEGER) AS height,
+       CAST(54 + ((3 * (1 + doc_id % 64) + 3) // 4) * 4
+            * (1 + doc_id % 48) AS INTEGER) AS byte_len
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id,
+        Multimodal.encodeBmp((1 + id % 64).toInt, (1 + id % 48).toInt))))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeFeatures(payloads).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("byte_len"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -314,5 +340,6 @@ object Pipeline {
     "q33_ann_lsh" -> annLsh,
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_multimodal_meta" -> multimodalMeta,
+    "q37_multimodal_decode" -> multimodalDecode,
   )
 }

@@ -25,6 +25,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(0).histogram.toSeq == again(0).histogram.toSeq)
   }
 
+  test("BMP codec: encode(w,h) decodes back byte-exactly") {
+    for ((w, h) <- Seq((1, 1), (2, 3), (64, 48), (101, 7))) {
+      val bytes = Multimodal.encodeBmp(w, h)
+      assert(bytes.length == 54 + ((3 * w + 3) / 4) * 4 * h)
+      assert(Multimodal.decodeBmpDims(bytes).contains((w, h)))
+    }
+    assert(Multimodal.decodeBmpDims("not a bitmap at all".getBytes).isEmpty)
+  }
+
+  test("WAV codec: header round-trips channels/rate") {
+    val wav = Multimodal.encodeWav(channels = 2, sampleRate = 44100,
+      bitsPerSample = 16, numFrames = 100)
+    assert(wav.length == 44 + 100 * 2 * 2)
+    assert(Multimodal.decodeWavMeta(wav).contains((2, 44100, 16)))
+    assert(Multimodal.decodeWavMeta(Multimodal.encodeBmp(4, 4)).isEmpty)
+  }
+
+  test("decodeFeatures uses the real decoder for media payloads") {
+    val media = Seq(
+      (10L, Multimodal.encodeBmp(32, 20)),
+      (11L, Multimodal.encodeWav(1, 16000, 16, 50)),
+      (12L, "plain text falls back to fake".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val f = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert((f(0).width, f(0).height) == (32, 20)) // BMP pixel dims
+    assert((f(1).width, f(1).height) == (16000, 1)) // WAV rate/channels
+    assert(f(2).width >= 16 && f(2).width < 80) // fake fallback range
+  }
+
   test("sampleFrames: stride-2 sampling of 8-byte frames") {
     val frames = Multimodal.sampleFrames(payloads, frameBytes = 8, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1),

@@ -47,8 +47,17 @@ def main():
             a, b = duck[c], spark[c]
             try:
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                    # tiny tolerance absorbs float64 representation
+                    # noise (exact == flags last-ulp diffs that are
+                    # not real bugs). Kept at 1e-9 so a genuine
+                    # HALF_UP-vs-half-even rounding divergence (1e-6
+                    # under round(x,6)) still FAILS here — those must
+                    # be fixed with the floor(x*1e6+0.5)/1e6 idiom
+                    # (see q26), because the driver hash compare is
+                    # exact
+                    af = a.astype('float64'); bf = b.astype('float64')
                     eq = ((a.isna() & b.isna()) |
-                          (a.astype('float64') == b.astype('float64')))
+                          ((af - bf).abs() <= 1e-9))
                 else:
                     eq = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
                 if not eq.all():
