@@ -86,19 +86,19 @@ object Dedup {
       ngram: Int = 3): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // (id, hashed shingle set) — the one expensive map-side pass
-    // (tokenize → shingle → xxhash64 per shingle). Persisted because
-    // three consumers read it (banding + both verify sides); it is
-    // ~1% the size of the text (8 bytes per shingle), the shape real
-    // pipelines checkpoint. Verification intersects the HASHED
-    // shingle sets: same set sizes as the string sets barring an
-    // xxhash64 collision inside one pair (~n²/2^64 ≈ 1e-15).
+    // (id, hashed shingle set) — the one expensive map-side pass,
+    // fused into a single codegen expression (tokenize → windowed
+    // FNV-1a shingle hash → dedup, graft_shingle_hashes). Persisted
+    // because three consumers read it (banding + both verify sides);
+    // it is ~1% the size of the text (8 bytes per shingle), the
+    // shape real pipelines checkpoint. Verification intersects the
+    // HASHED shingle sets: same set sizes as the string sets barring
+    // a 64-bit collision inside one pair (~n²/2^64 ≈ 1e-15).
     val hashed = spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= ngram)
-      .withColumn("__sh", TextOps.shingles(col("__toks"), ngram))
       .select(col(idCol).as("__id"),
-        transform(col("__sh"), s => xxhash64(s)).as("__hs"))
+        GraftFunctions.shingleHashes(col("__toks"), ngram).as("__hs"))
       .persist()
     // Materialize the cache NOW: the three consumers below (candidate
     // pipeline + both verify-side broadcast builds) otherwise launch
@@ -158,11 +158,18 @@ object Dedup {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     val width = 64 / chunks
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // persist + materialize the (id, signature) relation: the chunk
+    // explode below references __sim once per chunk plus once in the
+    // member struct, and CollapseProject would otherwise inline the
+    // full simhash pipeline into every reference (5× recompute);
+    // behind the cache each reference is a cached-column read
     val sigs = spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) > 0)
       .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
       .select(col(idCol).as("__id"), simhash64(col("__th")).as("__sim"))
+      .persist()
+    sigs.count()
     // the signature is one long, so it rides the groupBy shuffle
     // inside the bucket-member struct — no join-back, and the
     // signature pipeline is consumed exactly once (a self-join here

@@ -144,6 +144,76 @@ case class MinHashSignature(left: Expression, right: Expression)
       newRight: Expression): MinHashSignature = copy(newLeft, newRight)
 }
 
+/** Distinct hashed word n-gram shingles in ONE pass: for each window
+  * of `n` tokens, a 64-bit FNV-1a hash over the tokens' UTF-8 bytes
+  * (space-separated), deduplicated with an open hash set. Replaces
+  * the interpreted three-stage form (zip_with shingle strings →
+  * array_distinct → transform(xxhash64)) that allocated every
+  * shingle string per document. Downstream (MinHash, exact Jaccard
+  * verify) consumes only the hashes; set sizes equal the string-set
+  * sizes barring a 2^-64 collision. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "shingle hashes needs (array<string> tokens, foldable int n), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) = tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m - n + 1)
+    var count = 0
+    i = 0
+    while (i <= m - n) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L } // space separator
+        val b = bytes(i + j)
+        var k = 0
+        while (k < b.length) {
+          h ^= (b(k) & 0xFFL); h *= 0x100000001b3L
+          k += 1
+        }
+        j += 1
+      }
+      if (seen.add(h)) { out(count) = h; count += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, count))
+  }
+
+  override def nullSafeEval(t: Any, nn: Any): Any =
+    compute(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashesExpr", this,
+      classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleHashes = copy(newLeft, newRight)
+}
+
 /** Fused MinHash signature + LSH banding: returns the `bands`
   * band-bucket values directly (element b = mixed hash of the b-th
   * signature slice), for `posexplode` into (band, bucket) rows.
@@ -415,6 +485,7 @@ object GraftFunctions {
   val DOT = "graft_dot"
   val MINHASH = "graft_minhash"
   val MINHASH_BUCKETS = "graft_minhash_buckets"
+  val SHINGLE_HASHES = "graft_shingle_hashes"
   val SIMHASH = "graft_simhash"
   val HYPERPLANE = "graft_hyperplane_bits"
   val HYPERPLANE_BANDS = "graft_hyperplane_bands"
@@ -433,6 +504,8 @@ object GraftFunctions {
       MINHASH_BUCKETS,
       exprs => MinHashBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      SHINGLE_HASHES, exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       HYPERPLANE, exprs => HyperplaneBits(exprs(0), exprs(1)), "built-in")
@@ -449,6 +522,9 @@ object GraftFunctions {
 
   def minhashBuckets(hashes: Column, numHashes: Int, bands: Int): Column =
     call_function(MINHASH_BUCKETS, hashes, lit(numHashes), lit(bands))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    call_function(SHINGLE_HASHES, tokens, lit(n))
 
   def simhash(hashes: Column): Column = call_function(SIMHASH, hashes)
 

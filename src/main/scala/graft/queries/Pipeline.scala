@@ -283,6 +283,16 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** LSH-prefiltered embedding near-dup at 0.45 — the 100 TB path
+    * for q34's semantics (bucketed candidates + exact verify, never
+    * all-pairs). Hash-family-dependent recall → rows-only check;
+    * AnnRecallSpec gates measured recall against the exact q34
+    * output. */
+  val embeddingNearDupLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    VectorOps.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Multimodal metadata plumbing: opaque binary payload column +
     * typed metadata (byte length, content hash, frame count). The
     * decode itself is stubbed (graft.multimodal) — this query proves
@@ -341,5 +351,6 @@ object Pipeline {
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_multimodal_meta" -> multimodalMeta,
     "q37_multimodal_decode" -> multimodalDecode,
+    "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
   )
 }

@@ -130,6 +130,48 @@ object VectorOps {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** Scale-path embedding near-dup: LSH-bucketed candidate
+    * prefilter + exact-cosine verify at tau — the same
+    * band-join-then-verify structure as MinHash text dedup, applied
+    * to vectors. Candidates are pairs sharing any signature band;
+    * each candidate costs one codegen'd dot product. Never all-pairs
+    * — this is the operator to run at 100 TB, with
+    * [[nearDupPairs]] as the exactness baseline (recall gated
+    * against it in AnnRecallSpec; more bands → higher recall). */
+  def nearDupPairsLsh(df: DataFrame, tau: Double,
+      bits: Int = 64, bands: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    require(bits % bands == 0, "bands must divide bits")
+    val vecs = withNorm(spread(df), idCol, vecCol, "a").persist()
+    vecs.count() // materialize before the consumers fan out
+    val banded = vecs.select(col("a_id"),
+      posexplode(GraftFunctions.hyperplaneBands(col("a_v"), bits, bands))
+        .as(Seq("band", "bucket")))
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("a_id"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(bucketPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
+      .distinct()
+    candidates
+      .join(vecs, "a_id")
+      .join(vecs.select(col("a_id").as("b_id"), col("a_v").as("b_v"),
+        col("a_norm").as("b_norm")), "b_id")
+      .withColumn("cos", round(dot(col("a_v"), col("b_v"))
+        / (col("a_norm") * col("b_norm")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** All ordered pairs (a < b) from a sorted bucket-member array —
+    * see graft.dedup.Dedup for the groupBy-not-self-join rationale. */
+  private def bucketPairs(members: Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(slice(members, i + lit(2), size(members)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Exact embedding near-dup pairs: all pairs with cosine >= tau.
     * Brute-force block self-join — the exactness baseline the LSH
     * path approximates. Norms are precomputed per row, so pair-time

@@ -25,6 +25,17 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"ANN recall@3 $recall%.3f below 0.8 gate")
   }
 
+  test("nearDupPairsLsh recall >= 0.9 vs exact near-dup pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = pairs(VectorOps.nearDupPairs(emb, 0.45))
+    val lsh = pairs(VectorOps.nearDupPairsLsh(emb, 0.45))
+    assert(lsh.subsetOf(exact), "verify stage must make LSH ⊆ exact")
+    val recall = if (exact.isEmpty) 1.0
+      else (exact & lsh).size.toDouble / exact.size
+    info(f"LSH near-dup recall = $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.9, f"LSH near-dup recall $recall%.3f below 0.9")
+  }
+
   test("lshTopK candidates always score with exact cosine (rank sane)") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)

@@ -61,6 +61,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(merged.toSeq == minOf.toSeq)
   }
 
+  test("graft_shingle_hashes: set size & Jaccard match the string form") {
+    import graft.text.TextOps
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the crazy dog again and again",
+      "a b a b a b a b") // repeated shingles → dedup matters
+    val df = docs.map(Tuple1(_)).toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(
+        GraftFunctions.shingleHashes(col("toks"), 3).as("hs"),
+        TextOps.shingles(col("toks"), 3).as("sh"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).size == r.getSeq[String](1).size)
+      assert(r.getSeq[Long](0).distinct.size == r.getSeq[Long](0).size)
+    }
+    // pairwise Jaccard identical through either representation
+    val hs = rows.map(_.getSeq[Long](0).toSet)
+    val sh = rows.map(_.getSeq[String](1).toSet)
+    for (i <- docs.indices; j <- docs.indices if i < j) {
+      val jh = (hs(i) & hs(j)).size.toDouble / (hs(i) | hs(j)).size
+      val js = (sh(i) & sh(j)).size.toDouble / (sh(i) | sh(j)).size
+      assert(jh == js)
+    }
+  }
+
   test("graft_simhash: df path == direct eval; identical inputs agree") {
     val hashes = Seq.fill(30)(rnd.nextLong())
     val df = Seq(Tuple1(hashes), Tuple1(hashes)).toDF("h")
