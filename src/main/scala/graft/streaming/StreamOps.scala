@@ -71,6 +71,29 @@ object StreamOps {
       }.toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup: drop duplicate rows by `idCols` with
+    * state bounded by the watermark horizon (the streaming form of
+    * Dedup.exactGroups/keepFirstByKey — duplicates arriving further
+    * apart than the watermark are out of contract, which is what
+    * keeps state finite at 100 TB/day ingest). */
+  def dedupedEvents(events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream into any batch [[graft.sources.Sink]] via foreachBatch —
+    * micro-batches append through the same sink abstraction the
+    * batch pipeline uses (the streaming analogue of the reference's
+    * per-table JDBC persistence). */
+  def streamToSink(df: DataFrame, sink: graft.sources.Sink,
+      table: String): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.write(batch, table, org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+
   /** Drive a streaming DataFrame to a named in-memory table and wait
     * for all available input (synchronous local smoke path). */
   def runToMemory(df: DataFrame, name: String,

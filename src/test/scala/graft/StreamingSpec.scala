@@ -25,6 +25,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupedEvents: duplicates within the watermark collapse") {
+    // fold event ids onto 50 values → guaranteed duplicates
+    val stream = StreamOps.eventsStream(spark, dir)
+      .withColumn("event_id", col("event_id") % 50)
+    val q = StreamOps.runToMemory(
+      StreamOps.dedupedEvents(stream), "dedup", OutputMode.Append())
+    try {
+      val streamed = spark.table("dedup").count()
+      val batchDistinct = Tables.events(spark, dir)
+        .select((col("event_id") % 50).as("id")).distinct().count()
+      assert(streamed == batchDistinct)
+    } finally q.stop()
+  }
+
+  test("streamToSink: micro-batches append through the Sink trait") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val stream = StreamOps.eventsStream(spark, dir)
+      .withColumn("event_id", col("event_id") % 50)
+    val q = StreamOps.streamToSink(
+      StreamOps.dedupedEvents(stream),
+      new graft.sources.ParquetSink(out), "events_dedup")
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(s"$out/events_dedup").count()
+    val batchDistinct = Tables.events(spark, dir)
+      .select((col("event_id") % 50).as("id")).distinct().count()
+    assert(written == batchDistinct)
+  }
+
   test("runningUserCounts: stateful counts accumulate per user") {
     val stream = StreamOps.eventsStream(spark, dir)
     val q = StreamOps.runToMemory(

@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.create("local[4]", "4",
-      _.appName("graft-test"))
+      _.appName("graft-test")
+        // managed-table writes (bucketing specs) land in tmp, not cwd
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh").toString))
     s.sparkContext.setLogLevel("ERROR")
     s
   }
