@@ -125,7 +125,32 @@ object Dedup {
       .join(hashed.select(col("__id").as("b_id"), col("__hs").as("b_hs")),
         "b_id")
       .withColumn("jaccard",
-        TextOps.jaccardSets(col("a_hs"), col("b_hs")))
+        GraftFunctions.jaccard(col("a_hs"), col("b_hs")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: all-pairs verification at
+    * `threshold` over hashed shingle sets — the exactness baseline
+    * for [[minhashNearDupPairs]] (identical verify stage; MinHash
+    * only prefilters candidates, so wherever banding recall is 1 the
+    * two agree — DedupSpec asserts it). All-pairs is O(n²): run this
+    * on samples/partitions for auditing; the LSH form is the scale
+    * path. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, ngram: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val hashed = spread(df)
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= ngram)
+      .select(col(idCol).as("a_id"),
+        GraftFunctions.shingleHashes(col("__toks"), ngram).as("a_hs"))
+      .persist()
+    hashed.count() // one compute; both join sides read the cache
+    val b = hashed.select(col("a_id").as("b_id"), col("a_hs").as("b_hs"))
+    hashed.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        GraftFunctions.jaccard(col("a_hs"), col("b_hs")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -197,7 +197,12 @@ case class ShingleHashes(left: Expression, right: Expression)
       if (seen.add(h)) { out(count) = h; count += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, count))
+    // sorted output is the contract JaccardHashes' sort-merge
+    // intersection relies on (and costs one sort per DOC instead of
+    // per PAIR downstream)
+    val res = java.util.Arrays.copyOf(out, count)
+    java.util.Arrays.sort(res)
+    new GenericArrayData(res)
   }
 
   override def nullSafeEval(t: Any, nn: Any): Any =
@@ -212,6 +217,54 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ShingleHashes = copy(newLeft, newRight)
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct
+  * array<long> columns (the ShingleHashes output contract) via
+  * sort-merge intersection — one O(n+m) pass per pair instead of
+  * the interpreted `array_intersect` hash-set build that dominated
+  * the all-pairs Jaccard baseline (measured 11.8 s of q39's 11.8 s
+  * at sf0.1). */
+case class JaccardHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "jaccard needs two array<bigint> (sorted distinct hashes), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val va = a.getLong(i); val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaccardExpr", this,
+      classOf[JaccardHashes].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardHashes = copy(newLeft, newRight)
 }
 
 /** Fused MinHash signature + LSH banding: returns the `bands`
@@ -486,6 +539,7 @@ object GraftFunctions {
   val MINHASH = "graft_minhash"
   val MINHASH_BUCKETS = "graft_minhash_buckets"
   val SHINGLE_HASHES = "graft_shingle_hashes"
+  val JACCARD = "graft_jaccard"
   val SIMHASH = "graft_simhash"
   val HYPERPLANE = "graft_hyperplane_bits"
   val HYPERPLANE_BANDS = "graft_hyperplane_bands"
@@ -506,6 +560,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       SHINGLE_HASHES, exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      JACCARD, exprs => JaccardHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       HYPERPLANE, exprs => HyperplaneBits(exprs(0), exprs(1)), "built-in")
@@ -525,6 +581,8 @@ object GraftFunctions {
 
   def shingleHashes(tokens: Column, n: Int): Column =
     call_function(SHINGLE_HASHES, tokens, lit(n))
+
+  def jaccard(a: Column, b: Column): Column = call_function(JACCARD, a, b)
 
   def simhash(hashes: Column): Column = call_function(SIMHASH, hashes)
 

@@ -283,6 +283,42 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** IVF-cell ANN top-3 — the inverted-file scale path (probe
+    * nprobe/nlist of the corpus per query). Cell structure is
+    * data-dependent → rows-only; AnnRecallSpec gates measured
+    * recall vs the exact baseline. */
+  val annIvf: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard at 0.5 — the dedup-family
+    * exactness baseline, oracle-checked against DuckDB's
+    * string-shingle Jaccard (set sizes identical through the hashed
+    * representation barring 2^-64 collisions). */
+  val ngramJaccard: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             >= 0.5
+       ORDER BY 1, 2""") { (s, d) =>
+    Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** LSH-prefiltered embedding near-dup at 0.45 — the 100 TB path
     * for q34's semantics (bucketed candidates + exact verify, never
     * all-pairs). Hash-family-dependent recall → rows-only check;
@@ -352,5 +388,7 @@ object Pipeline {
     "q35_multimodal_meta" -> multimodalMeta,
     "q37_multimodal_decode" -> multimodalDecode,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
+    "q39_ngram_jaccard" -> ngramJaccard,
+    "q40_ann_ivf" -> annIvf,
   )
 }

@@ -130,6 +130,65 @@ object VectorOps {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-style ANN: partition the corpus into `nlist` cells around
+    * deterministically-sampled centroid vectors (smallest
+    * xxhash64(id) — no fitted model, reproducible on any executor),
+    * then answer each query by probing its `nprobe` nearest cells
+    * and exact-scoring only those cells' members. The coarse
+    * quantizer is one broadcast crossJoin of nlist dot products per
+    * row; search cost scales with nprobe/nlist of the corpus instead
+    * of all of it. Complements [[lshTopK]] (hash buckets) with the
+    * inverted-file structure real vector stores use; recall is
+    * data-dependent → rows-only in the catalog, gated by
+    * AnnRecallSpec against [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = withNorm(spread(corpus), idCol, vecCol, "n").persist()
+    c.count() // materialize before multi-consumer fan-out
+    val seeds = c
+      .select(col("n_id").as("c_id"), col("n_v").as("c_v"),
+        col("n_norm").as("c_norm"), xxhash64(col("n_id")).as("__h"))
+      .orderBy(col("__h")).limit(nlist).drop("__h")
+    def nearestCells(df: DataFrame, cents: DataFrame, prefix: String,
+        keep: Int) = {
+      val w = Window.partitionBy(col(s"${prefix}_id"))
+        .orderBy(col("__ccos").desc, col("c_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__ccos", dot(col(s"${prefix}_v"), col("c_v"))
+          / (col(s"${prefix}_norm") * col("c_norm")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .drop("c_v", "c_norm", "__ccos", "__rn")
+        .withColumnRenamed("c_id", "cell")
+    }
+    // one Lloyd refinement: replace sampled seeds with their cells'
+    // mean vectors (element-wise avg via posexplode — deterministic,
+    // one extra pass) — measurably better-shaped cells than raw
+    // samples, without a full iterative k-means fit
+    val centroids = nearestCells(c, seeds, "n", 1)
+      .select(col("cell"), posexplode(col("n_v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("c_v"))
+      .select(col("cell").as("c_id"), col("c_v"),
+        norm(col("c_v")).as("c_norm"))
+    val assigned = nearestCells(c, centroids, "n", 1)
+    val probes = nearestCells(withNorm(queries, idCol, vecCol, "q"),
+      centroids, "q", nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot(col("q_v"), col("n_v"))
+        / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** Scale-path embedding near-dup: LSH-bucketed candidate
     * prefilter + exact-cosine verify at tau — the same
     * band-join-then-verify structure as MinHash text dedup, applied

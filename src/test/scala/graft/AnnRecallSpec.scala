@@ -36,6 +36,16 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"LSH near-dup recall $recall%.3f below 0.9")
   }
 
+  test("ivfTopK recall@3 vs bruteForceTopK >= 0.7 on sf0.001") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(VectorOps.bruteForceTopK(emb, queries, 3))
+    val ivf = pairs(VectorOps.ivfTopK(emb, queries, 3))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.3f (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.7, f"IVF recall@3 $recall%.3f below 0.7 gate")
+  }
+
   test("lshTopK candidates always score with exact cosine (rank sane)") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)

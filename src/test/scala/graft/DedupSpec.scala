@@ -71,6 +71,17 @@ class DedupSpec extends AnyFunSuite {
       s"simhash found ${overlap.size}/${mh.size} of minhash j>=0.9 pairs")
   }
 
+  test("minhash+LSH agrees with exact all-pairs Jaccard at 0.6") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.exactJaccardPairs(real, "doc_id", "text", 0.6))
+    val lsh = pairSet(Dedup.minhashNearDupPairs(real, "doc_id", "text", 0.6))
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
   test("keepFirstByKey: lowest order key survives per group") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
     val kept = Dedup.keepFirstByKey(df, Seq("k"), "id")

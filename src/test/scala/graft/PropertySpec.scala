@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import graft.ops.Features
+import graft.text.TextOps
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY.md §5.3): algebraic laws of the
+  * native expressions checked per-sample through direct interpreted
+  * eval (no Spark job per sample), plus DataFrame-level invariants
+  * over one generated batch. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double =
+    DotProduct(Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType))).eval()
+      .asInstanceOf[Double]
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e3, 1e3))
+
+  test("dot product is commutative (exactly, element order preserved)") {
+    check(Prop.forAll(vecGen) { v =>
+      val w = v.reverse.map(_ * 0.5)
+      dot(v, w) == dot(w, v)
+    })
+  }
+
+  test("dot(v, v) is non-negative") {
+    check(Prop.forAll(vecGen)(v => dot(v, v) >= 0.0))
+  }
+
+  private def minhash(h: Seq[Long], k: Int): Seq[Long] =
+    MinHashSignature(Literal.create(h, ArrayType(LongType)), Literal(k))
+      .eval().asInstanceOf[ArrayData].toLongArray().toSeq
+
+  test("minhash signature of a union is the element-wise min") {
+    val hGen = Gen.nonEmptyListOf(Gen.long)
+    check(Prop.forAll(hGen, hGen) { (a, b) =>
+      val u = minhash(a ++ b, 16)
+      val m = minhash(a, 16).zip(minhash(b, 16))
+        .map { case (x, y) => math.min(x, y) }
+      u == m
+    })
+  }
+
+  test("minhash signature is order- and duplicate-insensitive") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.long)) { a =>
+      minhash(a, 16) == minhash(scala.util.Random.shuffle(a ++ a), 16)
+    })
+  }
+
+  private def simhash(h: Seq[Long]): Long =
+    SimHash64(Literal.create(h, ArrayType(LongType))).eval()
+      .asInstanceOf[Long]
+
+  test("simhash of identical multisets agrees; self-hamming is 0") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.long)) { a =>
+      java.lang.Long.bitCount(simhash(a) ^ simhash(a)) == 0
+    })
+  }
+
+  test("shingle hash count law: distinct windows of n tokens") {
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
+    check(Prop.forAll(tokGen, Gen.choose(1, 4)) { (toks, n) =>
+      val got = ShingleHashes(
+        Literal.create(toks, ArrayType(StringType)), Literal(n))
+        .eval().asInstanceOf[ArrayData].toLongArray()
+      val expected = if (toks.size < n) 0
+        else toks.sliding(n).map(_.mkString(" ")).toSet.size
+      got.length == expected && got.distinct.length == got.length
+    })
+  }
+
+  test("codegen jaccard on sorted arrays equals set-based jaccard") {
+    import graft.functions.JaccardHashes
+    val setGen = Gen.nonEmptyListOf(Gen.choose(-50L, 50L)).map(_.toSet)
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val got = JaccardHashes(
+        Literal.create(a.toSeq.sorted, ArrayType(LongType)),
+        Literal.create(b.toSeq.sorted, ArrayType(LongType)))
+        .eval().asInstanceOf[Double]
+      val expect = (a & b).size.toDouble / (a | b).size
+      got == expect
+    })
+  }
+
+  test("bucketize is total and monotone over generated distances") {
+    val ds = Gen.listOfN(300, Gen.chooseNum(0.0, 50.0)).sample.get
+    val labels = Seq("Very Short", "Short", "Medium", "Long", "Very Long")
+    val got = ds.toDF("d")
+      .select(col("d"), Features.bucketize(col("d"),
+        Seq(1, 3, 5, 10), labels).as("cat"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    got.foreach { case (d, cat) =>
+      val expected =
+        if (d < 1) "Very Short" else if (d < 3) "Short"
+        else if (d < 5) "Medium" else if (d < 10) "Long" else "Very Long"
+      assert(cat == expected, s"d=$d")
+    }
+  }
+
+  test("guardedRatio is NULL exactly when the denominator <= 0") {
+    val pairs = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(-5.0, 5.0)))
+      .sample.get
+    val got = pairs.toDF("num", "den")
+      .select(col("den"), Features.guardedRatio(col("num"), col("den"))
+        .as("r")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == (r.getDouble(0) <= 0.0))
+    }
+  }
+
+  test("jaccard of hashed sets is within [0,1], 1 on self, symmetric") {
+    val docs = Gen.listOfN(30,
+      Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")))
+      .sample.get.map(_.mkString(" "))
+    val hs = docs.map(Tuple1(_)).toDF("text")
+      .select(graft.functions.GraftFunctions.shingleHashes(
+        TextOps.tokens(col("text")), 2).as("h"))
+      .collect().map(_.getSeq[Long](0).toSet).filter(_.nonEmpty)
+    for (a <- hs; b <- hs) {
+      val j = (a & b).size.toDouble / (a | b).size
+      assert(j >= 0.0 && j <= 1.0)
+      if (a == b) assert(j == 1.0)
+    }
+  }
+
+  test("avg skips nulls: DataFrame avg == manual sum/count of non-nulls") {
+    val vals: List[Option[Double]] = Gen.listOfN(200,
+      Gen.option(Gen.chooseNum(-100.0, 100.0))).sample.get
+    val df = vals.map(v => Tuple1(v.map(Double.box).orNull))
+      .toDF("v").select(col("v").cast("double").as("v"))
+    val got = df.agg(avg("v")).collect()(0)
+    val present = vals.flatten
+    if (present.isEmpty) assert(got.isNullAt(0))
+    else assert(math.abs(got.getDouble(0)
+      - present.sum / present.size) < 1e-9)
+  }
+}
