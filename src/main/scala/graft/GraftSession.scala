@@ -18,6 +18,12 @@ object GraftSession {
       : SparkSession = {
     val s = tune(SparkSession.builder()
       .master(master)
+      // static conf — lands in the SparkContext when this is the
+      // first session of the JVM, so every later sibling session
+      // also gets graft_* functions at construction (pure-SQL path;
+      // GraftFunctions.register below covers this session and any
+      // pre-existing context)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injection point for graft's native
+  * expressions: sessions built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or `--conf` on spark-submit) get every `graft_*` function at
+  * session construction — including from pure SQL — with no
+  * library call required. `GraftFunctions.register` remains the
+  * programmatic path for sessions graft builds itself
+  * (GraftSession) and for DataFrames handed in from foreign
+  * sessions; both routes bind the same expression constructors.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "hash_funcs", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String,
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        builder))
+    inject(GraftFunctions.DOT,
+      "_FUNC_(a, b) - codegen dot product of two array<double>",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    inject(GraftFunctions.MINHASH,
+      "_FUNC_(hashes, k) - k-permutation MinHash signature",
+      exprs => MinHashSignature(exprs(0), exprs(1)))
+    inject(GraftFunctions.MINHASH_BUCKETS,
+      "_FUNC_(hashes, k, bands) - fused MinHash + LSH band buckets",
+      exprs => MinHashBuckets(exprs(0), exprs(1), exprs(2)))
+    inject(GraftFunctions.SIMHASH,
+      "_FUNC_(hashes) - 64-bit SimHash majority signature",
+      exprs => SimHash64(exprs(0)))
+    inject(GraftFunctions.HYPERPLANE,
+      "_FUNC_(vec, bits) - random-hyperplane sign bits",
+      exprs => HyperplaneBits(exprs(0), exprs(1)))
+    inject(GraftFunctions.HYPERPLANE_BANDS,
+      "_FUNC_(vec, bits, bands) - fused hyperplane LSH band buckets",
+      exprs => HyperplaneBands(exprs(0), exprs(1), exprs(2)))
+    inject(GraftFunctions.SHINGLE_HASHES,
+      "_FUNC_(tokens, n) - sorted distinct hashed n-gram shingles",
+      exprs => ShingleHashes(exprs(0), exprs(1)))
+    inject(GraftFunctions.JACCARD,
+      "_FUNC_(a, b) - Jaccard of two sorted array<bigint>",
+      exprs => JaccardHashes(exprs(0), exprs(1)))
+  }
+}
