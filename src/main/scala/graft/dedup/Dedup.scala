@@ -218,6 +218,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup candidate pairs by winnowing fingerprints (rolling
+    * n-gram hashes → window minima, Schleimer SIGMOD'03): documents
+    * sharing >= `minShared` fingerprints. Same bucketed structure as
+    * the other near-dup operators — fingerprints are row-local,
+    * candidates come from a groupBy on the fingerprint value — with
+    * winnowing's guarantee that any shared token run of length >=
+    * window + n - 1 produces a shared fingerprint. The
+    * plagiarism-detection shape: catches long verbatim passages that
+    * whole-document Jaccard dilutes away. */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2, ngram: Int = 3, window: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val fps = spread(df)
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= ngram)
+      .select(col(idCol).as("__id"),
+        explode(GraftFunctions.winnow(col("__toks"), ngram, window))
+          .as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(bucketPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Keep-first dedup by arbitrary key: survivor = lowest id per key
     * (row_number window — one shuffle on the key). */
   def keepFirstByKey(df: DataFrame, keyCols: Seq[String],

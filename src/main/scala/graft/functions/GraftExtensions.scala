@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.JACCARD,
       "_FUNC_(a, b) - Jaccard of two sorted array<bigint>",
       exprs => JaccardHashes(exprs(0), exprs(1)))
+    inject(GraftFunctions.WINNOW,
+      "_FUNC_(tokens, n, window) - winnowing document fingerprints",
+      exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)))
   }
 }

@@ -219,6 +219,106 @@ case class ShingleHashes(left: Expression, right: Expression)
       newRight: Expression): ShingleHashes = copy(newLeft, newRight)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03): positional rolling n-gram hashes, then the rightmost
+  * minimum of every `window` consecutive hashes, deduplicated and
+  * sorted. Guarantee: two documents sharing a token run of length >=
+  * window + n - 1 share at least one fingerprint, with expected
+  * density 2/(window+1) — the classic plagiarism/near-dup candidate
+  * structure, O(doc length) per row. */
+case class WinnowFingerprints(first: Expression, second: Expression,
+    third: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def nullable: Boolean = first.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "winnow needs (array<string> tokens, foldable int n, foldable " +
+          s"int window), got ${children.map(_.dataType.simpleString)}")
+    }
+
+  @transient private lazy val n: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val win: Int = third.eval().asInstanceOf[Int]
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) = tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val hs = new Array[Long](m - n + 1) // positional k-gram hashes
+    i = 0
+    while (i <= m - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        val b = bytes(i + j)
+        var k = 0
+        while (k < b.length) { h ^= (b(k) & 0xFFL); h *= 0x100000001b3L; k += 1 }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](hs.length)
+    var count = 0
+    val lastStart = math.max(0, hs.length - win)
+    var s = 0
+    while (s <= lastStart) {
+      val end = math.min(s + win, hs.length)
+      var best = hs(s); var bi = s
+      var t = s + 1
+      while (t < end) { // rightmost minimum, per the winnowing paper
+        if (hs(t) <= best) { best = hs(t); bi = t }
+        t += 1
+      }
+      if (seen.add(hs(bi))) { out(count) = hs(bi); count += 1 }
+      s += 1
+    }
+    val res = java.util.Arrays.copyOf(out, count)
+    java.util.Arrays.sort(res)
+    new GenericArrayData(res)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = first.eval(input)
+    if (t == null) null else compute(t.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowExpr", this,
+      classOf[WinnowFingerprints].getName)
+    val t = first.genCode(ctx)
+    val code = code"""
+      |${t.code}
+      |boolean ${ev.isNull} = ${t.isNull};
+      |${CodeGenerator.javaType(dataType)} ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $self.compute(${t.value});
+      |}
+      |""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WinnowFingerprints =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
 /** Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct
   * array<long> columns (the ShingleHashes output contract) via
   * sort-merge intersection — one O(n+m) pass per pair instead of
@@ -540,6 +640,7 @@ object GraftFunctions {
   val MINHASH_BUCKETS = "graft_minhash_buckets"
   val SHINGLE_HASHES = "graft_shingle_hashes"
   val JACCARD = "graft_jaccard"
+  val WINNOW = "graft_winnow"
   val SIMHASH = "graft_simhash"
   val HYPERPLANE = "graft_hyperplane_bits"
   val HYPERPLANE_BANDS = "graft_hyperplane_bands"
@@ -562,6 +663,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       JACCARD, exprs => JaccardHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      WINNOW,
+      exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       HYPERPLANE, exprs => HyperplaneBits(exprs(0), exprs(1)), "built-in")
@@ -583,6 +687,9 @@ object GraftFunctions {
     call_function(SHINGLE_HASHES, tokens, lit(n))
 
   def jaccard(a: Column, b: Column): Column = call_function(JACCARD, a, b)
+
+  def winnow(tokens: Column, n: Int, window: Int): Column =
+    call_function(WINNOW, tokens, lit(n), lit(window))
 
   def simhash(hashes: Column): Column = call_function(SIMHASH, hashes)
 

@@ -283,6 +283,16 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Winnowing-fingerprint near-dup candidates (rolling-hash
+    * document fingerprinting — catches shared verbatim passages).
+    * Hash-family-dependent → rows-only; DedupSpec gates the
+    * winnowing guarantee and agreement with the other dedup
+    * operators. */
+  val winnowPairs: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    Dedup.winnowNearDupPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** IVF-cell ANN top-3 — the inverted-file scale path (probe
     * nprobe/nlist of the corpus per query). Cell structure is
     * data-dependent → rows-only; AnnRecallSpec gates measured
@@ -390,5 +400,6 @@ object Pipeline {
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q40_ann_ivf" -> annIvf,
+    "q41_winnow_pairs" -> winnowPairs,
   )
 }

@@ -82,6 +82,15 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("winnow pairs: finds docs sharing a long passage, skips unrelated") {
+    val pairs = Dedup.winnowNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // exact copy shares everything
+    assert(pairs.contains((1L, 2L))) // long shared prefix/suffix runs
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("keepFirstByKey: lowest order key survives per group") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
     val kept = Dedup.keepFirstByKey(df, Seq("k"), "id")

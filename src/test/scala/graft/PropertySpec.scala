@@ -98,6 +98,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("winnowing guarantee: shared run of window+n-1 tokens ⇒ " +
+      "shared fingerprint; fingerprints ⊆ all k-gram hashes") {
+    import graft.functions.{ShingleHashes, WinnowFingerprints}
+    val n = 3; val w = 4
+    val vocab = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.listOfN(20, vocab)
+    def winnow(toks: Seq[String]): Set[Long] =
+      WinnowFingerprints(Literal.create(toks, ArrayType(StringType)),
+        Literal(n), Literal(w)).eval().asInstanceOf[ArrayData]
+        .toLongArray().toSet
+    def grams(toks: Seq[String]): Set[Long] =
+      ShingleHashes(Literal.create(toks, ArrayType(StringType)),
+        Literal(n)).eval().asInstanceOf[ArrayData].toLongArray().toSet
+    check(Prop.forAll(docGen, docGen, Gen.listOfN(w + n - 1, vocab)) {
+      (a, b, shared) =>
+        val da = a ++ shared; val db = shared ++ b
+        val subsetLaw = winnow(da).subsetOf(grams(da))
+        val guarantee = (winnow(da) & winnow(db)).nonEmpty
+        subsetLaw && guarantee
+    })
+  }
+
   test("bucketize is total and monotone over generated distances") {
     val ds = Gen.listOfN(300, Gen.chooseNum(0.0, 50.0)).sample.get
     val labels = Seq("Very Short", "Short", "Medium", "Long", "Very Long")
