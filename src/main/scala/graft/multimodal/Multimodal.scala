@@ -93,6 +93,37 @@ object Multimodal {
     buf.array()
   }
 
+  /** Real nearest-neighbor resize of a 24-bpp BMP payload — decode
+    * dims from the header, sample source pixels (bottom-up rows,
+    * 4-byte row padding respected), re-encode. Pure JVM; used via
+    * the same mapPartitions batching as decode (the resize stage of
+    * an image-training pipeline). */
+  def resizeBmp(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    val (w, h) = decodeBmpDims(payload).getOrElse(
+      throw new IllegalArgumentException("not a BMP payload"))
+    val srcRow = ((3 * w + 3) / 4) * 4
+    val out = encodeBmp(newW, newH)
+    val dstRow = ((3 * newW + 3) / 4) * 4
+    var y = 0
+    while (y < newH) {
+      val sy = (y.toLong * h / newH).toInt
+      var x = 0
+      while (x < newW) {
+        val sx = (x.toLong * w / newW).toInt
+        val src = 54 + sy * srcRow + sx * 3
+        val dst = 54 + y * dstRow + x * 3
+        if (src + 2 < payload.length) {
+          out(dst) = payload(src)
+          out(dst + 1) = payload(src + 1)
+          out(dst + 2) = payload(src + 2)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -147,6 +178,18 @@ object Multimodal {
         // real pipeline: init codec context here, once per partition
         it.map { case (id, bytes) => realDecode(id, bytes) }
       }
+  }
+
+  /** Batch resize stage: every BMP payload resized to (w, h) via
+    * mapPartitions — composes with decodeFeatures downstream. */
+  def resizeStage(payloads: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, resizeBmp(bytes, w, h))
+      })
+      .toDF("doc_id", "payload")
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

@@ -71,6 +71,58 @@ object StreamOps {
       }.toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming sessionization via flatMapGroupsWithState: per-user
+    * sessions close after `gapMinutes` of event-time silence
+    * (EventTimeTimeout — state is dropped when the watermark passes
+    * the gap, so open sessions cost bounded memory). Emits one row
+    * per COMPLETED session: the streaming form of the batch q25
+    * sessionize. flatMap (not map) because a timeout may flush a
+    * session while new events open the next one — zero or one output
+    * rows per invocation. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    // keep `ts` as the raw timestamp column: a cast would mint a new
+    // column without the event-time/watermark tag the timeout needs
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        // state: (sessionStartMs, lastEventMs, nEvents)
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator((user, n, start, (last - start) / 60000.0))
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[(Long, Long, Long, Double)]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some((start, last, n)) if t - last <= gapMs =>
+                  cur = Some((start, t, n + 1))
+                case Some((start, last, n)) =>
+                  closed ::= ((user, n, start, (last - start) / 60000.0))
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "n_events", "session_start_ms", "duration_min")
+  }
+
   /** Streaming exact dedup: drop duplicate rows by `idCols` with
     * state bounded by the watermark horizon (the streaming form of
     * Dedup.exactGroups/keepFirstByKey — duplicates arriving further

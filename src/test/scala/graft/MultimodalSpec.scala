@@ -54,6 +54,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(2).width >= 16 && f(2).width < 80) // fake fallback range
   }
 
+  test("resizeBmp: dims halve, pixels sampled from the source grid") {
+    // paint a horizontal gradient so sampling is observable
+    val src = Multimodal.encodeBmp(16, 12)
+    val rowSize = ((3 * 16 + 3) / 4) * 4
+    for (y <- 0 until 12; x <- 0 until 16) {
+      src(54 + y * rowSize + x * 3) = (x * 16).toByte // blue channel
+    }
+    val out = Multimodal.resizeBmp(src, 8, 6)
+    assert(Multimodal.decodeBmpDims(out).contains((8, 6)))
+    val outRow = ((3 * 8 + 3) / 4) * 4
+    for (x <- 0 until 8) {
+      // nearest-neighbor: dst x samples src x*2
+      assert(out(54 + x * 3) == (x * 2 * 16).toByte, s"x=$x")
+    }
+    // full stage: resize then decode via mapPartitions
+    val df = Seq((1L, src)).toDF("doc_id", "payload")
+    val f = Multimodal.decodeFeatures(
+      Multimodal.resizeStage(df, 4, 3)).collect()(0)
+    assert((f.width, f.height) == (4, 3))
+  }
+
   test("sampleFrames: stride-2 sampling of 8-byte frames") {
     val frames = Multimodal.sampleFrames(payloads, frameBytes = 8, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1),

@@ -53,6 +53,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(written == batchDistinct)
   }
 
+  test("sessionizeStream: completed sessions match batch sessionization") {
+    val stream = StreamOps.eventsStream(spark, dir)
+    val q = StreamOps.runToMemory(
+      StreamOps.sessionizeStream(stream), "sess", OutputMode.Append())
+    try {
+      val streamed = spark.table("sess")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.nonEmpty, "watermark must close some sessions")
+      // every emitted session must exist verbatim in the batch result
+      val batch = SparkEntry.queries("q25_sessionize")(spark, dir)
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val emitted = streamed.groupBy(identity).view.mapValues(_.length).toMap
+      emitted.foreach { case (k, n) =>
+        assert(batch.getOrElse(k, 0) >= n,
+          s"streamed session $k x$n not in batch result")
+      }
+    } finally q.stop()
+  }
+
   test("runningUserCounts: stateful counts accumulate per user") {
     val stream = StreamOps.eventsStream(spark, dir)
     val q = StreamOps.runToMemory(
