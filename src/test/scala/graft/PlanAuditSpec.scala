@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates: the scale properties the engine
+  * claims (broadcast star joins, per-partition top-k, bucketed
+  * candidate joins instead of all-pairs, pushdown reaching scans)
+  * asserted against the executed plans, so a refactor that silently
+  * degrades a plan fails here rather than in the next bench. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q10 star join broadcasts every dimension (no SMJ, no BNLJ)") {
+    val plan = executedPlan("q10_star_join_revenue")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q16 global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = executedPlan("q16_global_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("rangepartitioning"),
+      "top-k must use per-partition heaps, not a range-partitioned sort")
+  }
+
+  test("bucketed near-dup paths never plan all-pairs joins") {
+    for (q <- Seq("q30_dedup_minhash", "q31_dedup_simhash", "q33_ann_lsh",
+        "q38_embedding_neardup_lsh", "q41_winnow_pairs")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans BNLJ")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+    }
+  }
+
+  test("q03's p99 threshold stays in-plan: construction runs no jobs") {
+    // the reference's approxQuantile round-trips through the driver
+    // (an aggregation job at build time); our form joins a one-row
+    // threshold relation inside the same plan. Parquet schema
+    // inference legitimately runs a footer-read job for any query,
+    // so the gate is: q03 construction runs no MORE jobs than a
+    // plain scan query's construction
+    val tracker = spark.sparkContext.statusTracker
+    def jobsDuring(f: => Unit): Int = {
+      val before = tracker.getJobIdsForGroup(null).length
+      f
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    val scanOnly = jobsDuring(
+      SparkEntry.queries("q01_demand_heatmap")(spark, dir))
+    val q03 = jobsDuring(
+      SparkEntry.queries("q03_fare_anomalies")(spark, dir))
+    assert(q03 <= scanOnly,
+      s"q03 construction ran $q03 job(s) vs $scanOnly for a plain scan " +
+        "— a driver-side quantile action would show up here")
+  }
+
+  test("filter pushdown reaches the parquet scan in q03 and q09") {
+    for (q <- Seq("q03_fare_anomalies", "q09_feature_matrix")) {
+      val plan = executedPlan(q)
+      val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pushed.exists(_.trim.nonEmpty),
+        s"$q: no non-empty PushedFilters in any scan")
+    }
+  }
+
+  test("q36's three aggregates share one cached relation") {
+    val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
+    df.collect()
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder
+    }
+    assert(rels.size == 3 && rels.distinct.size == 1)
+  }
+}
