@@ -28,6 +28,21 @@ final class ParquetSink(baseDir: String) extends Sink {
     df.write.mode(mode).parquet(s"$baseDir/$table")
 }
 
+/** Hive-layout partitioned parquet sink: rows land in
+  * `table/col=value/` directories, so later reads that filter on the
+  * partition columns scan ONLY the matching directories (partition
+  * pruning — `PartitionFilters` in the scan, zero data files touched
+  * for pruned values). The layout every at-scale pipeline writes:
+  * partition by ingest date / source, prune at read. Choose
+  * partition columns with bounded cardinality — one directory (and
+  * at least one file) per value per write. */
+final class PartitionedParquetSink(baseDir: String,
+    partitionCols: Seq[String]) extends Sink {
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*)
+      .parquet(s"$baseDir/$table")
+}
+
 /** JDBC sink (S4) — matches the reference's writer option-for-option
   * (yellow_taxi_etl.py:37-48: url/dbtable/user/password/driver, then
   * mode + save). */

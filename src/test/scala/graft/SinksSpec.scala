@@ -29,6 +29,25 @@ class SinksSpec extends AnyFunSuite {
     assert(got.columns.toSeq.sorted == Seq("id", "name", "score"))
   }
 
+  test("PartitionedParquetSink: hive layout + partition pruning at read") {
+    val dir = Files.createTempDirectory("graft_psink").toString
+    val byName = new graft.sources.PartitionedParquetSink(dir, Seq("name"))
+    byName.write(sample, "t", SaveMode.Overwrite)
+    // hive directory layout
+    assert(new java.io.File(s"$dir/t/name=a").exists())
+    // a partition-column filter prunes to one directory: the scan
+    // shows it under PartitionFilters and reads a single row with
+    // no data-file filter needed
+    val q = spark.read.parquet(s"$dir/t").filter($"name" === "b")
+    assert(q.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters"))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(formatted).map(_.group(1)).getOrElse("")
+    assert(pf.contains("name"), s"partition filter missing: $pf")
+  }
+
   test("ConsoleSink: show() does not throw") {
     new ConsoleSink(5).write(sample, "t", SaveMode.Overwrite)
   }
