@@ -269,6 +269,38 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Correlated scalar subquery, authored through the engine's SQL
+    * surface: orders costing more than 2× their customer's average.
+    * Catalyst decorrelates the per-row subquery into an aggregate +
+    * join (RewriteCorrelatedScalarSubquery) — the plan has ONE
+    * aggregation over orders and one join, not a subquery per row;
+    * DuckDB runs the identical text. */
+  val correlatedSubquery: QueryDef = {
+    val sql =
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                               FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey"""
+    QueryDef.sql(sql) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  /** HLL sketch: approximate distinct users per event type
+    * (approx_count_distinct — Spark's HyperLogLog++). Sketch output
+    * is engine-specific → rows-only in the catalog; SketchSpec gates
+    * the estimate within 5% of the exact distinct count. */
+  val approxDistinct: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -284,5 +316,7 @@ object Relational {
     "q21_semi_join" -> semiJoin,
     "q22_anti_join" -> antiJoin,
     "q23_range_join_sessions" -> rangeJoinSessions,
+    "q42_correlated_subquery" -> correlatedSubquery,
+    "q43_approx_distinct" -> approxDistinct,
   )
 }
