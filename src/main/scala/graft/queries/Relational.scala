@@ -301,6 +301,38 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Backward as-of join over events: for each even-id event, the
+    * latest odd-id event at or before it for the same user (rights
+    * deduped to one per (user, ts) by max event_id so tie semantics
+    * are engine-independent). Oracle is DuckDB's native ASOF JOIN —
+    * our union-merge must reproduce it row-for-row. */
+  val asofJoin: QueryDef = QueryDef.sql(
+    """WITH l AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_us
+                  FROM events WHERE event_id % 2 = 0),
+       r AS (SELECT user_id, epoch_us(ts) AS r_us,
+               arg_max(event_id, event_id) AS r_id,
+               round(arg_max(value, event_id), 6) AS r_value
+             FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
+       SELECT l.user_id, l.l_id, r.r_id, r.r_value
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND r.r_us <= l.l_us
+       ORDER BY 1, 2""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+    val lefts = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("us").as("l_us"))
+    val rights = ev.filter(col("event_id") % 2 === 1)
+      .groupBy(col("user_id"), col("us").as("r_us"))
+      .agg(max_by(col("event_id"), col("event_id")).as("r_id"),
+        r6(max_by(col("value"), col("event_id"))).as("r_value"))
+    graft.ops.AsOf.asofJoin(lefts, rights, "user_id", "l_us", "r_us",
+      Seq("r_id", "r_value"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("r_value"))
+      .orderBy(col("user_id"), col("l_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -318,5 +350,6 @@ object Relational {
     "q23_range_join_sessions" -> rangeJoinSessions,
     "q42_correlated_subquery" -> correlatedSubquery,
     "q43_approx_distinct" -> approxDistinct,
+    "q44_asof_join" -> asofJoin,
   )
 }
