@@ -207,12 +207,21 @@ object VectorOps {
     val banded = vecs.select(col("a_id"),
       posexplode(GraftFunctions.hyperplaneBands(col("a_v"), bits, bands))
         .as(Seq("band", "bucket")))
-    val candidates = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("a_id"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(bucketPairs(col("__ids"))).as("__p"))
-      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
+    // candidates via hash SELF-JOIN, not collect_list+pair-explosion:
+    // hyperplane buckets are only `bandBits` wide (16 values at the
+    // 4-bit default), so whole-corpus buckets are DENSE — per-bucket
+    // pair arrays materialize O(bucket²) elements at once (measured
+    // 3× slower with GC-driven variance at sf0.1), while the join
+    // streams the same pairs. Upstream recompute per join side is
+    // just the banding expression over the cached `vecs`. The
+    // text-dedup operators keep the groupBy form: their buckets are
+    // 32-64-bit hash values, so collisions are rare and buckets tiny.
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.bucket") === col("y.bucket")
+          && col("x.a_id") < col("y.a_id"))
+      .select(col("x.a_id").as("a_id"), col("y.a_id").as("b_id"))
       .distinct()
     candidates
       .join(vecs, "a_id")
