@@ -127,7 +127,7 @@ object Dedup {
       .withColumn("jaccard",
         GraftFunctions.jaccard(col("a_hs"), col("b_hs")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"), graft.Rounding.r6(col("jaccard")).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: all-pairs verification at
@@ -152,7 +152,7 @@ object Dedup {
       .withColumn("jaccard",
         GraftFunctions.jaccard(col("a_hs"), col("b_hs")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"), graft.Rounding.r6(col("jaccard")).as("jaccard"))
   }
 
   /** Row-local 64-bit SimHash over token hashes: bit b is set when

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Cached {
 
-  private def r6(c: Column): Column = round(c, 6)
+  private def r6(c: Column): Column = graft.Rounding.r6(c)
 
   /** events + derived feature columns, the shared cached input
     * (P1/E1/E2 features on the harness events table). */
@@ -37,14 +37,14 @@ object Cached {
                   FROM events),
        u AS (
          SELECT 'by_hour' AS slice, lpad(CAST(h AS VARCHAR), 2, '0') AS key,
-                count(*) AS n, round(sum(value), 6) AS total_value
+                count(*) AS n, floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
          FROM f GROUP BY 2
          UNION ALL
          SELECT 'by_dow', CAST(dow AS VARCHAR),
-                count(*), round(sum(value), 6)
+                count(*), floor((sum(value)) * 1000000 + 0.5) / 1000000
          FROM f GROUP BY 2
          UNION ALL
-         SELECT 'by_type', event_type, count(*), round(sum(value), 6)
+         SELECT 'by_type', event_type, count(*), floor((sum(value)) * 1000000 + 0.5) / 1000000
          FROM f GROUP BY 2)
        SELECT slice, key, n, total_value FROM u ORDER BY slice, key""") {
     (s, d) =>

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Parity {
 
-  private def r6(c: Column): Column = round(c, 6)
+  private def r6(c: Column): Column = graft.Rounding.r6(c)
 
   /** A1 demand_heatmap — count by (zone, hour).
     * Ref: yellow_taxi_etl.py:101-105. */
@@ -41,7 +41,7 @@ object Parity {
     * Ref: yellow_taxi_etl.py:110-116. l_discount plays tip_pct. */
   val tipTrends: QueryDef = QueryDef.sql(
     """SELECT l_suppkey, l_returnflag,
-       round(avg(l_discount), 6) AS avg_tip_pct, count(*) AS n_trips
+       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_tip_pct, count(*) AS n_trips
        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"), col("l_returnflag"))
@@ -72,8 +72,8 @@ object Parity {
   val tripPerformance: QueryDef = QueryDef.sql(
     """SELECT user_id, CAST(hour(ts) AS INTEGER) AS pickup_hour,
        CAST(dayofweek(ts) + 1 AS INTEGER) AS pickup_dow,
-       round(avg(value), 6) AS avg_value,
-       round(sum(value), 6) AS total_value, count(*) AS n_trips,
+       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value, count(*) AS n_trips,
        (CAST(dayofweek(ts) + 1 AS INTEGER) IN (1, 7)) AS is_weekend
        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") { (s, d) =>
     Tables.events(s, d)
@@ -92,8 +92,8 @@ object Parity {
     * non-unique sort key — SURVEY §5.1). Ref: yellow_taxi_etl.py:153-164. */
   val popularRoutes: QueryDef = QueryDef.sql(
     """SELECT l_partkey, l_suppkey, count(*) AS n_trips,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price
+       floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+       floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price
        FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 5
        ORDER BY n_trips DESC, l_partkey, l_suppkey""") { (s, d) =>
     Tables.lineitem(s, d)
@@ -110,8 +110,8 @@ object Parity {
   val paymentAnalysis: QueryDef = QueryDef.sql(
     """SELECT user_id, CAST(hour(ts) AS INTEGER) AS pickup_hour,
        event_type, count(*) AS n_trips,
-       round(avg(value), 6) AS avg_value,
-       round(sum(value), 6) AS total_value,
+       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value,
        CASE WHEN event_type = 'purchase' THEN 'Revenue'
             WHEN event_type = 'click' THEN 'Engagement'
             WHEN event_type = 'view' THEN 'Engagement'
@@ -142,8 +142,8 @@ object Parity {
             WHEN l_quantity < 40 THEN 'Long'
             ELSE 'Very Long' END AS qty_category,
        count(*) AS n_trips,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(sum(l_extendedprice), 6) AS total_price
+       floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
+       floor((sum(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS total_price
        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     Tables.lineitem(s, d)
       .withColumn("qty_category", Features.bucketize(col("l_quantity"),
@@ -178,9 +178,9 @@ object Parity {
        CAST(hour(l_shipdate) AS INTEGER) AS ship_hour,
        CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS ship_dow,
        (CAST(dayofweek(l_shipdate) + 1 AS INTEGER) IN (1, 7)) AS is_weekend,
-       round(CASE WHEN l_quantity > 0
-             THEN l_extendedprice / l_quantity END, 6) AS price_per_unit,
-       round(l_extendedprice * (1 - l_discount), 6) AS discounted_price,
+       floor((CASE WHEN l_quantity > 0
+             THEN l_extendedprice / l_quantity END) * 1000000 + 0.5) / 1000000 AS price_per_unit,
+       floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) / 1000000 AS discounted_price,
        CASE WHEN l_quantity < 10 THEN 'Very Short'
             WHEN l_quantity < 20 THEN 'Short'
             WHEN l_quantity < 30 THEN 'Medium'

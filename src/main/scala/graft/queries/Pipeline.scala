@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def r6(c: Column): Column = round(c, 6)
+  private def r6(c: Column): Column = graft.Rounding.r6(c)
 
   /** Tumbling-window aggregation (batch form of the streaming op —
     * graft.streaming.StreamOps runs the same shape incrementally). */
   val tumblingWindow: QueryDef = QueryDef.sql(
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-       count(*) AS n, round(sum(value), 6) AS total_value
+       count(*) AS n, floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
        FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
@@ -57,7 +57,7 @@ object Pipeline {
                   AS BIGINT) AS session_idx
          FROM g)
        SELECT user_id, session_idx, count(*) AS n_events,
-              round((max(us) - min(us)) / 60000000.0, 6) AS duration_min
+              floor(((max(us) - min(us)) / 60000000.0) * 1000000 + 0.5) / 1000000 AS duration_min
        FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
@@ -94,9 +94,9 @@ object Pipeline {
                 (length(text) - length(regexp_replace(text,
                   '[.,;:!?]', '', 'g')))::DOUBLE / length(text) AS punct
          FROM t)
-       SELECT doc_id, n_tokens, round(avg_tok, 6) AS avg_token_len,
-              round(stop_ratio, 6) AS stopword_ratio,
-              round(punct, 6) AS punct_ratio,
+       SELECT doc_id, n_tokens, floor((avg_tok) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+              floor((stop_ratio) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+              floor((punct) * 1000000 + 0.5) / 1000000 AS punct_ratio,
               floor((0.4 * least(n_tokens / 200.0, 1.0)
                      + 0.3 * (1.0 - stop_ratio)
                      + 0.3 * least(avg_tok / 8.0, 1.0)) * 1000000 + 0.5)
@@ -168,17 +168,23 @@ object Pipeline {
     }
   }
 
-  /** Document fingerprinting + BPE-ish token estimate. */
+  /** Document fingerprinting + token counting: whitespace count,
+    * chars/4 estimate, and a real GPT-2-style pre-tokenizer chunk
+    * count (same regex text runs on both engines). */
   val fingerprint: QueryDef = QueryDef.sql(
-    """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+    s"""SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
        substr(md5(lower(trim(text))), 1, 8) AS fp_prefix,
        greatest(CAST(len(string_split(trim(text), ' ')) AS BIGINT),
-                CAST(ceil(length(text) / 4.0) AS BIGINT)) AS token_est
+                CAST(ceil(length(text) / 4.0) AS BIGINT)) AS token_est,
+       CAST(len(regexp_extract_all(text,
+            '${TextOps.bpePattern.replace("'", "''")}'))
+            AS BIGINT) AS bpe_chunks
        FROM documents ORDER BY doc_id""") { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"),
         substring(TextOps.fingerprint(col("text")), 1, 8).as("fp_prefix"),
-        TextOps.bpeTokenEstimate(col("text")).as("token_est"))
+        TextOps.bpeTokenEstimate(col("text")).as("token_est"),
+        TextOps.bpeChunkCount(col("text")).cast("long").as("bpe_chunks"))
       .orderBy(col("doc_id"))
   }
 
@@ -214,9 +220,9 @@ object Pipeline {
                  AS sh
              FROM t WHERE len(toks) >= 3)
        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              floor((len(list_intersect(a.sh, b.sh))::DOUBLE
                 / (len(a.sh) + len(b.sh)
-                   - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                   - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
        FROM s a JOIN s b ON a.doc_id < b.doc_id
        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
@@ -243,9 +249,9 @@ object Pipeline {
                   FROM embeddings),
        q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
        p AS (SELECT q_id, e.vec_id AS n_id,
-               round(list_dot_product(q_v, e.v)
+               floor((list_dot_product(q_v, e.v)
                  / (sqrt(list_dot_product(q_v, q_v))
-                    * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+                    * sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5) / 1000000 AS cos
              FROM q JOIN e ON e.vec_id <> q_id),
        r AS (SELECT q_id, n_id, cos,
                CAST(row_number() OVER (PARTITION BY q_id
@@ -273,9 +279,9 @@ object Pipeline {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               round(list_dot_product(a.v, b.v)
+               floor((list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                    * sqrt(list_dot_product(b.v, b.v)))) * 1000000 + 0.5) / 1000000 AS cos
              FROM e a JOIN e b ON a.vec_id < b.vec_id)
        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45
        ORDER BY 1, 2""") { (s, d) =>
@@ -317,9 +323,9 @@ object Pipeline {
                  AS sh
              FROM t WHERE len(toks) >= 3)
        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              floor((len(list_intersect(a.sh, b.sh))::DOUBLE
                 / (len(a.sh) + len(b.sh)
-                   - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                   - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
        FROM s a JOIN s b ON a.doc_id < b.doc_id
        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))

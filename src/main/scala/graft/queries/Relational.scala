@@ -23,13 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def r6(c: Column): Column = round(c, 6)
+  private def r6(c: Column): Column = graft.Rounding.r6(c)
 
   /** Star-schema join: revenue by (region, nation) over
-    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. */
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. The revenue
+    * sum runs in DECIMAL: per-group magnitudes reach ~1.2e9 at
+    * sf0.1, where double ulp (~2.4e-7) times summation-order noise
+    * already exceeds the 1e-6 rounding grain — decimal addition is
+    * exact and order-independent, so both engines agree; rounding a
+    * positive decimal is HALF_UP on both. */
   val starJoinRevenue: QueryDef = QueryDef.sql(
     """SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
        count(*) AS n_items
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
@@ -46,7 +52,8 @@ object Relational {
       .join(broadcast(Tables.region(s, d)),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")), 6).cast("double")
         .as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -73,12 +80,12 @@ object Relational {
     * order history. Sequential ROWS frame → deterministic doubles. */
   val windowRunning: QueryDef = QueryDef.sql(
     """SELECT o_custkey, o_orderkey, o_orderdate,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+       floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
          ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000
          AS running_total,
-       round(o_totalprice - lag(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)
+       floor((o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) * 1000000 + 0.5) / 1000000
          AS delta_prev
        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""") { (s, d) =>
     val w = Window.partitionBy(col("o_custkey"))
@@ -150,7 +157,7 @@ object Relational {
   val rollupAgg: QueryDef = QueryDef.sql(
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COALESCE(l_linestatus, 'ALL') AS ls,
-       round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows
+       floor((sum(l_quantity)) * 1000000 + 0.5) / 1000000 AS sum_qty, count(*) AS n_rows
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY 1, 2""") { (s, d) =>
     Tables.lineitem(s, d)
@@ -167,7 +174,7 @@ object Relational {
   val cubeAgg: QueryDef = QueryDef.sql(
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COALESCE(l_linestatus, 'ALL') AS ls,
-       round(avg(l_extendedprice), 6) AS avg_price, count(*) AS n_rows
+       floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS n_rows
        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
        ORDER BY 1, 2""") { (s, d) =>
     Tables.lineitem(s, d)
@@ -204,7 +211,7 @@ object Relational {
   /** JSON extraction from the events.props string column. */
   val jsonExtract: QueryDef = QueryDef.sql(
     """SELECT CAST(props->>'$.k' AS INTEGER) AS k_value,
-       count(*) AS n, round(avg(value), 6) AS avg_value
+       count(*) AS n, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
        FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     Tables.events(s, d)
       .withColumn("k_value",
@@ -311,7 +318,7 @@ object Relational {
                   FROM events WHERE event_id % 2 = 0),
        r AS (SELECT user_id, epoch_us(ts) AS r_us,
                arg_max(event_id, event_id) AS r_id,
-               round(arg_max(value, event_id), 6) AS r_value
+               floor((arg_max(value, event_id)) * 1000000 + 0.5) / 1000000 AS r_value
              FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
        SELECT l.user_id, l.l_id, r.r_id, r.r_value
        FROM l ASOF LEFT JOIN r

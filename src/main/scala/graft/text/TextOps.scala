@@ -72,6 +72,20 @@ object TextOps {
     greatest(tokenCount(text).cast("long"),
       ceil(length(text) / lit(4.0)).cast("long"))
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
+    * digit runs, punctuation runs, whitespace), minus the original's
+    * trailing-space lookahead so the pattern stays portable between
+    * Java regex (Spark) and RE2 (DuckDB) — neither class of engine
+    * disagreement is possible without backtracking-only syntax. */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer match count — the number of BPE input chunks
+    * (each chunk then splits into >= 1 BPE tokens, so this lower-
+    * bounds the true token count the way length/4 upper-bounds it). */
+  def bpeChunkCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern))
+
   /** Word n-gram shingles, deduplicated: zip n shifted views of the
     * token array (slice is O(1) per view; no index lambda needed).
     * Requires size(toks) >= n — filter shorter docs upstream. */

@@ -68,7 +68,7 @@ object VectorOps {
 
   /** Exact top-k cosine neighbors for each query vector.
     * Queries are broadcast (small side); scores are computed in the
-    * corpus scan stage; ranking is on round(cos, 6) with an id
+    * corpus scan stage; ranking is on graft.Rounding.r6(cos) with an id
     * tie-break so results are stable across engines and runs. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -78,8 +78,8 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
+        / (col("q_norm") * col("n_norm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
@@ -123,8 +123,8 @@ object VectorOps {
           && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"),
         col("q_norm"), col("n_norm")).distinct()
-      .withColumn("cos", round(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
+        / (col("q_norm") * col("n_norm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
@@ -182,8 +182,8 @@ object VectorOps {
       .orderBy(col("cos").desc, col("n_id"))
     assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
+        / (col("q_norm") * col("n_norm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
@@ -227,8 +227,8 @@ object VectorOps {
       .join(vecs, "a_id")
       .join(vecs.select(col("a_id").as("b_id"), col("a_v").as("b_v"),
         col("a_norm").as("b_norm")), "b_id")
-      .withColumn("cos", round(dot(col("a_v"), col("b_v"))
-        / (col("a_norm") * col("b_norm")), 6))
+      .withColumn("cos", graft.Rounding.r6(dot(col("a_v"), col("b_v"))
+        / (col("a_norm") * col("b_norm"))))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
@@ -254,8 +254,8 @@ object VectorOps {
     val a = withNorm(spread(df), idCol, vecCol, "a")
     val b = withNorm(df, idCol, vecCol, "b")
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot(col("a_v"), col("b_v"))
-        / (col("a_norm") * col("b_norm")), 6))
+      .withColumn("cos", graft.Rounding.r6(dot(col("a_v"), col("b_v"))
+        / (col("a_norm") * col("b_norm"))))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
