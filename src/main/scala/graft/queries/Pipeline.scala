@@ -389,6 +389,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Video-frame-subsampling shape over real binary payloads: each
+    * doc id rendered to a BMP, split into 32-byte frames, every 4th
+    * frame kept (pure Catalyst array ops — no UDF). The oracle
+    * recomputes the expected (frame index, frame length) set from
+    * the BMP size formula, so a wrong stride/boundary fails. */
+  val frameSample: QueryDef = QueryDef.sql(
+    """WITH m AS (SELECT doc_id,
+         54 + ((3 * (1 + doc_id % 64) + 3) // 4) * 4
+              * (1 + doc_id % 48) AS len
+       FROM documents),
+       f AS (SELECT doc_id,
+               unnest(generate_series(0, len // 32 - 1)) AS i
+             FROM m)
+       SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+              32 AS frame_len
+       FROM f WHERE i % 4 = 0 ORDER BY 1, 2""") { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id,
+        Multimodal.encodeBmp((1 + id % 64).toInt, (1 + id % 48).toInt))))
+      .toDF("doc_id", "payload")
+    Multimodal.sampleFrames(payloads, frameBytes = 32, stride = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -407,5 +434,6 @@ object Pipeline {
     "q39_ngram_jaccard" -> ngramJaccard,
     "q40_ann_ivf" -> annIvf,
     "q41_winnow_pairs" -> winnowPairs,
+    "q45_frame_sample" -> frameSample,
   )
 }

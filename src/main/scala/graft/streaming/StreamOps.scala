@@ -29,9 +29,11 @@ object StreamOps {
     StructField("props", StringType)))
 
   /** Open the events table as a file stream (one-file-per-trigger
-    * friendly); converts raw nanos to a proper event-time column. */
+    * friendly); converts raw nanos to a proper event-time column.
+    * Requires a GraftSession-built session (`nanosAsLong` is set at
+    * session construction — not mutated here, keeping reads
+    * order-independent per the same fix as Tables.events). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source only accepts directories; point it at
     // the sf dir and glob-filter to the events table
     spark.readStream
