@@ -20,12 +20,28 @@ object Bench {
     def runNoop(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    runNoop("q01_demand_heatmap") // warmup (untimed)
+    // warmup (untimed): one query per native-expression family, so
+    // the first TIMED query of each family measures the steady-state
+    // plan rather than absorbing that family's C2/codegen compilation
+    // (measured: q33 reads 1.8 s when it is the first cross-polytope
+    // plan of the JVM, 0.7 s steady-state). Caches are still cleared
+    // before every timed pass — warmup only warms code, not data.
+    Seq("q01_demand_heatmap", // relational/codegen baseline
+      "q30_dedup_minhash",    // shingle + minhash + jaccard exprs
+      "q31_dedup_simhash",    // simhash expr
+      "q33_ann_lsh"           // cross-polytope + dot exprs
+    ).foreach(runNoop)
     // min of two timed passes: one pass is dominated by first-run
     // effects (codegen compile, page cache, GC) that vary run to
-    // run; the min is the steady-state cost of the declared plan
+    // run; the min is the steady-state cost of the declared plan.
+    // Every pass starts cache-cold: operator persists are released
+    // and the catalog cleared BEFORE the timer, else CacheManager's
+    // canonicalized-plan matching lets pass 2 read pass 1's caches
+    // and the min becomes a warm-cache number (VERDICT r2 #2).
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to 2).map { _ =>
+        Caching.releaseAll()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         runNoop(name)
         (System.nanoTime() - t0) / 1e9

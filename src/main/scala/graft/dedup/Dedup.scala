@@ -94,12 +94,12 @@ object Dedup {
     // shape real pipelines checkpoint. Verification intersects the
     // HASHED shingle sets: same set sizes as the string sets barring
     // a 64-bit collision inside one pair (~n²/2^64 ≈ 1e-15).
-    val hashed = spread(df)
+    val hashed = graft.Caching.retain(spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= ngram)
       .select(col(idCol).as("__id"),
         GraftFunctions.shingleHashes(col("__toks"), ngram).as("__hs"))
-      .persist()
+      .persist())
     // Materialize the cache NOW: the three consumers below (candidate
     // pipeline + both verify-side broadcast builds) otherwise launch
     // concurrently against a cold cache and each recompute the full
@@ -140,12 +140,12 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, ngram: Int = 3): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val hashed = spread(df)
+    val hashed = graft.Caching.retain(spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= ngram)
       .select(col(idCol).as("a_id"),
         GraftFunctions.shingleHashes(col("__toks"), ngram).as("a_hs"))
-      .persist()
+      .persist())
     hashed.count() // one compute; both join sides read the cache
     val b = hashed.select(col("a_id").as("b_id"), col("a_hs").as("b_hs"))
     hashed.join(broadcast(b), col("a_id") < col("b_id"))
@@ -188,12 +188,12 @@ object Dedup {
     // member struct, and CollapseProject would otherwise inline the
     // full simhash pipeline into every reference (5× recompute);
     // behind the cache each reference is a cached-column read
-    val sigs = spread(df)
+    val sigs = graft.Caching.retain(spread(df)
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) > 0)
       .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
       .select(col(idCol).as("__id"), simhash64(col("__th")).as("__sim"))
-      .persist()
+      .persist())
     sigs.count()
     // the signature is one long, so it rides the groupBy shuffle
     // inside the bucket-member struct — no join-back, and the

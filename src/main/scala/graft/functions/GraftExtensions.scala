@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.HYPERPLANE,
       "_FUNC_(vec, bits) - random-hyperplane sign bits",
       exprs => HyperplaneBits(exprs(0), exprs(1)))
+    inject(GraftFunctions.CP_KEYS,
+      "_FUNC_(vec, k, bands, probes) - cross-polytope LSH band keys",
+      exprs => CrossPolytopeKeys(exprs(0), exprs(1), exprs(2), exprs(3)))
     inject(GraftFunctions.HYPERPLANE_BANDS,
       "_FUNC_(vec, bits, bands) - fused hyperplane LSH band buckets",
       exprs => HyperplaneBands(exprs(0), exprs(1), exprs(2)))

@@ -65,15 +65,24 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
+      ev: ExprCode): ExprCode = {
+    // fresh names: fixed identifiers collide when several codegen'd
+    // expressions land in one generated method (janino then fails
+    // "Redefinition of local variable" and the WHOLE stage silently
+    // falls back to interpreted execution — the exact pessimization
+    // this expression exists to avoid)
+    val n = ctx.freshName("dotN")
+    val s = ctx.freshName("dotSum")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(ctx, ev, (x, y) => s"""
-      |int n = Math.min($x.numElements(), $y.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  s += $x.getDouble(i) * $y.getDouble(i);
+      |int $n = Math.min($x.numElements(), $y.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $s += $x.getDouble($i) * $y.getDouble($i);
       |}
-      |${ev.value} = s;
+      |${ev.value} = $s;
       |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct = copy(newLeft, newRight)
@@ -611,6 +620,225 @@ case class HyperplaneBands(first: Expression, second: Expression,
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
+/** Cross-polytope LSH band keys (Andoni/Indyk/Laarhoven/Razenshteyn/
+  * Schmidt, NIPS'15): per hash, the vector is pseudo-rotated by a
+  * deterministic Rademacher matrix (±1 entries from splitmix64 — the
+  * same driver-state-free stream as the other graft hashes) and the
+  * hash outcome is the signed argmax coordinate (2·d outcomes).
+  * A band concatenates `kHashes` outcomes; the output array holds one
+  * 64-bit key per (band, outcome-combination):
+  * `band * (2d)^k + Σ outcome_i * (2d)^i`, so candidate generation is
+  * a single-column equi-join on the exploded key array.
+  *
+  * `probes` enables multi-probe on the QUERY side: each hash
+  * contributes its top-`probes` outcomes (by |coordinate|), and every
+  * combination is emitted — probes^k keys per band. The base side
+  * uses probes=1. A pair is a candidate when some band's base key of
+  * one side equals any probe key of the other.
+  *
+  * Why this family and not hyperplane sign bits for the near-dup
+  * threshold: cross-polytope's collision-probability gap is
+  * asymptotically optimal for angular distance (ρ ≈ 1/(2c²−1) vs the
+  * hyperplane family's much flatter ln(1/p1)/ln(1/p2)). Measured on
+  * the harness embeddings (64-dim, near-isotropic, planted pairs at
+  * cos 0.45–0.47 barely above the cos≈0±0.125 bulk — the hardest LSH
+  * regime): NO hyperplane banding configuration reaches recall ≥ 0.9
+  * with candidate ratio ≤ 0.45 (the round-2 4-bit banding captured
+  * 64% of all pairs; 16-bit bands with 2-bit multiprobe capture 5%
+  * but recall 0.56); cross-polytope k=2, 128 bands, 2 probes measures
+  * recall 1.00/0.97 (sf0.001/sf0.1) at candidate ratio 0.077
+  * (tools/lsh_tune.py grid). Per-row cost is kHashes·bands·d² adds —
+  * row-local, embarrassingly parallel, no shuffle. */
+case class CrossPolytopeKeys(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(first, second, third, fourth)
+  override def nullable: Boolean = first.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType, IntegerType)
+          if second.foldable && third.foldable && fourth.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cp keys needs (array<double>, foldable int kHashes, foldable int " +
+          s"bands, foldable int probes), got " +
+          s"${children.map(_.dataType.simpleString)}")
+    }
+
+  @transient private lazy val k: Int = second.eval().asInstanceOf[Int]
+  @transient private lazy val bands: Int = third.eval().asInstanceOf[Int]
+  @transient private lazy val topt: Int = fourth.eval().asInstanceOf[Int]
+  @transient private lazy val combos: Int = {
+    require(k >= 1 && k <= 8, s"kHashes must be in [1,8], got $k")
+    require(topt >= 1 && topt <= 2, s"probes must be 1 or 2, got $topt")
+    var c = 1; var i = 0
+    while (i < k) { c *= topt; i += 1 }
+    c
+  }
+
+  /** Rademacher signs for all k·bands rotations at dimension d.
+    * Two storage forms, picked by footprint: dense ±1.0 doubles
+    * (the rotation loop becomes a pure mul-add the JIT vectorizes —
+    * measured ~4× over a per-bit branch) when the table fits in a
+    * few tens of MB, else bits packed 64/long consumed branchlessly
+    * via sign-bit XOR. Both encode the identical splitmix64 stream
+    * (same keys either way); the immutable-holder cache is safe under
+    * per-task instance races (worst case: one redundant rebuild). */
+  private final class SignTable(val d: Int, val dense: Array[Double],
+    val packed: Array[Long])
+
+  @transient private var signCache: SignTable = _
+
+  private def signsFor(d: Int): SignTable = {
+    val c = signCache
+    if (c != null && c.d == d) return c
+    val nh = k * bands
+    val strideI = math.max(64, d) // == 64 at d<=64: keeps the stream
+    def bit(h: Int, i: Int, j: Int): Long =
+      ExprUtil.splitmix64(h.toLong * 4000037L + i.toLong * strideI + j) & 1L
+    val t =
+      if (nh.toLong * d * d <= 4_194_304L) { // <=32 MB of doubles
+        val m = new Array[Double](nh * d * d)
+        var h = 0
+        while (h < nh) {
+          var i = 0
+          while (i < d) {
+            val base = (h * d + i) * d
+            var j = 0
+            while (j < d) {
+              m(base + j) = if (bit(h, i, j) == 1L) 1.0 else -1.0
+              j += 1
+            }
+            i += 1
+          }
+          h += 1
+        }
+        new SignTable(d, m, null)
+      } else {
+        val wpr = (d + 63) >>> 6
+        val m = new Array[Long](nh * d * wpr)
+        var h = 0
+        while (h < nh) {
+          var i = 0
+          while (i < d) {
+            val base = (h * d + i) * wpr
+            var j = 0
+            while (j < d) {
+              if (bit(h, i, j) == 1L) m(base + (j >>> 6)) |= 1L << (j & 63)
+              j += 1
+            }
+            i += 1
+          }
+          h += 1
+        }
+        new SignTable(d, null, m)
+      }
+    signCache = t
+    t
+  }
+
+  def compute(vec: ArrayData): ArrayData = {
+    val d = vec.numElements()
+    val signs = signsFor(d)
+    val dense = signs.dense
+    val packed = signs.packed
+    val wpr = (d + 63) >>> 6
+    val x = new Array[Double](d)
+    // raw bits of x for the branchless packed path: flipping the
+    // IEEE sign bit negates without a branch
+    val xb = if (packed != null) new Array[Long](d) else null
+    var j = 0
+    while (j < d) {
+      x(j) = vec.getDouble(j)
+      if (xb != null) xb(j) = java.lang.Double.doubleToRawLongBits(x(j))
+      j += 1
+    }
+    val stride = 2L * d
+    val out = new Array[Long](bands * combos)
+    val best = new Array[Int](k) // signed-argmax outcome per hash
+    val second = new Array[Int](k)
+    var b = 0
+    var w = 0
+    while (b < bands) {
+      var ki = 0
+      while (ki < k) {
+        val h = b * k + ki
+        var bestAbs = -1.0; var secondAbs = -1.0
+        var bi = 0; var si = 0
+        var i = 0
+        while (i < d) {
+          var s = 0.0
+          if (dense != null) {
+            val base = (h * d + i) * d
+            var jj = 0
+            while (jj < d) { s += dense(base + jj) * x(jj); jj += 1 }
+          } else {
+            val base = (h * d + i) * wpr
+            var jj = 0
+            while (jj < d) {
+              val b1 = (packed(base + (jj >>> 6)) >>> (jj & 63)) & 1L
+              s += java.lang.Double.longBitsToDouble(xb(jj) ^ ((b1 ^ 1L) << 63))
+              jj += 1
+            }
+          }
+          val a = math.abs(s)
+          val o = 2 * i + (if (s > 0) 1 else 0)
+          if (a > bestAbs) {
+            secondAbs = bestAbs; si = bi; bestAbs = a; bi = o
+          } else if (a > secondAbs) { secondAbs = a; si = o }
+          i += 1
+        }
+        best(ki) = bi; second(ki) = si
+        ki += 1
+      }
+      var c = 0
+      while (c < combos) {
+        var key = b.toLong
+        var cc = c
+        var k2 = 0
+        while (k2 < k) {
+          key = key * stride + (if (cc % topt == 0) best(k2) else second(k2))
+          cc /= topt
+          k2 += 1
+        }
+        out(w) = key; w += 1
+        c += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cpKeysExpr", this,
+      classOf[CrossPolytopeKeys].getName)
+    val v = first.genCode(ctx)
+    val code = code"""
+      |${v.code}
+      |boolean ${ev.isNull} = ${v.isNull};
+      |${CodeGenerator.javaType(dataType)} ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $self.compute(${v.value});
+      |}
+      |""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CrossPolytopeKeys =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
 object HyperplaneBits {
   /** Shared sign-bit loop for HyperplaneBits / HyperplaneBands. */
   def signature(vec: ArrayData, bits: Int): Long = {
@@ -644,6 +872,7 @@ object GraftFunctions {
   val SIMHASH = "graft_simhash"
   val HYPERPLANE = "graft_hyperplane_bits"
   val HYPERPLANE_BANDS = "graft_hyperplane_bands"
+  val CP_KEYS = "graft_cp_keys"
 
   /** Idempotently register graft's native expressions on a session
     * (temp functions — session-scoped, executor-safe via codegen).
@@ -672,6 +901,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       HYPERPLANE_BANDS,
       exprs => HyperplaneBands(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      CP_KEYS,
+      exprs => CrossPolytopeKeys(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 
   /** Codegen'd dot product (register(spark) must have run). */
@@ -698,4 +931,7 @@ object GraftFunctions {
 
   def hyperplaneBands(vec: Column, bits: Int, bands: Int): Column =
     call_function(HYPERPLANE_BANDS, vec, lit(bits), lit(bands))
+
+  def cpKeys(vec: Column, kHashes: Int, bands: Int, probes: Int): Column =
+    call_function(CP_KEYS, vec, lit(kHashes), lit(bands), lit(probes))
 }

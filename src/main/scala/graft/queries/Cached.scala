@@ -48,8 +48,8 @@ object Cached {
          FROM f GROUP BY 2)
        SELECT slice, key, n, total_value FROM u ORDER BY slice, key""") {
     (s, d) =>
-      val featured = featuredEvents(Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("value"))).cache()
+      val featured = graft.Caching.retain(featuredEvents(Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))).cache())
       def slice(tag: String, key: Column): DataFrame = featured
         .groupBy(key.as("key"))
         .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))

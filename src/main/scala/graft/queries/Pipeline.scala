@@ -264,9 +264,10 @@ object Pipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN (random hyperplanes, 16 bits / 4 bands) —
-    * the approximate scale path; recall is banding-dependent →
-    * rows-only check. */
+  /** LSH-bucketed ANN (cross-polytope, 32 bands × 1 hash, 2-probe —
+    * the VectorOps.lshTopK defaults) — the approximate scale path;
+    * recall is banding-dependent → rows-only check, gated at
+    * recall@3 >= 0.8 plus a candidate-ratio bound in AnnRecallSpec. */
   val annLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
     val emb = Tables.embeddings(s, d)
     VectorOps.lshTopK(emb, emb.filter(col("vec_id") < 10), 3)
@@ -299,8 +300,9 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** IVF-cell ANN top-3 — the inverted-file scale path (probe
-    * nprobe/nlist of the corpus per query). Cell structure is
+  /** IVF-cell ANN top-3 — the inverted-file scale path (nlist =
+    * sqrt(n) cells, probe the 40% nearest — see the measured recall
+    * curve in VectorOps.ivfTopK's scaladoc). Cell structure is
     * data-dependent → rows-only; AnnRecallSpec gates measured
     * recall vs the exact baseline. */
   val annIvf: QueryDef = QueryDef.rowsOnly { (s, d) =>
@@ -336,10 +338,11 @@ object Pipeline {
   }
 
   /** LSH-prefiltered embedding near-dup at 0.45 — the 100 TB path
-    * for q34's semantics (bucketed candidates + exact verify, never
-    * all-pairs). Hash-family-dependent recall → rows-only check;
+    * for q34's semantics (cross-polytope candidates + exact verify,
+    * never all-pairs: measured candidate ratio 0.077, recall 0.97 at
+    * sf0.1). Hash-family-dependent recall → rows-only check;
     * AnnRecallSpec gates measured recall against the exact q34
-    * output. */
+    * output AND the candidate ratio that keeps this sub-quadratic. */
   val embeddingNearDupLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
     VectorOps.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)
       .orderBy(col("a_id"), col("b_id"))

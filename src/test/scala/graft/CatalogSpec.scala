@@ -23,4 +23,27 @@ class CatalogSpec extends AnyFunSuite {
       assert(fn(spark, dir).count() > 0)
     }
   }
+
+  test("persisting queries leave no cached relations after release") {
+    // q30 (minhash dedup) persists its shingle-hash intermediate; the
+    // Caching contract is: handles are retained during execution and
+    // released by the harness once the terminal action completes —
+    // after which the session's cache is empty (no InMemoryRelation
+    // leaks into Bench min-of-2 or a long-lived session), and the
+    // released plan still recomputes correctly.
+    spark.catalog.clearCache()
+    Caching.releaseAll()
+    val df = SparkEntry.queries("q30_dedup_minhash")(spark, dir)
+    val n1 = df.count()
+    assert(Caching.retainedCount > 0, "q30 should retain a persist handle")
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the retained handle should be materialized in the cache")
+    Caching.releaseAll()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseAll must leave the CacheManager empty")
+    // the plan survives release: rebuild + rerun recomputes the result
+    val n2 = SparkEntry.queries("q30_dedup_minhash")(spark, dir).count()
+    assert(n1 == n2)
+    Caching.releaseAll()
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, GraftFunctions, MinHashSignature, SimHash64}
+import graft.functions.{CrossPolytopeKeys, DotProduct, GraftFunctions, MinHashSignature, SimHash64}
 import graft.vector.VectorOps
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -109,5 +109,40 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .select(GraftFunctions.hyperplaneBits(col("v"), 16).as("sig"))
       .collect()(0).getLong(0)
     assert(scaled == sigs(0))
+  }
+
+  test("graft_cp_keys: df path == direct eval; shape and key algebra") {
+    val v = randVec(64)
+    val (k, bands, probes) = (2, 8, 2)
+    val df = Seq(Tuple1(v), Tuple1(v)).toDF("v")
+      .select(GraftFunctions.cpKeys(col("v"), k, bands, probes).as("ks"))
+    val viaDf = df.collect().map(_.getSeq[Long](0))
+    val direct = CrossPolytopeKeys(
+      Literal.create(v, ArrayType(DoubleType)), Literal(k), Literal(bands),
+      Literal(probes)).eval().asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(viaDf(0) == direct && viaDf(1) == direct,
+      "codegen path must equal interpreted eval")
+    // probes^k combos per band, every key decodes to a valid band /
+    // outcome tuple, and the base (combo-0) keys are a subset of the
+    // probe set for the same vector
+    val stride = 2L * 64
+    assert(direct.size == bands * probes * probes)
+    assert(direct.forall { key =>
+      val band = key / (stride * stride)
+      band >= 0 && band < bands &&
+        (key % stride) >= 0 && (key % stride) < stride
+    })
+    val base = Seq(Tuple1(v)).toDF("v")
+      .select(GraftFunctions.cpKeys(col("v"), k, bands, 1).as("ks"))
+      .collect()(0).getSeq[Long](0)
+    assert(base.size == bands)
+    assert(base.toSet.subsetOf(direct.toSet),
+      "multi-probe keys must include the base keys (combo 0)")
+    // scale invariance: argmax of |coords| ignores vector magnitude
+    val scaled = Seq(Tuple1(v.map(_ * 3.0))).toDF("v")
+      .select(GraftFunctions.cpKeys(col("v"), k, bands, probes).as("ks"))
+      .collect()(0).getSeq[Long](0)
+    assert(scaled == viaDf(0))
   }
 }
