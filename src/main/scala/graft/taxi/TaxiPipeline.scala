@@ -134,7 +134,7 @@ object TaxiPipeline {
     * inspection/testing. */
   def run(raw: DataFrame, sink: Sink,
       overwrite: Boolean): Seq[(String, DataFrame)] = {
-    val df = features(raw).cache()
+    val df = graft.Caching.retain(features(raw).cache())
     val tables = Seq(
       "demand_heatmap" -> demandHeatmap(df),
       "tip_trends" -> tipTrends(df),

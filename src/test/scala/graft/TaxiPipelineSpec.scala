@@ -159,4 +159,42 @@ class TaxiPipelineSpec extends AnyFunSuite {
       Set(SaveMode.Append))
     assert(writes.forall(_._3 > 0))
   }
+
+  test("e2e: glob-scan of monthly files → clean → run (reference topology)") {
+    // the reference's actual composition (cleaning.py:7): glob-read
+    // N monthly parquet files, drop null rows, then the analytics
+    // fan-out. Three months with distinct zones + one dirty row; the
+    // golden check is the demand heatmap per (zone, hour).
+    val dir = java.nio.file.Files.createTempDirectory("taxi_glob")
+      .toFile.getAbsolutePath
+    def ts(s: String) = Timestamp.valueOf(s)
+    def month(zone: Int, day: String, n: Int, dirty: Int = 0) =
+      df((Seq.fill(n)(Trip(PULocationID = zone,
+        tpep_pickup_datetime = ts(s"$day 10:00:00"),
+        tpep_dropoff_datetime = ts(s"$day 10:30:00"))) ++
+        Seq.fill(dirty)(Trip(PULocationID = zone,
+          tpep_pickup_datetime = ts(s"$day 10:00:00"),
+          tpep_dropoff_datetime = ts(s"$day 10:30:00"),
+          passenger_count = null))): _*)
+    month(1, "2024-01-15", 12).write.parquet(s"$dir/yellow_2024-01.parquet")
+    month(2, "2024-02-15", 11, dirty = 1)
+      .write.parquet(s"$dir/yellow_2024-02.parquet")
+    month(3, "2024-03-15", 10).write.parquet(s"$dir/yellow_2024-03.parquet")
+
+    val raw = Tables.glob(spark, s"$dir/yellow_*.parquet")
+    assert(raw.count() == 34, "glob must see all three files")
+    val cleaned = TaxiPipeline.clean(raw)
+    assert(cleaned.count() == 33, "clean must drop the null-column row")
+
+    val writes = mutable.Map[String, DataFrame]()
+    val recorder = new Sink {
+      override def write(d: DataFrame, t: String, m: SaveMode): Unit =
+        writes(t) = d
+    }
+    TaxiPipeline.run(cleaned, recorder, overwrite = false)
+    val heat = writes("demand_heatmap").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(heat == Map((1, 10) -> 12L, (2, 10) -> 11L, (3, 10) -> 10L))
+    Caching.releaseAll()
+  }
 }
