@@ -29,6 +29,55 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.nonEmpty && args(0) == "scale") {
+      // scale-evidence mode (tools/make_scale_data.py generates the
+      // 10x corpus): times each operator twice cache-cold, prints
+      // row counts so candidate volume and recall are on record
+      val dir = args(1)
+      val bigEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val bigDocs = spark.read.parquet(s"$dir/documents.parquet")
+      def timeCount(name: String)(df: => org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val runs = (1 to 2).map { _ =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = df.count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[scale] $name%-42s rows=${runs.head._1}%9d " +
+          f"${runs.map(_._2).min}%8.2f s")
+      }
+      import graft.vector.{VectorOps => V}
+      timeCount("cp_candidates k=2 L=128")(V.cpCandidatePairs(bigEmb))
+      timeCount("neardup_lsh k=2 L=128 (q38 default)")(
+        V.nearDupPairsLsh(bigEmb, 0.45))
+      timeCount("cp_candidates k=3 L=384 (scaled)")(
+        V.cpCandidatePairs(bigEmb, 3, 384, 2))
+      timeCount("neardup_lsh k=3 L=384 (scaled)")(
+        V.nearDupPairsLsh(bigEmb, 0.45, 3, 384, 2))
+      timeCount("neardup_exact baseline (q34 shape)")(
+        V.nearDupPairs(bigEmb, 0.45))
+      timeCount("minhash_neardup docs (q30 shape)")(
+        graft.dedup.Dedup.minhashNearDupPairs(bigDocs, "doc_id", "text",
+          0.6))
+      // blowup-validity check: the sharded corpus must produce zero
+      // cross-shard pairs (token renaming destroys cross-shard
+      // similarity) and a uniform per-shard count
+      import org.apache.spark.sql.functions.{col, lit, floor => ffloor}
+      graft.dedup.Dedup.minhashNearDupPairs(bigDocs, "doc_id", "text", 0.6)
+        .groupBy(ffloor(col("a_id") / lit(1000000))
+          .cast("long").as("a_shard"),
+          ffloor(col("b_id") / lit(1000000)).cast("long").as("b_shard"))
+        .count().orderBy(col("a_shard"), col("b_shard"))
+        .collect().foreach(r => println(
+          s"[scale] shard pair block ${r.getLong(0)}x${r.getLong(1)}: " +
+            r.getLong(2)))
+      Caching.releaseAll()
+      spark.stop()
+      return
+    }
+
     // q38 fragments
     timed("q38 candidates only")(
       noop(VectorOps.cpCandidatePairs(emb)))

@@ -680,70 +680,9 @@ case class CrossPolytopeKeys(first: Expression, second: Expression,
     c
   }
 
-  /** Rademacher signs for all k·bands rotations at dimension d.
-    * Two storage forms, picked by footprint: dense ±1.0 doubles
-    * (the rotation loop becomes a pure mul-add the JIT vectorizes —
-    * measured ~4× over a per-bit branch) when the table fits in a
-    * few tens of MB, else bits packed 64/long consumed branchlessly
-    * via sign-bit XOR. Both encode the identical splitmix64 stream
-    * (same keys either way); the immutable-holder cache is safe under
-    * per-task instance races (worst case: one redundant rebuild). */
-  private final class SignTable(val d: Int, val dense: Array[Double],
-    val packed: Array[Long])
-
-  @transient private var signCache: SignTable = _
-
-  private def signsFor(d: Int): SignTable = {
-    val c = signCache
-    if (c != null && c.d == d) return c
-    val nh = k * bands
-    val strideI = math.max(64, d) // == 64 at d<=64: keeps the stream
-    def bit(h: Int, i: Int, j: Int): Long =
-      ExprUtil.splitmix64(h.toLong * 4000037L + i.toLong * strideI + j) & 1L
-    val t =
-      if (nh.toLong * d * d <= 4_194_304L) { // <=32 MB of doubles
-        val m = new Array[Double](nh * d * d)
-        var h = 0
-        while (h < nh) {
-          var i = 0
-          while (i < d) {
-            val base = (h * d + i) * d
-            var j = 0
-            while (j < d) {
-              m(base + j) = if (bit(h, i, j) == 1L) 1.0 else -1.0
-              j += 1
-            }
-            i += 1
-          }
-          h += 1
-        }
-        new SignTable(d, m, null)
-      } else {
-        val wpr = (d + 63) >>> 6
-        val m = new Array[Long](nh * d * wpr)
-        var h = 0
-        while (h < nh) {
-          var i = 0
-          while (i < d) {
-            val base = (h * d + i) * wpr
-            var j = 0
-            while (j < d) {
-              if (bit(h, i, j) == 1L) m(base + (j >>> 6)) |= 1L << (j & 63)
-              j += 1
-            }
-            i += 1
-          }
-          h += 1
-        }
-        new SignTable(d, null, m)
-      }
-    signCache = t
-    t
-  }
-
   def compute(vec: ArrayData): ArrayData = {
     val d = vec.numElements()
-    val signs = signsFor(d)
+    val signs = CrossPolytopeKeys.signsFor(d, k * bands)
     val dense = signs.dense
     val packed = signs.packed
     val wpr = (d + 63) >>> 6
@@ -837,6 +776,70 @@ case class CrossPolytopeKeys(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CrossPolytopeKeys =
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+object CrossPolytopeKeys {
+
+  /** Rademacher signs for `nh` rotations at dimension d. Two storage
+    * forms, picked by footprint: dense ±1.0 doubles (the rotation
+    * loop becomes a pure mul-add the JIT vectorizes — measured ~4×
+    * over a per-bit branch) while the table stays under ~128 MB,
+    * else bits packed 64/long consumed branchlessly via sign-bit
+    * XOR. Both encode the identical splitmix64 stream (identical
+    * keys either way). */
+  private[functions] final class SignTable(val dense: Array[Double],
+    val packed: Array[Long])
+
+  /** JVM-global table cache keyed by (d, nh): every task instance of
+    * every cp expression in the executor shares one build — the
+    * stream depends only on (hash, row, dim), never on the banding
+    * an expression slices it into. computeIfAbsent gives one build
+    * per key; entries are a handful of configs, bounded memory. */
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[Long, SignTable]()
+
+  private[functions] def signsFor(d: Int, nh: Int): SignTable =
+    tables.computeIfAbsent(d.toLong << 32 | nh, { key =>
+      val strideI = math.max(64, d) // == 64 at d<=64: keeps the stream
+      def bit(h: Int, i: Int, j: Int): Long =
+        ExprUtil.splitmix64(h.toLong * 4000037L + i.toLong * strideI + j) & 1L
+      if (nh.toLong * d * d <= 16_777_216L) { // <=128 MB, once per JVM
+        val m = new Array[Double](nh * d * d)
+        var h = 0
+        while (h < nh) {
+          var i = 0
+          while (i < d) {
+            val base = (h * d + i) * d
+            var j = 0
+            while (j < d) {
+              m(base + j) = if (bit(h, i, j) == 1L) 1.0 else -1.0
+              j += 1
+            }
+            i += 1
+          }
+          h += 1
+        }
+        new SignTable(m, null)
+      } else {
+        val wpr = (d + 63) >>> 6
+        val m = new Array[Long](nh * d * wpr)
+        var h = 0
+        while (h < nh) {
+          var i = 0
+          while (i < d) {
+            val base = (h * d + i) * wpr
+            var j = 0
+            while (j < d) {
+              if (bit(h, i, j) == 1L) m(base + (j >>> 6)) |= 1L << (j & 63)
+              j += 1
+            }
+            i += 1
+          }
+          h += 1
+        }
+        new SignTable(null, m)
+      }
+    })
 }
 
 object HyperplaneBits {

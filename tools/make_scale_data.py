@@ -1,0 +1,44 @@
+"""Generate the sf1-equivalent blowup used for the scale-evidence run
+(VERDICT r2 #7): 10x embeddings (fresh isotropic gaussians - the
+fixture's near-dup pairs match the natural tail rate of iid vectors,
+so scaling the corpus scales the pair population honestly) and 10x
+documents (per-shard token renaming: within-shard Jaccard preserved
+exactly, cross-shard similarity destroyed). Writes exact ground truth
+for the embedding near-dup pairs alongside."""
+import duckdb, numpy as np, pyarrow as pa, pyarrow.parquet as pq, os, sys
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+os.makedirs(out, exist_ok=True)
+rng = np.random.default_rng(20260812)
+
+# embeddings: 20000 x 64 iid N(0,1) float32
+n, d = 20000, 64
+X = rng.standard_normal((n, d)).astype(np.float32)
+pq.write_table(pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                         "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+                         "label": pa.array([0]*n, pa.int32())}),
+               f"{out}/embeddings.parquet")
+# exact truth at tau=0.45 (block matmul on normalized doubles)
+Xn = X.astype(np.float64); Xn /= np.linalg.norm(Xn, axis=1, keepdims=True)
+pairs = 0
+for i0 in range(0, n, 2000):
+    C = Xn[i0:i0+2000] @ Xn.T
+    for r in range(C.shape[0]):
+        gi = i0 + r
+        pairs += int(((C[r] >= 0.45) & (np.arange(n) > gi)).sum())
+print(f"embeddings: n={n}, true near-dup pairs (cos>=0.45): {pairs}")
+
+# documents: 10 shards of sf0.1 with per-shard token suffix
+docs = duckdb.sql("SELECT doc_id, text, lang, source, n_chars FROM '/root/testdata/sf0.1/documents.parquet' ORDER BY doc_id").fetchall()
+ids, texts, langs, srcs, ncs = [], [], [], [], []
+for s in range(10):
+    for (i, t, l, src, nc) in docs:
+        ids.append(i + s * 1000000)
+        texts.append(t if s == 0 else " ".join(w + f"~{s}" for w in t.split()))
+        langs.append(l); srcs.append(src); ncs.append(nc)
+pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts), "lang": pa.array(langs),
+                         "source": pa.array(srcs),
+                         "n_chars": pa.array(ncs, pa.int64())}),
+               f"{out}/documents.parquet")
+print(f"documents: {len(ids)} rows in 10 token-renamed shards")
