@@ -246,6 +246,58 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every node starts labeled with its own id; each
+    * round joins labels to the symmetric edge list and keeps the
+    * per-node minimum; convergence in O(component diameter) rounds
+    * (near-dup clusters are shallow — chains longer than a few hops
+    * are rare in practice, and `maxIter` bounds the worst case).
+    *
+    * This is the step a real dedup pipeline runs AFTER pair
+    * generation: pairs only say "these two match"; keeping one doc
+    * per transitive cluster needs the component id. Output:
+    * (id, cluster_id = min reachable id, cluster_size) for every
+    * node that appears in a pair.
+    *
+    * Scale shape: each round is one equi-join + one partial-agg
+    * groupBy on the node id — the standard DataFrame connected
+    * components (what GraphX/GraphFrames do under the hood), with
+    * the edge list reused across rounds from the cache. The
+    * convergence check is a driver-side count of changed labels —
+    * one action per round, the usual iterative-algorithm control
+    * flow. Intermediate labels persist per round and the previous
+    * round is released immediately; at very large scale add a
+    * localCheckpoint every few rounds to truncate lineage. */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 20,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val sym = graft.Caching.retain(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .persist())
+    sym.count()
+    var labels = sym.select(col("u")).distinct()
+      .withColumn("l", col("u")).persist()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val next = sym.join(labels, "u")
+        .select(col("v").as("u"), col("l"))
+        .unionByName(labels)
+        .groupBy(col("u")).agg(min(col("l")).as("l"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("l", "l0"), "u")
+        .filter(col("l") =!= col("l0")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    graft.Caching.retain(labels)
+    val size = Window.partitionBy(col("cluster_id"))
+    labels.select(col("u").as("id"), col("l").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(size))
+  }
+
   /** Keep-first dedup by arbitrary key: survivor = lowest id per key
     * (row_number window — one shuffle on the key). */
   def keepFirstByKey(df: DataFrame, keyCols: Seq[String],

@@ -476,6 +476,48 @@ object Pipeline {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Near-dup cluster collapse: MinHash pairs → connected components
+    * (iterative min-label propagation) → (doc, cluster id, cluster
+    * size). The step after pair generation in a real dedup pipeline —
+    * "these two match" becomes "keep one per transitive cluster".
+    * Oracle: the exact-Jaccard pair set under a DuckDB recursive CTE
+    * doing the same label propagation (valid on the same grounds as
+    * q30 — the LSH verify stage is exact and banding recall ≈ 1).
+    * The sf0.01 fixture contains a 3-doc chain, so transitive closure
+    * beyond direct pairs is exercised, not just mirrored pairs. */
+  val dedupClusters: QueryDef = QueryDef.sql(
+    """WITH RECURSIVE
+       t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))) >= 0.6),
+       sym AS (SELECT a_id AS u, b_id AS v FROM p
+               UNION ALL SELECT b_id, a_id FROM p),
+       lbl(u, l) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         UNION
+         SELECT s2.v, lbl.l FROM lbl JOIN sym s2 ON s2.u = lbl.u),
+       m AS (SELECT u AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY u)
+       SELECT doc_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM m ORDER BY doc_id""") { (s, d) =>
+    val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, d),
+      "doc_id", "text", 0.6)
+    Dedup.nearDupComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -497,5 +539,6 @@ object Pipeline {
     "q45_frame_sample" -> frameSample,
     "q46_event_gap_minutes" -> eventGapMinutes,
     "q47_stream_tumbling" -> streamTumbling,
+    "q48_dedup_clusters" -> dedupClusters,
   )
 }

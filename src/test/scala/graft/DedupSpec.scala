@@ -122,4 +122,28 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("nearDupComponents: transitive chain collapses, islands stay") {
+    // chain 1-2-3-4 (diameter 3 → needs several propagation rounds),
+    // isolated pair 10-11, pair 20-21 joined to 22 through 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("a_id", "b_id")
+    val got = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      10L -> (10L, 2L), 11L -> (10L, 2L),
+      20L -> (20L, 3L), 21L -> (20L, 3L), 22L -> (20L, 3L)))
+    Caching.releaseAll()
+  }
+
+  test("nearDupComponents agrees with brute-force closure on the corpus") {
+    // at 0.5 the one-word-changed pairs qualify (J = 7/13 ≈ 0.538):
+    // 1-2, 2-5, 1-5 collapse to one cluster; 3 and 4 stay absent
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5)
+    val comp = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    Caching.releaseAll()
+  }
 }
