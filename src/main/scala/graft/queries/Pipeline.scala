@@ -518,6 +518,51 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Int8 scalar quantization round-trip profile: per vector, the
+    * quantization scale, the relative L2 reconstruction error
+    * through VectorOps.quantizeInt8 → dequantize, and the code
+    * range — the memory lever (4× vs float32) real vector stores
+    * pull first at scale, oracle-checked because the quantizer is
+    * defined with the engine-portable floor(x/scale + 0.5) code
+    * function. */
+  val quantizeError: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       s AS (SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))),
+                        4.9e-324) / 127.0 AS sc
+             FROM e),
+       r AS (SELECT vec_id, sc,
+               list_sum(list_transform(v,
+                 x -> pow(x - floor(x / sc + 0.5) * sc, 2))) AS err2,
+               list_sum(list_transform(v, x -> x * x)) AS x2,
+               list_min(list_transform(v, x -> floor(x / sc + 0.5)))
+                 AS cmin,
+               list_max(list_transform(v, x -> floor(x / sc + 0.5)))
+                 AS cmax
+             FROM s)
+       SELECT vec_id, floor(sc * 1000000 + 0.5) / 1000000 AS q_scale,
+              floor(sqrt(err2 / x2) * 1000000 + 0.5) / 1000000 AS rel_err,
+              CAST(cmin AS INTEGER) AS code_min,
+              CAST(cmax AS INTEGER) AS code_max
+       FROM r ORDER BY vec_id""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = VectorOps.quantizeInt8(emb)
+    val recon = VectorOps.dequantize(q)
+      .withColumnRenamed("embedding", "recon")
+    emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .join(q, "vec_id").join(recon, "vec_id")
+      .select(col("vec_id"), r6(col("q_scale")).as("q_scale"),
+        r6(sqrt(
+          aggregate(zip_with(col("v"), col("recon"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+          / aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+          .as("rel_err"),
+        array_min(col("q_codes")).cast("int").as("code_min"),
+        array_max(col("q_codes")).cast("int").as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -540,5 +585,6 @@ object Pipeline {
     "q46_event_gap_minutes" -> eventGapMinutes,
     "q47_stream_tumbling" -> streamTumbling,
     "q48_dedup_clusters" -> dedupClusters,
+    "q49_quantize_int8" -> quantizeError,
   )
 }

@@ -356,6 +356,40 @@ object VectorOps {
       .distinct()
   }
 
+  /** Per-vector symmetric int8 scalar quantization: scale =
+    * max|x_i| / 127, codes = round(x_i / scale) — 4× smaller than
+    * float32 (the first memory lever real vector stores pull at
+    * scale; at 100 TB the quantized corpus rides the same scans,
+    * joins and LSH keys at a quarter of the IO/cache footprint).
+    * Row-local, no shuffle; scale rides along for dequantization.
+    * Cosine on dequantized vectors is approximate — QuantizeSpec
+    * gates reconstruction error and top-k recall vs float exact. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(vecCol))
+    // code = floor(x/scale + 0.5), NOT round(): Spark rounds doubles
+    // HALF_UP, DuckDB half-to-even — the floor idiom is the same IEEE
+    // op sequence on both engines (graft.Rounding rationale), and it
+    // is the quantizer's DEFINITION so exact-tie codes are portable
+    val scale = greatest(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))),
+      lit(Double.MinPositiveValue)) / lit(127.0)
+    df.select(col(idCol), col(vecCol),
+        scale.as("q_scale"))
+      .select(col(idCol), col("q_scale"),
+        transform(toDouble(col(vecCol)),
+          x => floor(x / col("q_scale") + lit(0.5)).cast("byte"))
+          .as("q_codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale, as array<double>
+    * under the original column name — drop-in for the float path. */
+  def dequantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+      transform(col("q_codes"), c => c.cast("double") * col("q_scale"))
+        .as(vecCol))
+
   /** All ordered pairs (a < b) from a sorted bucket-member array —
     * see graft.dedup.Dedup for the groupBy-not-self-join rationale. */
   private def bucketPairs(members: Column): Column =

@@ -43,6 +43,39 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(sigs(0) == sigs(1))
   }
 
+  test("quantizeInt8 round-trip: codes bounded, error <= scale/2/elem") {
+    val df = Seq((0L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Seq(100f, -50f, 25f, 12.5f))).toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(df)
+    val rows = q.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    // scale = max|x|/127; all codes within [-127, 127]
+    assert(math.abs(rows(0L)._1 - 1.0 / 127) < 1e-12)
+    assert(rows.values.forall(_._2.forall(c => c >= -127 && c <= 127)))
+    // reconstruction within half a quantization step per element
+    val recon = VectorOps.dequantize(q).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, xs) <- orig; (x, y) <- xs.zip(recon(id)))
+      assert(math.abs(x - y) <= rows(id)._1 / 2 + 1e-12,
+        s"vec $id: $x vs $y")
+  }
+
+  test("quantized top-k recall >= 0.9 vs float exact on sf0.001") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val deq = VectorOps.dequantize(VectorOps.quantizeInt8(emb))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.bruteForceTopK(emb,
+      emb.filter($"vec_id" < 10), 3))
+    val quant = pairs(VectorOps.bruteForceTopK(deq,
+      deq.filter($"vec_id" < 10), 3))
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(f"int8 top-3 recall = $recall%.3f")
+    assert(recall >= 0.9, f"quantized recall $recall%.3f below 0.9")
+  }
+
   test("nearDupPairs finds duplicated vector only") {
     val df = Seq(
       (0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)), (2L, Seq(-3f, 1f, -2f))
