@@ -275,8 +275,19 @@ object Dedup {
         .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
         .persist())
     sym.count()
-    var labels = sym.select(col("u")).distinct()
-      .withColumn("l", col("u")).persist()
+    // init already folds one propagation round in (l = min of self and
+    // direct neighbors) — plain pair clusters, the common case, are
+    // converged before the loop starts
+    var labels = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("l")).persist()
+    // convergence watch: min-propagation only ever DECREASES labels,
+    // so the exact label sum is strictly monotone until fixpoint — a
+    // scalar aggregate per round instead of a changed-rows join
+    // (decimal: id sums at data scale overflow a long)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var sumPrev = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -285,11 +296,11 @@ object Dedup {
         .unionByName(labels)
         .groupBy(col("u")).agg(min(col("l")).as("l"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("l", "l0"), "u")
-        .filter(col("l") =!= col("l0")).limit(1).count()
+      val sumNext = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = sumNext.compareTo(sumPrev) == 0
+      sumPrev = sumNext
       round += 1
     }
     graft.Caching.retain(labels)
