@@ -563,6 +563,80 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus-level token frequency (the classic one-shuffle wordcount
+    * — every other text op in the catalog is row-local; this is the
+    * corpus-granularity statistic): explode tokens → partial-agg
+    * count → threshold. At 100 TB: map-side combine bounds the
+    * shuffle by vocabulary size, not corpus size. */
+  val tokenFrequency: QueryDef = QueryDef.sql(
+    """SELECT token, count(*) AS n
+       FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+             FROM documents)
+       GROUP BY token HAVING count(*) >= 5
+       ORDER BY n DESC, token""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** Deterministic train/val/test assignment by content-independent
+    * id hash (md5 prefix mod 100 → 90/5/5) — the split-leakage
+    * defence: the same doc lands in the same split on every engine,
+    * every run, every shard layout. md5 is the portable hash (Spark
+    * xxhash64 and DuckDB hash() differ); row-local, no shuffle. */
+  val hashSplit: QueryDef = QueryDef.sql(
+    """SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 100 AS INTEGER) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 90 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing parity: plant a deterministic email + phone per
+    * doc, scrub with TextOps.scrubPii, verify counts and the md5 of
+    * the scrubbed text against DuckDB running the same RE2-portable
+    * patterns — a wrong replacement, ordering, or boundary in either
+    * regex fails the hash compare on every row. */
+  val piiScrub: QueryDef = {
+    val email = TextOps.emailPattern.replace("'", "''")
+    val phone = TextOps.phonePattern.replace("\\", "\\")
+    QueryDef.sql(
+      s"""WITH p AS (SELECT doc_id,
+            text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or 555-123-4567' AS t
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '$email')) AS INTEGER)
+              AS n_email,
+            CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER)
+              AS n_phone,
+            md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+                '$phone', '<PHONE>', 'g')) AS scrubbed_md5
+          FROM p ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"), lit("@example.com or 555-123-4567")))
+        .select(col("doc_id"),
+          TextOps.emailCount(col("t")).cast("int").as("n_email"),
+          TextOps.phoneCount(col("t")).cast("int").as("n_phone"),
+          md5(TextOps.scrubPii(col("t"))).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -586,5 +660,8 @@ object Pipeline {
     "q47_stream_tumbling" -> streamTumbling,
     "q48_dedup_clusters" -> dedupClusters,
     "q49_quantize_int8" -> quantizeError,
+    "q50_token_frequency" -> tokenFrequency,
+    "q51_hash_split" -> hashSplit,
+    "q52_pii_scrub" -> piiScrub,
   )
 }

@@ -86,6 +86,30 @@ object TextOps {
   def bpeChunkCount(text: Column): Column =
     regexp_count(text, lit(bpePattern))
 
+  /** Email pattern, portable between Java regex and RE2 (no
+    * lookaround, no backreferences). */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** US-phone-shaped pattern (555-123-4567 / 555.123.4567). */
+  val phonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing: replace emails and phone-shaped numbers with
+    * placeholder tags — the redaction pass training-data pipelines
+    * run before tokenization. Row-local regexp_replace chain; both
+    * patterns avoid backtracking-only syntax so the same scrub is
+    * expressible in RE2 engines for verification. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern))
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phonePattern))
+
   /** Word n-gram shingles, deduplicated: zip n shifted views of the
     * token array (slice is O(1) per view; no index lambda needed).
     * Requires size(toks) >= n — filter shorter docs upstream. */
