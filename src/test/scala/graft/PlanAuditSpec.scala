@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("bucketed near-dup paths never plan all-pairs joins") {
     for (q <- Seq("q30_dedup_minhash", "q31_dedup_simhash", "q33_ann_lsh",
-        "q38_embedding_neardup_lsh", "q41_winnow_pairs")) {
+        "q38_embedding_neardup_lsh", "q41_winnow_pairs",
+        "q48_dedup_clusters")) {
       val plan = executedPlan(q)
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans BNLJ")
       assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
