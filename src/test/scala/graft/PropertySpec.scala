@@ -162,6 +162,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private def cpKeys(v: Seq[Double], k: Int, bands: Int,
+      probes: Int): Seq[Long] =
+    graft.functions.CrossPolytopeKeys(
+      Literal.create(v, ArrayType(DoubleType)), Literal(k), Literal(bands),
+      Literal(probes)).eval().asInstanceOf[ArrayData].toLongArray.toSeq
+
+  test("cp keys: positive-scale invariant, base ⊆ probes, band-coded") {
+    val dimVec = Gen.chooseNum(2, 64).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-10.0, 10.0)))
+    check(Prop.forAll(dimVec, Gen.chooseNum(0.001, 100.0)) { (v, a) =>
+      v.forall(_ == 0.0) || {
+        val base = cpKeys(v, 2, 4, 1)
+        val probed = cpKeys(v, 2, 4, 2)
+        cpKeys(v.map(_ * a), 2, 4, 1) == base && // argmax is scale-free
+        base.toSet.subsetOf(probed.toSet) &&     // combo 0 is the base key
+        base.zipWithIndex.forall { case (key, b) => // band id rides the key
+          key / (2L * v.size * 2L * v.size) == b
+        }
+      }
+    })
+  }
+
+  test("int8 quantization: round-trip error <= scale/2 per element") {
+    val vg = Gen.nonEmptyListOf(Gen.chooseNum(-1e4, 1e4))
+      .suchThat(_.exists(_ != 0.0))
+    val vecs = Gen.listOfN(30, vg).sample.get
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val scales = graft.vector.VectorOps.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recon = graft.vector.VectorOps
+      .dequantize(graft.vector.VectorOps.quantizeInt8(df)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((v, i) <- vecs.zipWithIndex;
+         (x, y) <- v.map(_.toFloat.toDouble).zip(recon(i.toLong)))
+      assert(math.abs(x - y) <= scales(i.toLong) / 2 + 1e-9,
+        s"vec $i: |$x - $y| > ${scales(i.toLong) / 2}")
+  }
+
   test("avg skips nulls: DataFrame avg == manual sum/count of non-nulls") {
     val vals: List[Option[Double]] = Gen.listOfN(200,
       Gen.option(Gen.chooseNum(-100.0, 100.0))).sample.get
