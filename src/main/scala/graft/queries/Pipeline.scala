@@ -611,8 +611,10 @@ object Pipeline {
     * patterns — a wrong replacement, ordering, or boundary in either
     * regex fails the hash compare on every row. */
   val piiScrub: QueryDef = {
-    val email = TextOps.emailPattern.replace("'", "''")
-    val phone = TextOps.phonePattern.replace("\\", "\\")
+    // neither pattern contains a single quote, so SQL-literal
+    // embedding is safe as-is
+    val email = TextOps.emailPattern
+    val phone = TextOps.phonePattern
     QueryDef.sql(
       s"""WITH p AS (SELECT doc_id,
             text || ' contact: user' || CAST(doc_id AS VARCHAR)
