@@ -2,6 +2,7 @@ package graft
 
 import graft.vector.VectorOps
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Dev diagnostic: stage-level timings for the operators Bench flags
   * as slow — runs each fragment twice cache-cold and prints the min,
@@ -28,6 +29,53 @@ object Profile {
     val emb = Tables.embeddings(spark, sfDir)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    if (args.nonEmpty && args(0) == "q48") {
+      // q48 fragment split: pair generation vs component iteration
+      val docs = Tables.documents(spark, sfDir)
+      timed("q48 pairs only")(noop(
+        graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.6)))
+      val pairsDf = graft.dedup.Dedup
+        .minhashNearDupPairs(docs, "doc_id", "text", 0.6)
+      val cached = spark.createDataFrame(
+        pairsDf.collect().toSeq.asJava, pairsDf.schema)
+      // local relation input → the timing below is ONLY the component
+      // iteration (timed() clears caches, so a persisted input would
+      // silently re-run the whole pair pipeline inside the timer)
+      timed("q48 components on local pairs")(noop(
+        graft.dedup.Dedup.nearDupComponents(cached)))
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "q54") {
+      // q54 fragment split: training vs encode vs ADC search
+      import graft.vector.{VectorOps => V}
+      val nemb = V.normalize(emb)
+      timed("q54 train (1 iter)")(noop(V.pqTrain(nemb, 16, 16, 4, 1)))
+      timed("q54 train (2 iters)")(noop(V.pqTrain(nemb, 16, 16, 4, 2)))
+      timed("q54 encode corpus (det cb)")(noop(
+        V.pqEncode(nemb, V.pqCodebookDeterministic(spark, 16, 16, 4), 16, 4)))
+      val queries = emb.filter(col("vec_id") < 10)
+      timed("q54 full (train+adc)")(noop(
+        V.pqAdcTopK(emb, queries, 3,
+          V.pqTrain(nemb, 16, 16, 4, 1), 16, 4)))
+      timed("q54 adc w/ det cb (no train)")(noop(
+        V.pqAdcTopK(emb, queries, 3,
+          V.pqCodebookDeterministic(spark, 16, 16, 4), 16, 4)))
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "q") {
+      // time individual catalog queries by name, cache-cold min-of-2
+      // (same measurement discipline as Bench, without the full sweep)
+      args.drop(1).foreach { name =>
+        timed(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+      }
+      spark.stop()
+      return
+    }
 
     if (args.nonEmpty && args(0) == "scale") {
       // scale-evidence mode (tools/make_scale_data.py generates the

@@ -639,6 +639,69 @@ object Pipeline {
     }
   }
 
+  /** Product-quantization encode under the driver's oracle: both
+    * engines derive the SAME md5-seeded codebook (m=8 subspaces,
+    * k=16 codes, dsub=8 over d=64) and argmin-assign every subvector
+    * — codes and in-order IEEE distance sums must agree exactly.
+    * The trained-codebook and ADC-search quality paths are PqSpec's
+    * job (q54); this row pins the encode MECHANISM — subspace
+    * slicing, distance fold, tie-break — against an independent
+    * engine. */
+  val pqEncodeDet: QueryDef = QueryDef.sql(
+    """WITH cb AS (
+         SELECT s.sub, c.code,
+           list((CAST(('0x' || substr(md5(s.sub || '_' || c.code || '_'
+                  || d.dim), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0
+                ORDER BY d.dim) AS c_v
+         FROM (SELECT unnest(range(8)) AS sub) s,
+              (SELECT unnest(range(16)) AS code) c,
+              (SELECT unnest(range(8)) AS dim) d
+         GROUP BY s.sub, c.code),
+       sv AS (
+         SELECT vec_id, s.sub AS sub,
+           list_slice(CAST(embedding AS DOUBLE[]),
+             s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         FROM embeddings, (SELECT unnest(range(8)) AS sub) s),
+       d2 AS (
+         -- expanded ||sv||^2 + ||c||^2 - 2<sv,c>, each term an
+         -- in-order sum — mirrors the Spark side's codegen dots
+         -- term for term (same IEEE ops, same order)
+         SELECT vec_id, sv.sub, cb.code,
+           list_sum(list_transform(generate_series(1, 8),
+             i -> sv.sv[i] * sv.sv[i]))
+           + list_sum(list_transform(generate_series(1, 8),
+               i -> cb.c_v[i] * cb.c_v[i]))
+           - 2.0 * list_sum(list_transform(generate_series(1, 8),
+               i -> sv.sv[i] * cb.c_v[i])) AS d2
+         FROM sv JOIN cb ON sv.sub = cb.sub),
+       r AS (
+         SELECT vec_id, sub, code, d2, row_number() OVER
+             (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         FROM d2)
+       SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+              CAST(code AS INTEGER) AS code,
+              floor(d2 * 1000000 + 0.5) / 1000000 AS err2
+       FROM r WHERE rn = 1 ORDER BY vec_id, sub""") { (s, d) =>
+    val cb = VectorOps.pqCodebookDeterministic(s, 8, 16, 8)
+    VectorOps.pqEncode(Tables.embeddings(s, d), cb, 8, 8)
+      .select(col("pq_id").as("vec_id"), col("sub"), col("code"),
+        r6(col("err2")).as("err2"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** ADC top-k over a Lloyd-trained PQ codebook (m=16, k=16 → 16
+    * bytes/vector, 16× vs float32): the compressed-domain search
+    * path — scan codes, sum LUT entries. Approximate by construction
+    * → rows-only; PqSpec gates recall vs the exact q32 baseline and
+    * trained-vs-random codebook quality. */
+  val pqAdc: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, iters = 1)
+    VectorOps.pqAdcTopK(emb, queries, 3, cb, 16, 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -665,5 +728,7 @@ object Pipeline {
     "q50_token_frequency" -> tokenFrequency,
     "q51_hash_split" -> hashSplit,
     "q52_pii_scrub" -> piiScrub,
+    "q53_pq_encode" -> pqEncodeDet,
+    "q54_pq_adc_topk" -> pqAdc,
   )
 }

@@ -390,6 +390,206 @@ object VectorOps {
       transform(col("q_codes"), c => c.cast("double") * col("q_scale"))
         .as(vecCol))
 
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI'11): split d dims into
+  // m subspaces, code each subvector against a k-entry per-subspace
+  // codebook → m small codes per vector (m·log2(k) bits, vs 32d for
+  // float32). The second memory lever after int8 (quantizeInt8):
+  // at m=16, k=16 a d=64 corpus compresses 32× and ADC search scans
+  // codes + a per-query lookup table instead of raw vectors.
+  // ---------------------------------------------------------------
+
+  /** Unit-normalize the vector column in place (row-local). PQ-for-
+    * cosine encodes the normalized corpus so summed subspace inner
+    * products approximate the cosine directly. */
+  def normalize(df: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), toDouble(col(vecCol)).as(vecCol))
+      .withColumn("__n", sqrt(aggregate(col(vecCol), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col(idCol),
+        transform(col(vecCol), x => x / col("__n")).as(vecCol))
+
+  /** (id, sub, sv): the m per-subspace views of each vector —
+    * row-local explode, no shuffle. dsub = d / m. */
+  private def subvectors(df: DataFrame, m: Int, dsub: Int,
+      idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("pq_id"), toDouble(col(vecCol)).as("__v"))
+      .select(col("pq_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("__v"))
+      .select(col("pq_id"), col("sub"),
+        slice(col("__v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+
+  /** Deterministic pseudo-random codebook: entry (sub, code, dim) =
+    * (md5-prefix mod 2001 − 1000)/1000 ∈ [−1, 1]. Not trained — it
+    * exists because both engines can derive it bit-identically (md5 is
+    * the portable hash), making the PQ ENCODE path oracle-checkable;
+    * [[pqTrain]] is the quality path, spec-gated against this one. */
+  def pqCodebookDeterministic(spark: org.apache.spark.sql.SparkSession,
+      m: Int, k: Int, dsub: Int): DataFrame =
+    spark.range(m.toLong).select(col("id").cast("int").as("sub"))
+      .crossJoin(spark.range(k.toLong).select(col("id").cast("int").as("code")))
+      .crossJoin(spark.range(dsub.toLong).select(col("id").cast("int").as("dim")))
+      .withColumn("x",
+        (conv(substring(md5(concat_ws("_", col("sub"), col("code"),
+          col("dim"))), 1, 8), 16, 10).cast("long") % 2001 - 1000) / 1000.0)
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("x")))),
+        s => s.getField("x")).as("c_v"))
+
+  /** Encode each vector against `codebook` (sub, code, c_v): per
+    * (id, sub), code = argmin_code ‖sv − c_v‖² (ties → smallest code,
+    * via lexicographic struct-min). One broadcast join + one
+    * partial-agg groupBy of n·m rows — scan-shaped, no all-pairs.
+    *
+    * The distance is the expanded form ‖sv‖² + ‖c‖² − 2⟨sv,c⟩ with
+    * every term a codegen'd in-order dot (graft_dot): the naive
+    * (a−b)² zip_with/aggregate lambda is a higher-order function
+    * Spark evaluates INTERPRETED per row — measured seconds over the
+    * n·m·k encode relation. The oracle (q53) computes the identical
+    * term-by-term IEEE expression, so codes and err2 still agree
+    * exactly. Output: (pq_id, sub, code, err2). */
+  def pqEncode(df: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    subvectors(df, m, dsub, idCol, vecCol)
+      .withColumn("__sv2", dot(col("sv"), col("sv")))
+      .join(broadcast(codebook.withColumn("__c2",
+        dot(col("c_v"), col("c_v")))), "sub")
+      .withColumn("__d2", col("__sv2") + col("__c2")
+        - lit(2.0) * dot(col("sv"), col("c_v")))
+      .groupBy(col("pq_id"), col("sub"))
+      .agg(min(struct(col("__d2"), col("code"))).as("__best"))
+      .select(col("pq_id"), col("sub"),
+        col("__best").getField("code").as("code"),
+        col("__best").getField("__d2").as("err2"))
+  }
+
+  /** Train a PQ codebook: per subspace, k-means with deterministic
+    * seeding (the k corpus rows with smallest xxhash64(id), ranked —
+    * reproducible on any executor) and `iters` Lloyd rounds. Each
+    * round is one broadcast-join argmin + one partial-agg mean over
+    * the sampled subvector rows — linear scans, cluster-safe. A code
+    * whose cell empties simply drops out (standard small-k behavior);
+    * callers see it as a codebook with fewer live entries.
+    *
+    * Training reads a deterministic hash-mod SAMPLE of ~trainTarget
+    * vectors, the way production PQ fits codebooks (a few thousand
+    * samples per 16-256 centroids, independent of corpus size) — at
+    * 100 TB the Lloyd rounds cost O(sample), only the one-pass ENCODE
+    * is O(corpus). Pass trainTarget <= 0 to train on everything. */
+  def pqTrain(df: DataFrame, m: Int, k: Int, dsub: Int, iters: Int = 2,
+      trainTarget: Int = 1024,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol), col(vecCol))
+    val mod =
+      if (trainTarget <= 0) 1L
+      else math.max(1L, base.count() / trainTarget)
+    val sampled = if (mod > 1)
+      base.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0) else base
+    val sv = graft.Caching.retain(
+      subvectors(spread(sampled), m, dsub, idCol, vecCol)
+        .withColumn("__sv2", dot(col("sv"), col("sv")))
+        .persist())
+    sv.count() // one materialization; every Lloyd round re-reads it
+    val seedIds = sampled.select(col(idCol).as("pq_id"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(k)
+      .select(col("pq_id"),
+        (row_number().over(Window.orderBy(col("__h"), col("pq_id"))) - 1)
+          .as("code"))
+    var cb = sv.join(broadcast(seedIds), "pq_id")
+      .select(col("sub"), col("code"), col("sv").as("c_v"))
+    for (_ <- 1 to iters) {
+      // two shuffles per round: argmin per (id, sub), then mean per
+      // (sub, code). The element-wise mean folds collect_list'd cell
+      // members in-select (cells hold ~sample/k small arrays — an
+      // interpreted lambda over 256 tiny groups, not a shuffle of
+      // n·dsub exploded rows like a posexplode/avg/re-collect chain)
+      cb = sv.join(broadcast(cb.withColumn("__c2",
+          dot(col("c_v"), col("c_v")))), "sub")
+        .withColumn("__d2", col("__sv2") + col("__c2")
+          - lit(2.0) * dot(col("sv"), col("c_v")))
+        .groupBy(col("pq_id"), col("sub"))
+        .agg(min(struct(col("__d2"), col("code"))).as("__best"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("__best").getField("code").as("code"),
+          col("sv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(collect_list(col("sv")).as("__cell"))
+        .select(col("sub"), col("code"),
+          transform(sequence(lit(0), lit(dsub - 1)), i =>
+            aggregate(col("__cell"), lit(0.0),
+              (acc, a) => acc + element_at(a, i + 1))
+              / size(col("__cell"))).as("c_v"))
+    }
+    cb
+  }
+
+  /** ADC (asymmetric distance) top-k with exact re-ranking: corpus
+    * vectors are pre-normalized and PQ-coded ONCE; each query builds
+    * an m×k inner-product lookup table against the codebook (m·k
+    * dots — independent of n) and scores a corpus row by summing m
+    * table entries selected by its codes. The ADC scan keeps the top
+    * k·rerank shortlist per query, which is then scored with EXACT
+    * cosine and cut to k — the standard two-stage compressed-search
+    * architecture: at 100 TB the full scan touches only the (id,
+    * codes) relation (16× smaller), and raw vectors are fetched for
+    * |Q|·k·rerank rows, not n. Approximate by construction (a true
+    * neighbor outside the ADC shortlist is lost) → rows-only in the
+    * catalog, recall-gated by PqSpec against [[bruteForceTopK]]. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebook: DataFrame, m: Int, dsub: Int, rerank: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = graft.Caching.retain(codebook.persist())
+    cb.count()
+    // normalized corpus → codes: reconstructed vectors approximate
+    // unit vectors, so the summed inner products approximate cosine
+    val codes = pqEncode(normalize(corpus, idCol, vecCol), cb, m, dsub,
+        idCol, vecCol)
+      .groupBy(col("pq_id"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    // per-query LUT: lut[sub][code] = <q_sub, c_v> — nested array
+    // built once per query, m·k doubles
+    val luts = subvectors(normalize(queries, idCol, vecCol), m, dsub,
+        idCol, vecCol)
+      .join(broadcast(cb), "sub")
+      .withColumn("__ip", dot(col("sv"), col("c_v")))
+      .groupBy(col("pq_id"), col("sub"))
+      .agg(transform(sort_array(collect_list(struct(col("code"), col("__ip")))),
+        s => s.getField("__ip")).as("__row"))
+      .groupBy(col("pq_id"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("__row")))),
+        s => s.getField("__row")).as("lut"))
+      .select(col("pq_id").as("q_id"), col("lut"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("pq_id"))
+    val shortlist = codes.crossJoin(broadcast(luts))
+      .filter(col("pq_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= k * rerank)
+      .select(col("q_id"), col("pq_id").as("n_id"))
+    // exact re-rank: raw vectors only for the shortlist (broadcast —
+    // |Q|·k·rerank rows), scored with the codegen dot
+    val cwn = withNorm(corpus, idCol, vecCol, "b")
+    val qwn = withNorm(queries, idCol, vecCol, "q")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    cwn.join(broadcast(shortlist), col("b_id") === col("n_id"))
+      .join(broadcast(qwn), "q_id")
+      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("b_v"))
+        / (col("q_norm") * col("b_norm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** All ordered pairs (a < b) from a sorted bucket-member array —
     * see graft.dedup.Dedup for the groupBy-not-self-join rationale. */
   private def bucketPairs(members: Column): Column =

@@ -137,6 +137,20 @@ class DedupSpec extends AnyFunSuite {
     Caching.releaseAll()
   }
 
+  test("nearDupComponents: iterative path (localEdgeLimit=0) matches " +
+      "the single-task union-find endgame") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("a_id", "b_id")
+    val expect = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val iter = Dedup.nearDupComponents(pairs, localEdgeLimit = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(iter == expect)
+    assert(expect(4L) == ((1L, 4L))) // both paths found the chain
+    Caching.releaseAll()
+  }
+
   test("nearDupComponents agrees with brute-force closure on the corpus") {
     // at 0.5 the one-word-changed pairs qualify (J = 7/13 ≈ 0.538):
     // 1-2, 2-5, 1-5 collapse to one cluster; 3 and 4 stay absent

@@ -1,0 +1,62 @@
+package graft
+
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the product-quantization tier (q53/q54). The encode
+  * MECHANISM is oracle-checked by q53 (DuckDB derives the same
+  * codebook and must agree code-for-code); these tests gate the
+  * QUALITY properties the oracle can't see: Lloyd training actually
+  * reduces quantization error, and compressed-domain ADC search
+  * still finds the true neighbors on the hardest (near-isotropic)
+  * fixture data. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pqEncode: m rows per vector, codes within [0, k)") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = VectorOps.pqCodebookDeterministic(spark, 8, 16, 8)
+    val enc = VectorOps.pqEncode(emb, cb, 8, 8)
+    val n = emb.count()
+    assert(enc.count() == n * 8)
+    val bad = enc.filter(col("code") < 0 || col("code") >= 16).count()
+    assert(bad == 0)
+    val perVec = enc.groupBy(col("pq_id")).agg(countDistinct(col("sub"))
+      .as("s")).filter(col("s") =!= 8).count()
+    assert(perVec == 0)
+  }
+
+  test("pqTrain reduces total quantization error vs the random codebook") {
+    val emb = VectorOps.normalize(Tables.embeddings(spark, dir))
+    def totalErr(cb: org.apache.spark.sql.DataFrame, m: Int, dsub: Int) =
+      VectorOps.pqEncode(emb, cb, m, dsub)
+        .agg(sum(col("err2"))).collect()(0).getDouble(0)
+    val rnd = totalErr(VectorOps.pqCodebookDeterministic(spark, 16, 16, 4),
+      16, 4)
+    val trained = totalErr(VectorOps.pqTrain(emb, 16, 16, 4), 16, 4)
+    info(f"PQ err2: random codebook $rnd%.3f, trained $trained%.3f " +
+      f"(ratio ${trained / rnd}%.3f)")
+    assert(trained < rnd,
+      f"Lloyd training must beat the random codebook ($trained%.3f vs $rnd%.3f)")
+    Caching.releaseAll()
+  }
+
+  test("pqAdcTopK recall@3 vs bruteForceTopK on sf0.001") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.bruteForceTopK(emb, queries, 3))
+    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4)
+    val adc = pairs(VectorOps.pqAdcTopK(emb, queries, 3, cb, 16, 4))
+    // measured 0.900 with the default 16× rerank shortlist (pure ADC
+    // ranks at 0.367 on this near-isotropic fixture — the re-rank
+    // stage is what makes compressed search usable at tau this low)
+    val recall = (exact & adc).size.toDouble / exact.size
+    info(f"PQ ADC recall@3 = $recall%.3f (${(exact & adc).size}/${exact.size})")
+    assert(recall >= 0.8, f"PQ ADC recall@3 $recall%.3f below 0.8 gate")
+    Caching.releaseAll()
+  }
+}

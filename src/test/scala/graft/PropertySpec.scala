@@ -171,7 +171,13 @@ class PropertySpec extends AnyFunSuite {
   test("cp keys: positive-scale invariant, base ⊆ probes, band-coded") {
     val dimVec = Gen.chooseNum(2, 64).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(-10.0, 10.0)))
-    check(Prop.forAll(dimVec, Gen.chooseNum(0.001, 100.0)) { (v, a) =>
+    // scale by powers of two only: 2^e·(x+y) == 2^e·x + 2^e·y exactly
+    // in IEEE, so argmax invariance is EXACT. Arbitrary scales are
+    // only almost-always invariant — a near-tie between rotated
+    // coordinates can flip under a*x+a*y vs a*(x+y) rounding, which
+    // made this property flake on unlucky draws.
+    check(Prop.forAll(dimVec, Gen.chooseNum(-8, 8)) { (v, e) =>
+      val a = math.pow(2.0, e)
       v.forall(_ == 0.0) || {
         val base = cpKeys(v, 2, 4, 1)
         val probed = cpKeys(v, 2, 4, 2)
