@@ -702,6 +702,186 @@ object Pipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Gopher-style repetition heuristics (Rae et al. '21 §A1.1 /
+    * RefinedWeb / Dolma rule family): fraction of the doc consumed by
+    * its most frequent word and 2-gram, and the duplicate-3-gram
+    * fraction — the filters LLM pipelines run before training to
+    * drop boilerplate and degenerate repetition. All row-local
+    * (sorted-run fold, no per-doc shuffle); thresholds documented on
+    * the flag column. */
+  val qualityRepetition: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       g2 AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM f),
+       c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+       a2 AS (SELECT doc_id, max(cnt) AS maxg, sum(cnt) AS total
+              FROM c2 GROUP BY 1),
+       w AS (SELECT doc_id, unnest(toks) AS tok FROM f),
+       cw AS (SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY 1, 2),
+       aw AS (SELECT doc_id, max(cnt) AS maxw, sum(cnt) AS n FROM cw
+              GROUP BY 1),
+       g3 AS (SELECT doc_id,
+                len(list_distinct(list_transform(
+                  generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                  AS dist3,
+                len(toks) - 2 AS total3
+              FROM f)
+       SELECT a2.doc_id,
+         floor((maxw::DOUBLE / n) * 1000000 + 0.5) / 1000000
+           AS topword_frac,
+         floor((maxg::DOUBLE / total) * 1000000 + 0.5) / 1000000
+           AS top2gram_frac,
+         floor((1.0 - dist3::DOUBLE / total3) * 1000000 + 0.5) / 1000000
+           AS dup3gram_frac,
+         (maxw::DOUBLE / n <= 0.2 AND maxg::DOUBLE / total <= 0.1
+          AND 1.0 - dist3::DOUBLE / total3 <= 0.6) AS quality_pass
+       FROM a2 JOIN aw ON a2.doc_id = aw.doc_id
+               JOIN g3 ON a2.doc_id = g3.doc_id
+       ORDER BY a2.doc_id""") { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        (TextOps.maxMultiplicity(col("toks")).cast("double")
+          / size(col("toks"))).as("topword"),
+        (TextOps.maxMultiplicity(TextOps.wordGrams(col("toks"), 2))
+          .cast("double") / (size(col("toks")) - 1)).as("top2"),
+        (lit(1.0) - size(array_distinct(TextOps.wordGrams(col("toks"), 3)))
+          .cast("double") / (size(col("toks")) - 2)).as("dup3"))
+    base.select(col("doc_id"),
+        r6(col("topword")).as("topword_frac"),
+        r6(col("top2")).as("top2gram_frac"),
+        r6(col("dup3")).as("dup3gram_frac"),
+        (col("topword") <= 0.2 && col("top2") <= 0.1 &&
+          col("dup3") <= 0.6).as("quality_pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination check (the n-gram-overlap decontamin-
+    * ation step every LLM data pipeline runs — GPT-3 appendix C /
+    * Dolma): docs sharing >= 10 distinct 3-grams with any doc of the
+    * held-out "benchmark" slice (doc_id % 20 == 0 here) are flagged.
+    * Scale shape: benchmark gram sets are tiny by construction →
+    * broadcast; the corpus side streams through one semi-join-shaped
+    * gram match + per-doc count, never doc×doc. */
+  val contaminationCheck: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+             FROM t WHERE len(toks) >= 3),
+       bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+       hits AS (SELECT g.doc_id, count(*) AS n_shared
+                FROM g JOIN bench USING (g)
+                WHERE g.doc_id % 20 <> 0
+                GROUP BY 1)
+       SELECT t.doc_id, COALESCE(hits.n_shared, 0) AS n_shared,
+              COALESCE(hits.n_shared, 0) >= 10 AS contaminated
+       FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+       WHERE t.doc_id % 20 <> 0
+       ORDER BY t.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val grams = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("toks"), 3)).as("g"))
+    val bench = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("g")).distinct()
+    val hits = grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= 10).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top terms per doc (sklearn-style smooth idf =
+    * ln((1+N)/(1+df)) + 1): one corpus-wide df aggregation (bounded
+    * by vocabulary, map-side combined) broadcast back into a
+    * row-local tf pass; ranking on the r6-rounded score so an
+    * ulp-level ln() difference between engines cannot flip ranks.
+    * The canonical feature-extraction step. */
+  val tfidfTopK: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       n AS (SELECT count(*) AS nd FROM t),
+       tf AS (SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok),
+       len AS (SELECT doc_id, len(toks) AS len FROM t),
+       df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM
+                (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+              GROUP BY tok),
+       sc AS (SELECT tf.doc_id, tf.tok,
+                floor(((tf.cnt::DOUBLE / len.len) *
+                  (ln((1.0 + nd) / (1.0 + df.df)) + 1.0))
+                  * 1000000 + 0.5) / 1000000 AS score
+              FROM tf JOIN len ON tf.doc_id = len.doc_id
+                      JOIN df ON tf.tok = df.tok
+                      CROSS JOIN n),
+       r AS (SELECT doc_id, tok, score, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+             FROM sc)
+       SELECT doc_id, tok, score, CAST(rank AS INTEGER) AS rank
+       FROM r WHERE rank <= 3 ORDER BY doc_id, rank""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val nd = docs.count().toDouble
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"), first(col("len")).as("len"))
+    val df = docs
+      .select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score", r6((col("cnt").cast("double") / col("len"))
+        * (log((lit(1.0) + nd) / (lit(1.0) + col("df"))) + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Stratified per-group sampling: a fixed-size, deterministic
+    * sample per stratum (16 docs per lang, smallest md5(doc_id)
+    * first) — the mixture-weighting primitive for assembling
+    * training sets from heterogeneous sources. md5 is the portable
+    * order (content-independent, engine-independent); per-group
+    * top-n is one window shuffle on the stratum key. */
+  val stratifiedSample: QueryDef = QueryDef.sql(
+    """WITH h AS (SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+       FROM documents),
+       r AS (SELECT doc_id, lang, hk, row_number() OVER
+               (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+             FROM h)
+       SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+       FROM r WHERE rk <= 16 ORDER BY lang, rk""") { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 16).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 16)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -730,5 +910,9 @@ object Pipeline {
     "q52_pii_scrub" -> piiScrub,
     "q53_pq_encode" -> pqEncodeDet,
     "q54_pq_adc_topk" -> pqAdc,
+    "q55_quality_repetition" -> qualityRepetition,
+    "q56_contamination_check" -> contaminationCheck,
+    "q57_tfidf_topk" -> tfidfTopK,
+    "q58_stratified_sample" -> stratifiedSample,
   )
 }

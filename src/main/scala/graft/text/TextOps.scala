@@ -113,6 +113,31 @@ object TextOps {
   /** Word n-gram shingles, deduplicated: zip n shifted views of the
     * token array (slice is O(1) per view; no index lambda needed).
     * Requires size(toks) >= n — filter shorter docs upstream. */
+  /** Word n-grams WITHOUT dedup (repetition statistics need the
+    * multiplicities [[shingles]] throws away) — same zipped-slices
+    * construction, row-local. Requires size(toks) >= n. */
+  def wordGrams(toks: Column, n: Int): Column = {
+    val win = size(toks) - lit(n - 1)
+    (1 until n).foldLeft(slice(toks, lit(1), win)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), win),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Highest multiplicity of any element: sort, then fold a
+    * (prev, run, best) state over the runs — O(m log m) row-local,
+    * no explode/groupBy shuffle of per-doc grams. */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(sort_array(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   def shingles(toks: Column, n: Int = 3): Column = {
     val win = size(toks) - lit(n - 1)
     val first = slice(toks, lit(1), win)

@@ -208,6 +208,26 @@ class PropertySpec extends AnyFunSuite {
         s"vec $i: |$x - $y| > ${scales(i.toLong) / 2}")
   }
 
+  test("maxMultiplicity == max groupBy count; wordGrams count law") {
+    val tokGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "ab", "xyz"))
+    val samples = Gen.listOfN(25, tokGen).sample.get
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        TextOps.maxMultiplicity(col("toks")).as("mm"),
+        size(TextOps.wordGrams(col("toks"), 2)).as("n2"),
+        TextOps.wordGrams(col("toks"), 3).as("g3"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[String](3)))).toMap
+    for ((t, i) <- samples.zipWithIndex) {
+      val (mm, n2, g3) = got(i.toLong)
+      assert(mm == t.groupBy(identity).values.map(_.size).max)
+      assert(n2 == t.size - 1)
+      assert(g3 == t.sliding(3).map(_.mkString(" ")).toSeq)
+    }
+  }
+
   test("avg skips nulls: DataFrame avg == manual sum/count of non-nulls") {
     val vals: List[Option[Double]] = Gen.listOfN(200,
       Gen.option(Gen.chooseNum(-100.0, 100.0))).sample.get
