@@ -882,6 +882,69 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Embedding-centroid outlier flagging (the SemDeDup/SimilaritySearch
+    * quality-filter shape): per-label mean vector, cosine of every
+    * embedding to its own centroid, below-centroid docs flagged. The
+    * centroid aggregation is bounded by labels×dims (posexplode +
+    * partial-agg avg), broadcast back into a row-local scoring pass —
+    * the corpus is scanned twice and never shuffled. Portability: the
+    * centroid avg is order-sensitive in the last ulps, but scores are
+    * r6-rounded and components are O(1)-magnitude, so a flip would
+    * need a value within ~1e-15 of a rounding boundary. */
+  val centroidOutliers: QueryDef = QueryDef.sql(
+    """WITH j AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       c AS (SELECT label, i, avg(v[i]) AS m
+             FROM j, (SELECT unnest(generate_series(1, 64)) AS i) g
+             GROUP BY 1, 2),
+       cent AS (SELECT label, list(m ORDER BY i) AS cv FROM c GROUP BY 1),
+       sc AS (SELECT vec_id, j.label,
+                list_dot_product(v, cv)
+                  / (sqrt(list_dot_product(v, v))
+                     * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM j JOIN cent ON j.label = cent.label)
+       SELECT vec_id, label,
+              floor(cos * 1000000 + 0.5) / 1000000 AS centroid_cos,
+              cos < 0.0 AS is_outlier
+       FROM sc ORDER BY vec_id""") { (s, d) =>
+    val j = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+    val cent = j
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("cv"))
+    j.join(broadcast(cent), "label")
+      .withColumn("cos", VectorOps.dot(col("v"), col("cv"))
+        / (VectorOps.norm(col("v")) * VectorOps.norm(col("cv"))))
+      .select(col("vec_id"), col("label"),
+        r6(col("cos")).as("centroid_cos"),
+        (col("cos") < 0.0).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Misra-Gries heavy hitters (k=31 → tokens with freq > n/32):
+    * bounded map-side sketch state + exact candidate recount — the
+    * frequent-token query that does NOT shuffle the vocabulary (q50
+    * does; at 100 TB vocabulary-sized shuffles are the bottleneck).
+    * The 2-pass design makes the output EXACT (candidates are a
+    * guaranteed superset; recount + integer threshold filters them),
+    * so it hash-compares against DuckDB's exact counts. */
+  val heavyHittersQ: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                  FROM documents),
+       n AS (SELECT count(*) AS n FROM w),
+       c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1)
+       SELECT tok, cnt FROM c, n WHERE cnt * 32 > n
+       ORDER BY cnt DESC, tok""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    graft.text.HeavyHitters.heavyHitters(toks, 31)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -914,5 +977,7 @@ object Pipeline {
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,
     "q58_stratified_sample" -> stratifiedSample,
+    "q59_centroid_outliers" -> centroidOutliers,
+    "q60_heavy_hitters" -> heavyHittersQ,
   )
 }

@@ -228,6 +228,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters == exact tokens above n/(k+1) on skewed streams") {
+    // zipf-ish skew + many partitions: the union-of-partition-
+    // candidates superset guarantee is what's under test — a token
+    // frequent globally but diluted per partition must still surface
+    val gen = Gen.frequency(
+      8 -> Gen.const("hot1"), 5 -> Gen.const("hot2"),
+      3 -> Gen.const("warm"),
+      10 -> Gen.chooseNum(0, 400).map("cold" + _))
+    val toks = Gen.listOfN(4000, gen).sample.get
+    val df = toks.map(Tuple1(_)).toDF("tok").repartition(16)
+    for (k <- Seq(3, 8, 31)) {
+      val got = graft.text.HeavyHitters.heavyHitters(df, k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = toks.groupBy(identity).map { case (t, l) =>
+        t -> l.size.toLong }
+      val expect = counts.filter { case (_, c) => c * (k + 1) > toks.size }
+      assert(got == expect, s"k=$k")
+    }
+  }
+
   test("avg skips nulls: DataFrame avg == manual sum/count of non-nulls") {
     val vals: List[Option[Double]] = Gen.listOfN(200,
       Gen.option(Gen.chooseNum(-100.0, 100.0))).sample.get
