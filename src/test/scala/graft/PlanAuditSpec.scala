@@ -41,6 +41,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("curation tier joins broadcast their small sides (q56/q57/q60)") {
+    // benchmark gram set, vocabulary df table, MG candidate set — all
+    // bounded-small relations that must broadcast, never shuffle the
+    // corpus side into a sort-merge join
+    for (q <- Seq("q56_contamination_check", "q57_tfidf_topk",
+        "q60_heavy_hitters")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!plan.contains("SortMergeJoin"), s"$q plans SMJ")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+    }
+  }
+
+  test("q55/q59 are shuffle-minimal: no joins beyond the declared ones") {
+    // q55 is fully row-local after the scan (one final sort only)
+    val p55 = executedPlan("q55_quality_repetition")
+    assert(!p55.contains("Join"), "q55 must stay row-local")
+    // q59's only join is the broadcast of labels×dims centroids
+    val p59 = executedPlan("q59_centroid_outliers")
+    assert(p59.contains("BroadcastHashJoin"))
+    assert(!p59.contains("SortMergeJoin"))
+  }
+
   test("q03's p99 threshold stays in-plan: construction runs no jobs") {
     // the reference's approxQuantile round-trips through the driver
     // (an aggregation job at build time); our form joins a one-row
