@@ -121,6 +121,25 @@ object Profile {
         .collect().foreach(r => println(
           s"[scale] shard pair block ${r.getLong(0)}x${r.getLong(1)}: " +
             r.getLong(2)))
+      // PQ at 10×: compressed-domain ADC search vs the broadcast-exact
+      // baseline, same corpus, same queries — records the time AND the
+      // measured recall@3 so the compression/recall trade is on file
+      val q10 = bigEmb.filter(col("vec_id") < 10)
+      def topkPairs(df: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        val s = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        Caching.releaseAll(); spark.catalog.clearCache(); s
+      }
+      timeCount("pq adc topk k=3 rerank=16 (q54 shape)")(
+        V.pqAdcTopK(bigEmb, q10, 3,
+          V.pqTrain(V.normalize(bigEmb), 16, 16, 4, 1), 16, 4))
+      timeCount("brute topk k=3 (q32 exact baseline)")(
+        V.bruteForceTopK(bigEmb, q10, 3))
+      val exactTk = topkPairs(V.bruteForceTopK(bigEmb, q10, 3))
+      val adcTk = topkPairs(V.pqAdcTopK(bigEmb, q10, 3,
+        V.pqTrain(V.normalize(bigEmb), 16, 16, 4, 1), 16, 4))
+      println(f"[scale] pq adc recall@3 at n=20k: " +
+        f"${(exactTk & adcTk).size.toDouble / exactTk.size}%.3f " +
+        f"(${(exactTk & adcTk).size}/${exactTk.size})")
       Caching.releaseAll()
       spark.stop()
       return
