@@ -93,6 +93,51 @@ object Multimodal {
     buf.array()
   }
 
+  /** Canonical PCM-16 WAV with a deterministic square wave (period
+    * `period` frames, amplitude `amp`): every sample is exactly ±amp,
+    * so window RMS is exactly amp/32768 — feature extraction gets an
+    * analytically-known target (no float tolerance needed). */
+  def encodeWavSquare(sampleRate: Int, numFrames: Int, period: Int,
+      amp: Short): Array[Byte] = {
+    val silent = encodeWav(1, sampleRate, 16, numFrames)
+    val buf = ByteBuffer.wrap(silent).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < numFrames) {
+      val s = if ((i / (period / 2)) % 2 == 0) amp else (-amp).toShort
+      buf.putShort(44 + 2 * i, s)
+      i += 1
+    }
+    silent
+  }
+
+  /** Windowed RMS energy over a canonical PCM-16 mono WAV payload:
+    * split the sample stream into `nWindows` equal spans, RMS each,
+    * normalized to [0,1] by full scale (32768). The audio analogue
+    * of the byte-histogram image feature — the row-local "feature
+    * extract" stage a speech/audio curation pipeline runs before
+    * filtering (silence/clipping detection, VAD thresholds). */
+  def wavRmsWindows(payload: Array[Byte], nWindows: Int): Array[Float] =
+    decodeWavMeta(payload) match {
+      case Some((channels, _, bits)) if channels == 1 && bits == 16 &&
+          payload.length > 44 =>
+        val buf = leBuffer(payload)
+        val n = (payload.length - 44) / 2
+        val out = new Array[Float](nWindows)
+        var w = 0
+        while (w < nWindows) {
+          val lo = (n.toLong * w / nWindows).toInt
+          val hi = (n.toLong * (w + 1) / nWindows).toInt
+          var acc = 0.0; var i = lo
+          while (i < hi) { val s = buf.getShort(44 + 2 * i).toDouble
+            acc += s * s; i += 1 }
+          out(w) = if (hi > lo)
+            (math.sqrt(acc / (hi - lo)) / 32768.0).toFloat else 0f
+          w += 1
+        }
+        out
+      case _ => Array.fill(nWindows)(0f)
+    }
+
   /** Real nearest-neighbor resize of a 24-bpp BMP payload — decode
     * dims from the header, sample source pixels (bottom-up rows,
     * 4-byte row padding respected), re-encode. Pure JVM; used via
@@ -190,6 +235,20 @@ object Multimodal {
         (id, resizeBmp(bytes, w, h))
       })
       .toDF("doc_id", "payload")
+  }
+
+  /** Batch audio feature stage: RMS windows per WAV payload via
+    * mapPartitions (same shape as [[decodeFeatures]] — payloads
+    * never leave the executors; decode amortized per partition). */
+  def audioRmsStage(payloads: DataFrame, nWindows: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val rms = wavRmsWindows(bytes, nWindows)
+        (id, rms, rms.max)
+      })
+      .toDF("doc_id", "rms_windows", "rms_peak")
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" and

@@ -945,6 +945,37 @@ object Pipeline {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Audio feature extraction under the oracle: synthesize a REAL
+    * PCM-16 WAV per doc (square wave, amplitude = f(doc_id)), batch-
+    * decode through Multimodal.audioRmsStage (mapPartitions — bytes
+    * never leave executors), window-RMS each. The oracle never
+    * parses WAV: a square wave's RMS is analytically amp/32768, and
+    * the whole chain (integer sample², sum < 2^53, exact mean,
+    * correctly-rounded sqrt of a perfect square, power-of-two
+    * divide, float32 narrowing) is IEEE-EXACT — so DuckDB computes
+    * the closed form and the hash must match bit-for-bit. Real
+    * decode, analytic verification. */
+  val audioRms: QueryDef = QueryDef.sql(
+    """WITH d AS (SELECT doc_id, doc_id * 7 % 20000 + 1000 AS amp
+                  FROM documents),
+       w AS (SELECT doc_id, amp, unnest(range(4)) AS win FROM d)
+       SELECT doc_id, CAST(win AS INTEGER) AS win,
+              CAST(CAST(amp / 32768.0 AS FLOAT) AS DOUBLE) AS rms
+       FROM w ORDER BY doc_id, win""") { (s, d) =>
+    import s.implicits._
+    val wavs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeWavSquare(8000, 800, 8,
+          (id * 7 % 20000 + 1000).toShort))
+      }).toDF("doc_id", "payload")
+    Multimodal.audioRmsStage(wavs, 4)
+      .select(col("doc_id"),
+        posexplode(col("rms_windows")).as(Seq("win", "rms")))
+      .select(col("doc_id"), col("win"),
+        col("rms").cast("double").as("rms"))
+      .orderBy(col("doc_id"), col("win"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -979,5 +1010,6 @@ object Pipeline {
     "q58_stratified_sample" -> stratifiedSample,
     "q59_centroid_outliers" -> centroidOutliers,
     "q60_heavy_hitters" -> heavyHittersQ,
+    "q61_audio_rms" -> audioRms,
   )
 }

@@ -136,6 +136,32 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: pair every left event with the
+    * right-side events of the same user that occur within
+    * `withinMinutes` AFTER it. Both sides carry watermarks and the
+    * join predicate bounds right.ts to [left.ts, left.ts + within] —
+    * the time-range condition is what lets Spark's streaming join
+    * evict state: buffered rows age out once the watermark passes
+    * their join window (unbounded-state joins are rejected in
+    * append mode). The micro-batch incremental form of the batch
+    * range join (q23). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      withinMinutes: Int = 5, watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("l_id") =!= col("r_id"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Stream into any batch [[graft.sources.Sink]] via foreachBatch —
     * micro-batches append through the same sink abstraction the
     * batch pipeline uses (the streaming analogue of the reference's

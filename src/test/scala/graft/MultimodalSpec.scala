@@ -75,6 +75,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert((f.width, f.height) == (4, 3))
   }
 
+  test("wavRmsWindows: square wave RMS is exactly amp/32768; " +
+      "silence is 0; non-WAV degrades to zeros") {
+    val sq = Multimodal.encodeWavSquare(8000, 800, 8, 16384)
+    val rms = Multimodal.wavRmsWindows(sq, 4)
+    assert(rms.length == 4)
+    // every sample is ±16384 → RMS exactly 16384/32768 = 0.5
+    assert(rms.forall(_ == 0.5f), rms.toSeq.toString)
+    val silent = Multimodal.encodeWav(1, 8000, 16, 800)
+    assert(Multimodal.wavRmsWindows(silent, 4).forall(_ == 0f))
+    assert(Multimodal.wavRmsWindows("not audio".getBytes, 3).toSeq ==
+      Seq(0f, 0f, 0f))
+  }
+
+  test("audioRmsStage: per-partition batch decode, peak column") {
+    val df = Seq(
+      (1L, Multimodal.encodeWavSquare(8000, 800, 8, 16384)),
+      (2L, Multimodal.encodeWav(1, 8000, 16, 800))) // silence
+      .toDF("doc_id", "payload").repartition(2)
+    val got = Multimodal.audioRmsStage(df, 4).collect()
+      .map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    assert(got(1L) == 0.5f)
+    assert(got(2L) == 0f)
+  }
+
   test("sampleFrames: stride-2 sampling of 8-byte frames") {
     val frames = Multimodal.sampleFrames(payloads, frameBytes = 8, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1),

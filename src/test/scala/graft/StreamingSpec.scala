@@ -39,6 +39,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream result equals the batch range join") {
+    val q = StreamOps.runToMemory(
+      StreamOps.intervalJoin(
+        StreamOps.eventsStream(spark, dir),
+        StreamOps.eventsStream(spark, dir), withinMinutes = 5),
+      "ij", OutputMode.Append())
+    try {
+      val streamed = spark.table("ij")
+        .select(col("l_id"), col("r_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val l = e.select(col("user_id").as("u"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      val r = e.select(col("user_id").as("u"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      val batch = l.join(r, Seq("u"))
+        .filter(col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES") &&
+          col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty, "fixture must exercise the join window")
+    } finally q.stop()
+  }
+
   test("streamToSink: micro-batches append through the Sink trait") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stream = StreamOps.eventsStream(spark, dir)
