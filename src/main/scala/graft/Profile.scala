@@ -134,6 +134,22 @@ object Profile {
           V.pqTrain(V.normalize(bigEmb), 16, 16, 4, 1), 16, 4))
       timeCount("brute topk k=3 (q32 exact baseline)")(
         V.bruteForceTopK(bigEmb, q10, 3))
+      // deployed regime: codes prebuilt once (the persisted index),
+      // searches amortize it — time search-only against the same cb
+      val cbOnce = V.pqTrain(V.normalize(bigEmb), 16, 16, 4, 1)
+        .persist()
+      cbOnce.count()
+      val codesOnce = V.pqCodes(bigEmb, cbOnce, 16, 4).persist()
+      codesOnce.count()
+      val searchRuns = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = V.pqAdcTopKFromCodes(codesOnce, bigEmb, q10, 3, cbOnce,
+          16, 4).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[scale] pq adc search-only (prebuilt codes)     " +
+        f"rows=${searchRuns.head._1}%9d ${searchRuns.map(_._2).min}%8.2f s")
+      cbOnce.unpersist(); codesOnce.unpersist()
       val exactTk = topkPairs(V.bruteForceTopK(bigEmb, q10, 3))
       val adcTk = topkPairs(V.pqAdcTopK(bigEmb, q10, 3,
         V.pqTrain(V.normalize(bigEmb), 16, 16, 4, 1), 16, 4))

@@ -488,6 +488,14 @@ object VectorOps {
       else math.max(1L, base.count() / trainTarget)
     val sampled = if (mod > 1)
       base.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0) else base
+    // Sampled training fits ONE task (≈trainTarget rows): run the
+    // whole Lloyd fit in a single executor-side pass — the same
+    // contraction-endgame reasoning as Dedup.nearDupComponents
+    // (per-round joins over ~1k rows are pure scheduler overhead,
+    // measured ~1.5 s of the q54 total). The distributed loop below
+    // remains the full-corpus path (trainTarget <= 0).
+    if (trainTarget > 0) return trainLocal(sampled, m, k, dsub, iters,
+      idCol, vecCol)
     val sv = graft.Caching.retain(
       subvectors(spread(sampled), m, dsub, idCol, vecCol)
         .withColumn("__sv2", dot(col("sv"), col("sv")))
@@ -524,7 +532,121 @@ object VectorOps {
               (acc, a) => acc + element_at(a, i + 1))
               / size(col("__cell"))).as("c_v"))
     }
-    cb
+    // re-densify codes: an emptied cell leaves a gap in the id space,
+    // and downstream positional indexing (ADC LUT rows) requires
+    // codes contiguous 0..k'-1 per subspace
+    cb.withColumn("code",
+      (row_number().over(Window.partitionBy(col("sub"))
+        .orderBy(col("code"))) - 1).as("code"))
+  }
+
+  /** Single-task Lloyd fit over a collected-in-one-partition sample:
+    * deterministic seed order (xxhash64 of id, then id), ascending-
+    * index argmin ties, empty cells dropped and codes re-densified.
+    * One Spark job, no per-round scheduling. */
+  private def trainLocal(sampled: DataFrame, m: Int, k: Int, dsub: Int,
+      iters: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = sampled.sparkSession
+    import spark.implicits._
+    sampled.select(col(idCol).cast("long").as("id"),
+        xxhash64(col(idCol)).as("h"),
+        toDouble(col(vecCol)).as("v"))
+      .as[(Long, Long, Seq[Double])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(r => (r._2, r._1))
+        val vecs = rows.map(_._3.toArray)
+        val out = Seq.newBuilder[(Int, Int, Seq[Double])]
+        var sub = 0
+        while (sub < m && vecs.nonEmpty) {
+          val svs = vecs.map(v =>
+            java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+          var cents = svs.take(k).map(_.clone())
+          for (_ <- 1 to iters) {
+            val sums = Array.fill(cents.length)(new Array[Double](dsub))
+            val cnts = new Array[Long](cents.length)
+            svs.foreach { s =>
+              var best = 0; var bd = Double.MaxValue; var j = 0
+              while (j < cents.length) {
+                var d = 0.0; var i = 0
+                while (i < dsub) {
+                  val t = s(i) - cents(j)(i); d += t * t; i += 1 }
+                if (d < bd) { bd = d; best = j }
+                j += 1
+              }
+              cnts(best) += 1
+              var i = 0
+              while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+            }
+            cents = cents.indices.iterator.filter(cnts(_) > 0).map { j =>
+              val a = new Array[Double](dsub)
+              var i = 0
+              while (i < dsub) { a(i) = sums(j)(i) / cnts(j); i += 1 }
+              a
+            }.toArray
+          }
+          cents.zipWithIndex.foreach { case (c, j) =>
+            out += ((sub, j, c.toSeq)) }
+          sub += 1
+        }
+        out.result().iterator
+      }
+      .toDF("sub", "code", "c_v")
+  }
+
+  /** Executor-side PQ encode with the codebook as a closure: the
+    * SAME expanded-form IEEE terms, in the SAME order, as the
+    * declarative [[pqEncode]] (PqSpec asserts exact row equality) —
+    * but one tight-loop scan instead of an n·m×k broadcast join +
+    * struct-min groupBy (the join shape measured 0.9 s at sf0.1 and
+    * dominated the 10× scale run). Requires contiguous codes. */
+  def pqEncodeLocal(df: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = collectCodebook(codebook, m)
+    val c2 = cb.map(_.map { cv =>
+      var acc = 0.0; var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      acc
+    })
+    df.select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, vseq) =>
+        val v = vseq.toArray
+        (0 until m).iterator.map { sub =>
+          var sv2 = 0.0
+          var i = 0
+          while (i < dsub) { val x = v(sub * dsub + i); sv2 += x * x; i += 1 }
+          var bestCode = -1; var bestD2 = Double.MaxValue
+          val codes = cb(sub)
+          var j = 0
+          while (j < codes.length) {
+            val cv = codes(j)
+            var ip = 0.0; i = 0
+            while (i < dsub) { ip += v(sub * dsub + i) * cv(i); i += 1 }
+            val d2 = sv2 + c2(sub)(j) - 2.0 * ip
+            if (d2 < bestD2) { bestD2 = d2; bestCode = j }
+            j += 1
+          }
+          (id, sub, bestCode, bestD2)
+        }
+      })
+      .toDF("pq_id", "sub", "code", "err2")
+  }
+
+  /** Collect a (sub, code, c_v) codebook into cb(sub)(code) arrays —
+    * requires contiguous codes per sub (both train paths densify). */
+  private def collectCodebook(codebook: DataFrame,
+      m: Int): Array[Array[Array[Double]]] = {
+    val rows = codebook.collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(m) { sub =>
+      bySub.getOrElse(sub, Array.empty)
+        .sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
   }
 
   /** ADC (asymmetric distance) top-k with exact re-ranking: corpus
@@ -542,41 +664,136 @@ object VectorOps {
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebook: DataFrame, m: Int, dsub: Int, rerank: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = graft.Caching.retain(codebook.persist())
-    cb.count()
-    // normalized corpus → codes: reconstructed vectors approximate
-    // unit vectors, so the summed inner products approximate cosine
-    val codes = pqEncode(normalize(corpus, idCol, vecCol), cb, m, dsub,
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the codebook and the per-query LUTs are bounded-small (m·k·dsub
+    // and |Q|·m·k doubles) — collect both and ship them as task
+    // closures, exactly like a broadcast build. The whole ADC stage
+    // is then ONE fused corpus scan: normalize → encode → LUT-sum per
+    // query, emitting |Q| scored rows per corpus row. No encode join,
+    // no nested-array lambdas, no intermediate relations.
+    val cb = collectCodebook(codebook, m)
+    val c2 = cb.map(_.map { cv =>
+      var acc = 0.0; var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      acc
+    })
+    val qRows = normalize(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])].collect()
+    // lut(q)(sub)(code) = <q_sub, c_v>
+    val qIds = qRows.map(_._1)
+    val luts = qRows.map { case (_, qv) =>
+      val q = qv.toArray
+      Array.tabulate(m) { sub =>
+        cb(sub).map { cv =>
+          var ip = 0.0; var i = 0
+          while (i < dsub) { ip += q(sub * dsub + i) * cv(i); i += 1 }
+          ip
+        }
+      }
+    }
+    val scored = normalize(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col(vecCol))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val codeBuf = new Array[Int](m)
+        it.flatMap { case (id, vseq) =>
+          val v = vseq.toArray
+          var sub = 0
+          while (sub < m) {
+            var sv2 = 0.0; var i = 0
+            while (i < dsub) { val x = v(sub * dsub + i); sv2 += x * x
+              i += 1 }
+            var bestCode = 0; var bestD2 = Double.MaxValue
+            val codes = cb(sub); var j = 0
+            while (j < codes.length) {
+              val cv = codes(j)
+              var ip = 0.0; i = 0
+              while (i < dsub) { ip += v(sub * dsub + i) * cv(i); i += 1 }
+              val d2 = sv2 + c2(sub)(j) - 2.0 * ip
+              if (d2 < bestD2) { bestD2 = d2; bestCode = j }
+              j += 1
+            }
+            codeBuf(sub) = bestCode
+            sub += 1
+          }
+          qIds.indices.iterator.collect {
+            case qi if qIds(qi) != id =>
+              val lut = luts(qi)
+              var adc = 0.0; var s = 0
+              while (s < m) { adc += lut(s)(codeBuf(s)); s += 1 }
+              (qIds(qi), id, adc)
+          }
+        }
+      }
+      .toDF("q_id", "n_id", "adc")
+    adcShortlistRerank(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** Search over a PREBUILT code relation (pq_id, codes array<int>) —
+    * the deployed regime: the 16×-compressed index is encoded once
+    * ([[pqCodes]]) and amortized over every query; a search touches
+    * only codes + the shortlist's raw vectors. */
+  def pqAdcTopKFromCodes(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, codebook: DataFrame, m: Int, dsub: Int,
+      rerank: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = collectCodebook(codebook, m)
+    val qRows = normalize(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])].collect()
+    val qIds = qRows.map(_._1)
+    val luts = qRows.map { case (_, qv) =>
+      val q = qv.toArray
+      Array.tabulate(m) { sub =>
+        cb(sub).map { cv =>
+          var ip = 0.0; var i = 0
+          while (i < dsub) { ip += q(sub * dsub + i) * cv(i); i += 1 }
+          ip
+        }
+      }
+    }
+    val scored = codes.select(col("pq_id").cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions(_.flatMap { case (id, cs) =>
+        val c = cs.toArray
+        qIds.indices.iterator.collect {
+          case qi if qIds(qi) != id =>
+            val lut = luts(qi)
+            var adc = 0.0; var s = 0
+            while (s < m) { adc += lut(s)(c(s)); s += 1 }
+            (qIds(qi), id, adc)
+        }
+      })
+      .toDF("q_id", "n_id", "adc")
+    adcShortlistRerank(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** (pq_id, codes array<int>) index relation from the local encode —
+    * the artifact a vector store persists next to the raw corpus. */
+  def pqCodes(df: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncodeLocal(normalize(df, idCol, vecCol), codebook, m, dsub,
         idCol, vecCol)
       .groupBy(col("pq_id"))
       .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
-    // per-query LUT: lut[sub][code] = <q_sub, c_v> — nested array
-    // built once per query, m·k doubles
-    val luts = subvectors(normalize(queries, idCol, vecCol), m, dsub,
-        idCol, vecCol)
-      .join(broadcast(cb), "sub")
-      .withColumn("__ip", dot(col("sv"), col("c_v")))
-      .groupBy(col("pq_id"), col("sub"))
-      .agg(transform(sort_array(collect_list(struct(col("code"), col("__ip")))),
-        s => s.getField("__ip")).as("__row"))
-      .groupBy(col("pq_id"))
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("__row")))),
-        s => s.getField("__row")).as("lut"))
-      .select(col("pq_id").as("q_id"), col("lut"))
+
+  /** Shared tail of the ADC searches: per-query shortlist of the top
+    * k·rerank ADC scores, then exact-cosine re-rank of only those
+    * rows (raw vectors broadcast-joined for |Q|·k·rerank ids). */
+  private def adcShortlistRerank(scored: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val wAdc = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").desc, col("pq_id"))
-    val shortlist = codes.crossJoin(broadcast(luts))
-      .filter(col("pq_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("lut"),
-          (c, l) => element_at(l, c.cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("adc").desc, col("n_id"))
+    val shortlist = scored
       .withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= k * rerank)
-      .select(col("q_id"), col("pq_id").as("n_id"))
-    // exact re-rank: raw vectors only for the shortlist (broadcast —
-    // |Q|·k·rerank rows), scored with the codegen dot
+      .select(col("q_id"), col("n_id"))
     val cwn = withNorm(corpus, idCol, vecCol, "b")
     val qwn = withNorm(queries, idCol, vecCol, "q")
     val w = Window.partitionBy(col("q_id"))

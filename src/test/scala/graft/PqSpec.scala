@@ -28,6 +28,35 @@ class PqSpec extends AnyFunSuite {
     assert(perVec == 0)
   }
 
+  test("pqEncodeLocal matches the declarative pqEncode row-for-row " +
+      "(same IEEE terms, same order, same ties)") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = VectorOps.pqCodebookDeterministic(spark, 8, 16, 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    val decl = rows(VectorOps.pqEncode(emb, cb, 8, 8))
+    val local = rows(VectorOps.pqEncodeLocal(emb, cb, 8, 8))
+    assert(local == decl)
+  }
+
+  test("pqAdcTopKFromCodes (prebuilt index) equals the fused search") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4)
+      .persist()
+    cb.count()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fused = rows(VectorOps.pqAdcTopK(emb, queries, 3, cb, 16, 4))
+    val fromCodes = rows(VectorOps.pqAdcTopKFromCodes(
+      VectorOps.pqCodes(emb, cb, 16, 4), emb, queries, 3, cb, 16, 4))
+    assert(fused == fromCodes)
+    cb.unpersist()
+    Caching.releaseAll()
+  }
+
   test("pqTrain reduces total quantization error vs the random codebook") {
     val emb = VectorOps.normalize(Tables.embeddings(spark, dir))
     def totalErr(cb: org.apache.spark.sql.DataFrame, m: Int, dsub: Int) =
