@@ -308,6 +308,23 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Quantile sketch: approx p50/p90/p99 of event value per type
+    * via approx_percentile (Greenwald-Khanna ε-summary — mergeable
+    * partial sketches, the one-pass distributed shape; an exact
+    * percentile needs a full sort or q03's two-pass trick). Sketch
+    * output is accuracy-parameter-specific → rows-only; SketchSpec
+    * gates each estimate inside the ±ε rank window vs the exact
+    * distribution. */
+  val approxQuantiles: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_percentile(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+      .select(col("event_type"),
+        col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** Backward as-of join over events: for each even-id event, the
     * latest odd-id event at or before it for the same user (rights
     * deduped to one per (user, ts) by max event_id so tie semantics
@@ -340,6 +357,52 @@ object Relational {
       .orderBy(col("user_id"), col("l_id"))
   }
 
+  /** Bloom-pruned semi-join (graft.ops.BloomJoin — the explicit form
+    * of Spark's injected runtime filter): events of users who ever
+    * purchased, with the fact side pre-filtered map-side through the
+    * purchase-users bloom BEFORE its shuffle. The bloom admits false
+    * positives only, the exact join removes them → result == plain
+    * join, hash-checked against DuckDB's plain join. */
+  val bloomJoin: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')
+       SELECT e.event_id, e.user_id, e.event_type
+       FROM events e JOIN u ON e.user_id = u.user_id
+       ORDER BY e.event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id")).distinct()
+    graft.ops.BloomJoin.bloomPrunedJoin(
+        ev.select(col("event_id"), col("user_id"), col("event_type")),
+        buyers, "user_id", "buyer_id",
+        estItems = 100000L, numBits = 1L << 20)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Salted skew-safe join (graft.ops.Skew.saltedJoin): per-event
+    * lookup of the user's purchase count through a (key, salt)
+    * shuffle — a hot user spreads over 16 reducers instead of
+    * stalling one. Exact: each fact row meets exactly one replica →
+    * hash-equal to the plain join the oracle runs. */
+  val saltedJoinQ: QueryDef = QueryDef.sql(
+    """WITH pc AS (SELECT user_id, count(*) AS n_purchases
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id)
+       SELECT e.event_id, e.user_id, pc.n_purchases
+       FROM events e JOIN pc ON e.user_id = pc.user_id
+       ORDER BY e.event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val counts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pc_user"))
+      .agg(count(lit(1)).as("n_purchases"))
+    graft.ops.Skew.saltedJoin(
+        ev.select(col("event_id"), col("user_id")), counts,
+        "user_id", "pc_user", rowIdCol = "event_id", salts = 16)
+      .select(col("event_id"), col("user_id"), col("n_purchases"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -358,5 +421,8 @@ object Relational {
     "q42_correlated_subquery" -> correlatedSubquery,
     "q43_approx_distinct" -> approxDistinct,
     "q44_asof_join" -> asofJoin,
+    "q62_bloom_join" -> bloomJoin,
+    "q63_salted_join" -> saltedJoinQ,
+    "q64_approx_quantiles" -> approxQuantiles,
   )
 }

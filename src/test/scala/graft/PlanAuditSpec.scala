@@ -72,10 +72,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // so the gate is: q03 construction runs no MORE jobs than a
     // plain scan query's construction
     val tracker = spark.sparkContext.statusTracker
+    // count NEW job ids, not list length: the status store evicts old
+    // jobs under retention limits, so length deltas go negative when
+    // the whole suite ran first — max job id is monotone and safe
     def jobsDuring(f: => Unit): Int = {
-      val before = tracker.getJobIdsForGroup(null).length
+      def maxId = tracker.getJobIdsForGroup(null)
+        .foldLeft(-1)(math.max)
+      val before = maxId
       f
-      tracker.getJobIdsForGroup(null).length - before
+      maxId - before
     }
     val scanOnly = jobsDuring(
       SparkEntry.queries("q01_demand_heatmap")(spark, dir))

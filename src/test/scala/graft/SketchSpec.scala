@@ -24,6 +24,29 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 approx quantiles sit inside the ±ε rank window per group") {
+    // GK guarantee at accuracy 10000: rank error ≤ n/10000 — assert
+    // each estimate lies between the exact values at q ∓ ε (with a
+    // one-rank slack for boundary arithmetic)
+    val approx = SparkEntry.queries("q64_approx_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val eps = 1.0 / 10000
+    for ((etype, estimates) <- approx) {
+      val vals = Tables.events(spark, dir)
+        .filter(col("event_type") === etype)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      for ((q, est) <- Seq(0.5, 0.9, 0.99).zip(estimates)) {
+        val lo = vals(math.max(0, (((q - eps) * n).floor.toInt - 1)
+          .min(n - 1)))
+        val hi = vals(math.min(n - 1, ((q + eps) * n).ceil.toInt))
+        assert(est >= lo && est <= hi,
+          s"$etype p$q: $est outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("q42 decorrelates: one aggregate + join, no per-row subquery") {
     val df = SparkEntry.queries("q42_correlated_subquery")(spark, dir)
     df.collect()
