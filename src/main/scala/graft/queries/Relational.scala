@@ -403,6 +403,36 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Window-function breadth over one deterministic per-user
+    * ordering (us, event_id — unique, so every rank-family function
+    * is tie-free and engine-portable): lag/lead navigation, ntile
+    * quartiles, percent_rank and cume_dist (both exact rational
+    * arithmetic on identical inputs). One shuffle on user_id, all
+    * five functions share the single sort. */
+  val windowBreadth: QueryDef = QueryDef.sql(
+    """SELECT user_id, event_id,
+       lag(event_id) OVER w AS prev_id,
+       lead(event_id) OVER w AS next_id,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist
+       FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       ORDER BY user_id, event_id""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        ntile(4).over(w).as("quartile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cdist"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -424,5 +454,6 @@ object Relational {
     "q62_bloom_join" -> bloomJoin,
     "q63_salted_join" -> saltedJoinQ,
     "q64_approx_quantiles" -> approxQuantiles,
+    "q65_window_breadth" -> windowBreadth,
   )
 }

@@ -28,6 +28,64 @@ final class ParquetSink(baseDir: String) extends Sink {
     df.write.mode(mode).parquet(s"$baseDir/$table")
 }
 
+/** Keyed upsert ("merge") parquet sink: each write merges the batch
+  * into the existing snapshot — new keys insert, existing keys are
+  * replaced by the incoming row (SCD type-1, the nightly-refresh
+  * pattern). Implementation is the lakehouse-without-a-lakehouse
+  * shape: read current snapshot, anti-join out the keys the batch
+  * replaces, union, write to a fresh directory, atomically swap the
+  * pointer file. At scale the anti-join broadcasts the (small) batch
+  * key set; a real deployment graduates to a format with row-level
+  * deletes (Delta/Iceberg) once batches stop being small — this sink
+  * documents the exact seam where that swap happens.
+  *
+  * The pointer file (`_current`) names the live snapshot directory —
+  * readers resolve it via [[UpsertParquetSink.read]]; the swap is a
+  * rename-free single-file overwrite, so a crashed write leaves the
+  * previous snapshot intact. */
+final class UpsertParquetSink(baseDir: String, keyCols: Seq[String])
+    extends Sink {
+  import org.apache.spark.sql.functions.col
+
+  private def pointer(table: String) =
+    java.nio.file.Paths.get(s"$baseDir/$table/_current")
+
+  private def currentDir(table: String): Option[String] = {
+    val p = pointer(table)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+    val spark = df.sparkSession
+    val merged = (mode, currentDir(table)) match {
+      case (SaveMode.Overwrite, _) | (_, None) => df
+      case (_, Some(dir)) =>
+        val cur = spark.read.parquet(s"$baseDir/$table/$dir")
+        val keys = df.select(keyCols.map(col): _*).distinct()
+        cur.join(org.apache.spark.sql.functions.broadcast(keys),
+            keyCols, "left_anti")
+          .unionByName(df)
+    }
+    val next = s"snap_${System.currentTimeMillis()}_${merged.hashCode()}"
+    merged.write.mode(SaveMode.Overwrite)
+      .parquet(s"$baseDir/$table/$next")
+    java.nio.file.Files.createDirectories(pointer(table).getParent)
+    java.nio.file.Files.write(pointer(table), next.getBytes("UTF-8"))
+  }
+}
+
+object UpsertParquetSink {
+  /** Resolve the live snapshot of an upsert table. */
+  def read(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      table: String): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$baseDir/$table/_current")
+    val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    spark.read.parquet(s"$baseDir/$table/$dir")
+  }
+}
+
 /** Hive-layout partitioned parquet sink: rows land in
   * `table/col=value/` directories, so later reads that filter on the
   * partition columns scan ONLY the matching directories (partition

@@ -82,6 +82,30 @@ class SinksSpec extends AnyFunSuite {
     assert(bad.count(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))) == 1)
   }
 
+  test("UpsertParquetSink: new keys insert, existing keys replaced, " +
+      "crash-safe pointer swap") {
+    import graft.sources.UpsertParquetSink
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val sink = new UpsertParquetSink(dir, Seq("k"))
+    sink.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t",
+      SaveMode.Append)
+    sink.write(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "t",
+      SaveMode.Append)
+    val got = UpsertParquetSink.read(spark, dir, "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // overwrite semantics reset the snapshot
+    sink.write(Seq((9L, "z")).toDF("k", "v"), "t", SaveMode.Overwrite)
+    assert(UpsertParquetSink.read(spark, dir, "t")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // prior snapshots remain on disk until vacuumed — pointer swap is
+    // the only mutation, so a reader never sees a half-written merge
+    val snaps = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("snap_"))
+    assert(snaps.length >= 3)
+  }
+
   test("ConsoleSink: show() does not throw") {
     new ConsoleSink(5).write(sample, "t", SaveMode.Overwrite)
   }
