@@ -976,6 +976,60 @@ object Pipeline {
       .orderBy(col("doc_id"), col("win"))
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. '23): restrict the
+    * quadratic near-dup search to WITHIN precomputed embedding
+    * clusters (the label column — in production, k-means cells), so
+    * pair cost is Σ cluster² instead of n², then collapse transitive
+    * components and keep the lowest id per component. Composes the
+    * catalog's own operators: label-partitioned exact-cosine pairs →
+    * Dedup.nearDupComponents → keep-one. Oracle: DuckDB recursive
+    * label propagation over the identical within-label pair set.
+    * Output: every vector with its survivor (kept = itself). */
+  val semanticDedup: QueryDef = QueryDef.sql(
+    """WITH RECURSIVE
+       e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+       p AS (SELECT a.vec_id AS u, b.vec_id AS w
+             FROM e a JOIN e b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+             WHERE floor(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)))
+                     * 1000000 + 0.5) / 1000000 >= 0.35),
+       sym AS (SELECT u, w FROM p UNION ALL SELECT w, u FROM p),
+       lbl(u, l) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         UNION
+         SELECT s.w, lbl.l FROM lbl JOIN sym s ON s.u = lbl.u),
+       m AS (SELECT u AS vec_id, min(l) AS keeper FROM lbl GROUP BY u)
+       SELECT e.vec_id,
+              COALESCE(m.keeper, e.vec_id) AS keeper,
+              COALESCE(m.keeper, e.vec_id) = e.vec_id AS kept
+       FROM e LEFT JOIN m ON e.vec_id = m.vec_id
+       ORDER BY e.vec_id""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      VectorOps.toDouble(col("embedding")).as("a_v"))
+      .withColumn("a_norm", VectorOps.norm(col("a_v")))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      VectorOps.toDouble(col("embedding")).as("b_v"))
+      .withColumn("b_norm", VectorOps.norm(col("b_v")))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", r6(VectorOps.dot(col("a_v"), col("b_v"))
+        / (col("a_norm") * col("b_norm"))))
+      .filter(col("cos") >= 0.35)
+      .select(col("a_id"), col("b_id"))
+    val comp = Dedup.nearDupComponents(pairs)
+      .select(col("id").as("vec_id"), col("cluster_id").as("keeper"))
+    e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"),
+        (coalesce(col("keeper"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1011,5 +1065,6 @@ object Pipeline {
     "q59_centroid_outliers" -> centroidOutliers,
     "q60_heavy_hitters" -> heavyHittersQ,
     "q61_audio_rms" -> audioRms,
+    "q66_semantic_dedup" -> semanticDedup,
   )
 }
