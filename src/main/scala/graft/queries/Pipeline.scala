@@ -1030,6 +1030,71 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Feature hashing (Weinberger et al. '09): model-free 128-dim
+    * signed bag-of-words embedding — dim = md5(token) mod 128, sign
+    * from the next hash bits, weights summed with multiplicity. The
+    * text→vector bridge that needs no trained model and no vocabulary
+    * shuffle (row-local until the (doc, dim) partial agg). md5 keeps
+    * the hash engine-portable, integer arithmetic end-to-end → the
+    * oracle recomputes identical sparse vectors. Output: nonzero
+    * (doc_id, dim, w) triples. */
+  val featureHashing: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT doc_id,
+            unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents),
+       h AS (SELECT doc_id,
+            CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 128
+              AS INTEGER) AS dim,
+            CAST(CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) % 2
+              AS INTEGER) * 2 - 1 AS sgn
+          FROM w)
+       SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w
+       FROM h GROUP BY doc_id, dim HAVING sum(sgn) <> 0
+       ORDER BY doc_id, dim""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val dim = (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 128).cast("int")
+    val sgn = (conv(substring(md5(col("tok")), 9, 8), 16, 10)
+      .cast("long") % 2).cast("int") * 2 - 1
+    toks.select(col("doc_id"), dim.as("dim"), sgn.as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  /** Unigram log-probability scoring: per-doc mean log p(token)
+    * under the corpus's own unigram distribution — the cheapest
+    * "model-based" quality signal (a degenerate LM; low scores mark
+    * rare-token soup). Vocabulary-bounded frequency agg broadcast
+    * back into a row-local scoring pass. ln() differs across engines
+    * only in the last ulp; summed over a doc that is ~1e-13, far
+    * inside the r6 rounding. */
+  val unigramLogprob: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT doc_id,
+            unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents),
+       n AS (SELECT count(*) AS n FROM w),
+       f AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+       sc AS (SELECT w.doc_id, ln(f.cnt / (SELECT n FROM n)) AS lp
+              FROM w JOIN f ON w.tok = f.tok)
+       SELECT doc_id,
+              floor(avg(lp) * 1000000 + 0.5) / 1000000 AS mean_logprob,
+              CAST(count(*) AS BIGINT) AS n_tokens
+       FROM sc GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val n = toks.count().toDouble
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(freq), "tok")
+      .withColumn("lp", log(col("cnt") / lit(n)))
+      .groupBy(col("doc_id"))
+      .agg(r6(avg(col("lp"))).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1066,5 +1131,7 @@ object Pipeline {
     "q60_heavy_hitters" -> heavyHittersQ,
     "q61_audio_rms" -> audioRms,
     "q66_semantic_dedup" -> semanticDedup,
+    "q67_feature_hashing" -> featureHashing,
+    "q68_unigram_logprob" -> unigramLogprob,
   )
 }
