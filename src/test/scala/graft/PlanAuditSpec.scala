@@ -64,6 +64,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p59.contains("SortMergeJoin"))
   }
 
+  test("q62 bloom filter prunes BEFORE the join; q63/q66 plan no " +
+      "cross products") {
+    val p62 = executedPlan("q62_bloom_join")
+    assert(p62.contains("might_contain") ||
+      p62.contains("BloomFilterMightContain"),
+      "q62 lost its bloom prefilter")
+    assert(!p62.contains("CartesianProduct"))
+    for (q <- Seq("q63_salted_join", "q66_semantic_dedup")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cross product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans BNLJ")
+    }
+  }
+
   test("q03's p99 threshold stays in-plan: construction runs no jobs") {
     // the reference's approxQuantile round-trips through the driver
     // (an aggregation job at build time); our form joins a one-row
