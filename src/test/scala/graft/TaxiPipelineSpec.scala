@@ -160,6 +160,35 @@ class TaxiPipelineSpec extends AnyFunSuite {
     assert(writes.forall(_._3 > 0))
   }
 
+  test("e2e: nightly re-run through UpsertParquetSink — re-computed " +
+      "zone rows replace, new zones insert") {
+    // the production shape of the reference's nightly persistence:
+    // analytics keyed by zone merge into a snapshot instead of
+    // appending duplicates (reference appends; SURVEY §3.1 notes the
+    // re-run duplication hazard — the upsert sink is the fix)
+    val dir = java.nio.file.Files.createTempDirectory("taxi_upsert")
+      .toFile.getAbsolutePath
+    // zone is the shared key across all seven analytics tables (the
+    // fixture pins every trip to one hour/payment type, so zone is
+    // unique per table row)
+    val sink = new graft.sources.UpsertParquetSink(dir,
+      Seq("PULocationID"))
+    def ts(s: String) = Timestamp.valueOf(s)
+    def night(zones: Seq[Int]) = df(zones.flatMap(z =>
+      Seq.fill(z)(Trip(PULocationID = z,
+        tpep_pickup_datetime = ts("2024-01-15 10:00:00"),
+        tpep_dropoff_datetime = ts("2024-01-15 10:30:00")))): _*)
+    TaxiPipeline.run(night(Seq(1, 2)), sink, overwrite = false)
+    TaxiPipeline.run(night(Seq(2, 3)), sink, overwrite = false)
+    val heat = graft.sources.UpsertParquetSink
+      .read(spark, dir, "demand_heatmap").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // zone 1 survives run 1, zones 2 and 3 come from run 2 (zone 2
+    // REPLACED, not doubled — the append hazard this sink removes)
+    assert(heat == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+    Caching.releaseAll()
+  }
+
   test("e2e: glob-scan of monthly files → clean → run (reference topology)") {
     // the reference's actual composition (cleaning.py:7): glob-read
     // N monthly parquet files, drop null rows, then the analytics
