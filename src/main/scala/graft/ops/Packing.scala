@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay documents end-to-end in a deterministic
+  * order and slice the token stream into fixed-capacity training
+  * windows — the data layout step before LLM training (every doc
+  * gets a global token offset; a doc whose span crosses a window
+  * boundary "straddles" and is split at training time).
+  *
+  * The core primitive is a DISTRIBUTED prefix sum. A naive
+  * `Window.orderBy(order)` with no partition key computes the running
+  * total in ONE task — the classic single-partition collapse. Instead:
+  * range-repartition on the order column (partition i holds strictly
+  * smaller keys than i+1), take one tiny pass for per-partition
+  * totals, prefix-scan those on the driver (numPartitions values),
+  * and broadcast the per-partition base offsets into a
+  * partition-local window — every stage parallel, the only global
+  * object is the numPartitions-sized offset map. */
+object Packing {
+
+  /** Add `offset` = total of `lenCol` over all rows strictly before
+    * each row in `orderCol` order. One range shuffle + one scan. */
+  def withGlobalOffsets(df: DataFrame, orderCol: String, lenCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    // pin the range-partition id as a REAL column at scan time:
+    // spark_partition_id() re-evaluated after any later shuffle (the
+    // window's own exchange) would report the post-shuffle id, not
+    // the range id the driver prefix was computed over
+    val ranged = graft.Caching.retain(
+      df.repartitionByRange(nParts, col(orderCol))
+        .withColumn("__pid", spark_partition_id())
+        .persist())
+    // per-partition totals, prefix-scanned on the driver: a
+    // numPartitions-sized plan constant, not a data-sized one
+    val totals = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(lenCol)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases = (0 until nParts).scanLeft(0L) {
+      (acc, pid) => acc + totals.getOrElse(pid, 0L)
+    }
+    val baseFor = typedLit(bases.dropRight(1))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    ranged.withColumn("offset",
+      element_at(baseFor, col("__pid") + 1) +
+        coalesce(sum(col(lenCol))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pid")
+  }
+
+  /** Pack documents into `capacity`-token windows: per doc, its
+    * global offset, first/last window index, and whether it straddles
+    * a boundary. */
+  def packWindows(df: DataFrame, orderCol: String, lenCol: String,
+      capacity: Int): DataFrame =
+    withGlobalOffsets(df, orderCol, lenCol)
+      .withColumn("bin_first", (col("offset") / capacity).cast("long"))
+      .withColumn("bin_last",
+        ((col("offset") + col(lenCol) - 1) / capacity).cast("long"))
+      .withColumn("straddles", col("bin_first") =!= col("bin_last"))
+}

@@ -1095,6 +1095,35 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (ops.Packing): documents laid end-to-end in
+    * doc_id order, sliced into 512-token training windows — offsets
+    * come from the distributed prefix sum (range partition +
+    * driver-scanned per-partition bases), NOT a single-partition
+    * global window. Oracle: DuckDB's global window cumsum computes
+    * the same offsets; integer arithmetic throughout. */
+  val sequencePacking: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id,
+            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+          FROM documents),
+       o AS (SELECT doc_id, n,
+            CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS "offset"
+          FROM t)
+       SELECT doc_id, n, "offset",
+              CAST("offset" // 512 AS BIGINT) AS bin_first,
+              CAST(("offset" + n - 1) // 512 AS BIGINT) AS bin_last,
+              "offset" // 512 <> ("offset" + n - 1) // 512 AS straddles
+       FROM o ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n"))
+    graft.ops.Packing.packWindows(docs, "doc_id", "n", 512)
+      .select(col("doc_id"), col("n"), col("offset"),
+        col("bin_first"), col("bin_last"), col("straddles"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1133,5 +1162,6 @@ object Pipeline {
     "q66_semantic_dedup" -> semanticDedup,
     "q67_feature_hashing" -> featureHashing,
     "q68_unigram_logprob" -> unigramLogprob,
+    "q69_sequence_packing" -> sequencePacking,
   )
 }

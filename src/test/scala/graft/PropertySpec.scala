@@ -248,6 +248,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalOffsets: distributed prefix sum == local cumsum; " +
+      "no single-partition window") {
+    val lens = Gen.listOfN(300, Gen.chooseNum(1L, 50L)).sample.get
+    val df = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "n").repartition(16) // scrambled input order
+    val got = graft.ops.Packing.withGlobalOffsets(df, "id", "n",
+      partitions = 8)
+    got.collect() // finalize AQE before reading the plan
+    val plan = got.queryExecution.executedPlan.toString
+    // the whole point: the running total must NOT collapse to a
+    // global single-partition window
+    assert(!plan.contains("SinglePartition"),
+      "prefix sum fell back to a single-partition global window")
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    lens.zipWithIndex.foreach { case (n, i) =>
+      assert(rows(i.toLong) == acc, s"offset of row $i")
+      acc += n
+    }
+    Caching.releaseAll()
+  }
+
   test("avg skips nulls: DataFrame avg == manual sum/count of non-nulls") {
     val vals: List[Option[Double]] = Gen.listOfN(200,
       Gen.option(Gen.chooseNum(-100.0, 100.0))).sample.get
