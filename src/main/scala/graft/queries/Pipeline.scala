@@ -1124,6 +1124,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order layout round-trip (sources.ZOrder): events clustered on
+    * (user_id, value) by interleaved z-key, written, then read back
+    * through a 2-D selective filter and aggregated. Layout never
+    * changes content, so the oracle is the same filter+agg straight
+    * off the source table — what this row proves is the full
+    * write→stats-skip→read path; the *skipping* advantage is gated
+    * by ZOrderSpec's measured file-overlap comparison. */
+  val zorderReadback: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(*) AS n,
+         floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+       FROM events
+       WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 20 AND 120
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q70_" +
+      Integer.toHexString(d.hashCode)
+    graft.sources.ZOrder.writeZOrdered(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      Seq("user_id", "value"), dir, numFiles = 32)
+    s.read.parquet(dir)
+      .filter(col("user_id").between(10, 40) &&
+        col("value").between(20, 120))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1163,5 +1190,6 @@ object Pipeline {
     "q67_feature_hashing" -> featureHashing,
     "q68_unigram_logprob" -> unigramLogprob,
     "q69_sequence_packing" -> sequencePacking,
+    "q70_zorder_readback" -> zorderReadback,
   )
 }
