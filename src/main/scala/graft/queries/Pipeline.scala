@@ -1151,6 +1151,106 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** Corpus-level boilerplate removal (text.Boilerplate): every
+    * 8-token chunk occurring ≥2 times across the corpus is dropped
+    * and documents are rebuilt from the survivors — C4/CCNet's
+    * duplicated-span cleaning as one constant-state aggregate (see
+    * the operator scaladoc for why there is no anti-join). Oracle:
+    * the naive dups + NOT IN formulation in DuckDB. */
+  val lineDedup: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       s AS (SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks)-1)//8)) AS i FROM t),
+       ch AS (SELECT doc_id, i AS chunk_idx,
+                array_to_string(toks[(i*8+1):least((i+1)*8, len(toks))],
+                  ' ') AS chunk
+              FROM s),
+       dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) >= 2),
+       kept AS (SELECT * FROM ch
+                WHERE chunk NOT IN (SELECT chunk FROM dup)),
+       reb AS (SELECT doc_id, count(*) AS kept_chunks,
+                 string_agg(chunk, ' ' ORDER BY chunk_idx) AS rebuilt
+               FROM kept GROUP BY 1),
+       tot AS (SELECT doc_id, (len(toks)-1)//8 + 1 AS n_chunks FROM t)
+       SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+         CAST(COALESCE(reb.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+         COALESCE(reb.rebuilt, '') AS rebuilt
+       FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id""") {
+    (s, d) =>
+    graft.text.Boilerplate.removeDuplicatedChunks(
+        Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The curation pipeline END-TO-END as one declarative DAG:
+    * language-ID agreement filter → repetition quality gate → exact
+    * dedup (keep lowest id per fingerprint) → sequence packing of
+    * the survivors. Every stage is an operator the catalog already
+    * verifies in isolation (q27, q55, q29, q69) — this row proves
+    * they COMPOSE in a single plan: the filters are row-local and
+    * fuse into the scan, dedup is one window shuffle, packing's
+    * prefix sum stays distributed. Oracle: the same four stages as
+    * nested DuckDB CTEs. */
+  val curationPipeline: QueryDef = {
+    def duckScore(ms: Seq[String]): String = ms.map { m =>
+      s"(length(p) - length(replace(p, ' $m ', ''))) // ${m.length + 2}"
+    }.mkString(" + ")
+    val cases = langProfiles.map { case (l, _) =>
+      s"WHEN ${l}_score = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    QueryDef.sql(
+      s"""WITH p0 AS (SELECT doc_id, lang, text,
+              ' ' || text || ' ' AS p FROM documents),
+         sc AS (SELECT doc_id, lang, text,
+              ${langProfiles.map { case (l, ms) =>
+                s"CAST(${duckScore(ms)} AS BIGINT) AS ${l}_score" }
+                .mkString(", ")}
+              FROM p0),
+         b AS (SELECT *,
+              greatest(${langProfiles.map(_._1 + "_score").mkString(", ")})
+                AS best FROM sc),
+         langf AS (SELECT doc_id, text FROM b
+                   WHERE (CASE $cases ELSE 'und' END) = lang),
+         q AS (SELECT doc_id, text,
+                 string_split(trim(text), ' ') AS toks FROM langf),
+         qual AS (SELECT doc_id, text, n FROM (
+             SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n,
+               1.0 - len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                 ::DOUBLE / (len(toks) - 2) AS dup3
+             FROM q)
+           WHERE n >= 20 AND dup3 <= 0.6),
+         uniq AS (SELECT doc_id, n FROM qual
+                  QUALIFY doc_id = min(doc_id)
+                    OVER (PARTITION BY md5(lower(trim(text))))),
+         o AS (SELECT doc_id, n,
+              CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS "offset"
+            FROM uniq)
+         SELECT doc_id, n, "offset",
+                CAST("offset" // 512 AS BIGINT) AS bin_first
+         FROM o ORDER BY doc_id""") { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val survivors = Tables.documents(s, d)
+        .filter(TextOps.languageId(col("text"), langProfiles)
+          === col("lang"))
+        .withColumn("n", size(toks).cast("long"))
+        .withColumn("dup3", lit(1.0) -
+          size(array_distinct(TextOps.wordGrams(toks, 3))).cast("double")
+            / (col("n") - 2))
+        .filter(col("n") >= 20 && col("dup3") <= 0.6)
+        .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      val uniq = Dedup.keepFirstByKey(survivors, Seq("fingerprint"),
+        "doc_id").select(col("doc_id"), col("n"))
+      graft.ops.Packing.packWindows(uniq, "doc_id", "n", 512)
+        .select(col("doc_id"), col("n"), col("offset"), col("bin_first"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1191,5 +1291,7 @@ object Pipeline {
     "q68_unigram_logprob" -> unigramLogprob,
     "q69_sequence_packing" -> sequencePacking,
     "q70_zorder_readback" -> zorderReadback,
+    "q71_line_dedup" -> lineDedup,
+    "q72_curation_pipeline" -> curationPipeline,
   )
 }
