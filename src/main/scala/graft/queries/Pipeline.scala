@@ -1251,6 +1251,44 @@ object Pipeline {
     }
   }
 
+  /** Incremental (nightly-ingest) dedup (dedup.Incremental): the
+    * corpus split in half by doc_id — the first half is "already
+    * ingested", its fingerprint index persisted through
+    * UpsertParquetSink; the second half is the new batch, deduped
+    * against the index with the index on the never-shuffled side
+    * (both joins broadcast the day-sized relation). The split
+    * boundary is computed IN-PLAN (broadcast scalar, no driver
+    * round-trip). Oracle: NOT IN + QUALIFY keep-first in DuckDB. */
+  val incrementalDedup: QueryDef = QueryDef.sql(
+    """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+       d1 AS (SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+              FROM documents, m WHERE doc_id < mid),
+       d2 AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+              FROM documents, m WHERE doc_id >= mid),
+       surv AS (SELECT doc_id, fingerprint FROM d2
+                WHERE fingerprint NOT IN (SELECT fingerprint FROM d1)
+                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint))
+       SELECT doc_id, fingerprint FROM surv ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bounds = docs.agg(
+      (max(col("doc_id")) / 2).cast("long").as("mid"))
+    val withMid = docs.crossJoin(broadcast(bounds))
+    val day1 = withMid.filter(col("doc_id") < col("mid"))
+      .select(col("doc_id"), col("text"))
+    val day2 = withMid.filter(col("doc_id") >= col("mid"))
+      .select(col("doc_id"), col("text"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q73_" +
+      Integer.toHexString(d.hashCode)
+    val sink = new graft.sources.UpsertParquetSink(dir, Seq("fingerprint"))
+    sink.write(Dedup.exactGroups(day1, "doc_id", "text")
+        .select(col("fingerprint"), col("keep_id")),
+      "fp_index", org.apache.spark.sql.SaveMode.Overwrite)
+    val idx = graft.sources.UpsertParquetSink.read(s, dir, "fp_index")
+    val (surv, _) = graft.dedup.Incremental.dedupAgainstIndex(
+      day2, "doc_id", "text", idx)
+    surv.select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1293,5 +1331,6 @@ object Pipeline {
     "q70_zorder_readback" -> zorderReadback,
     "q71_line_dedup" -> lineDedup,
     "q72_curation_pipeline" -> curationPipeline,
+    "q73_incremental_dedup" -> incrementalDedup,
   )
 }
