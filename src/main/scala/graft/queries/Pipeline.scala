@@ -1289,6 +1289,81 @@ object Pipeline {
     surv.select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
   }
 
+  /** Bigram LM quality scoring — per-doc mean ln P(w_i | w_{i-1})
+    * under the corpus's own add-α-smoothed bigram model (α = 0.5):
+    * the KenLM-shaped upgrade of q68's unigram signal, still with no
+    * external model. Counts are vocabulary-bounded aggregates
+    * broadcast back into a row-local scoring pass; at web scale the
+    * bigram table outgrows a broadcast and the first join flips to a
+    * shuffle join on the bigram key — same plan otherwise. */
+  val bigramLogprob: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       uni AS (SELECT tok, count(*) AS c1 FROM w GROUP BY tok),
+       v AS (SELECT count(*) AS v FROM uni),
+       b AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM t WHERE len(toks) >= 2),
+       bf AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+       sc AS (SELECT b.doc_id,
+                ln((bf.c2 + 0.5) / (uni.c1 + 0.5 * (SELECT v FROM v)))
+                  AS lp
+              FROM b JOIN bf USING (bg)
+              JOIN uni ON string_split(bg, ' ')[1] = uni.tok)
+       SELECT doc_id,
+              floor(avg(lp) * 1000000 + 0.5) / 1000000 AS mean_logprob,
+              CAST(count(*) AS BIGINT) AS n_bigrams
+       FROM sc GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.count().toDouble
+    val bi = docs.select(col("doc_id"),
+      explode(TextOps.wordGrams(col("toks"), 2)).as("bg"))
+    val bfreq = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    bi.join(broadcast(bfreq), "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(uni), col("w1") === col("tok"))
+      .withColumn("lp",
+        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * vocab)))
+      .groupBy(col("doc_id"))
+      .agg(r6(avg(col("lp"))).as("mean_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Small-file compaction round-trip (sources.Compaction): events
+    * deliberately fragmented into 64 files, compacted sort-preserving
+    * on user_id into right-sized files, read back through a selective
+    * filter + agg. Layout never changes content → oracle is the same
+    * filter+agg off the source; CompactionSpec gates the file-count
+    * collapse and the disjoint-range (pruning-survives) property. */
+  val compactionReadback: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(*) AS n,
+         floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+       FROM events WHERE user_id BETWEEN 5 AND 25
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q75_" +
+      Integer.toHexString(d.hashCode)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val total = new java.io.File(s"$base/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    graft.sources.Compaction.compact(s, s"$base/frag", s"$base/out",
+      targetBytes = math.max(1L, total / 8), sortCols = Seq("user_id"))
+    s.read.parquet(s"$base/out")
+      .filter(col("user_id").between(5, 25))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1332,5 +1407,7 @@ object Pipeline {
     "q71_line_dedup" -> lineDedup,
     "q72_curation_pipeline" -> curationPipeline,
     "q73_incremental_dedup" -> incrementalDedup,
+    "q74_bigram_logprob" -> bigramLogprob,
+    "q75_compaction_readback" -> compactionReadback,
   )
 }

@@ -106,6 +106,24 @@ class SinksSpec extends AnyFunSuite {
     assert(snaps.length >= 3)
   }
 
+  test("UpsertParquetSink: time-travel reads a pre-merge snapshot") {
+    import graft.sources.UpsertParquetSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val sink = new UpsertParquetSink(dir, Seq("k"))
+    sink.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t",
+      SaveMode.Append)
+    sink.write(Seq((2L, "B")).toDF("k", "v"), "t", SaveMode.Append)
+    val snaps = UpsertParquetSink.snapshots(dir, "t")
+    assert(snaps.length == 2)
+    // history: the older snapshot still shows the pre-merge value
+    val old = UpsertParquetSink.readSnapshot(spark, dir, "t", snaps.head)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b"))
+    val cur = UpsertParquetSink.read(spark, dir, "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "a", 2L -> "B"))
+  }
+
   test("ConsoleSink: show() does not throw") {
     new ConsoleSink(5).write(sample, "t", SaveMode.Overwrite)
   }
