@@ -1364,6 +1364,43 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** Domain balancing under a per-source token budget — the
+    * Pile/Dolma-style curation step that caps each source's
+    * contribution to the training mix. Docs are ordered per source
+    * by a deterministic hash (an unbiased shuffle that is still
+    * oracle-reproducible), a running token total accumulates, and a
+    * doc is kept while the cumulative total is within budget. One
+    * shuffle on source; a mega-source skews its window sort — at
+    * 100 TB the fix is the standard pre-filter (drop docs whose
+    * source already exceeds budget × safety from a first-pass agg)
+    * before the exact window. */
+  val domainBudget: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, source,
+            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+       c AS (SELECT doc_id, source, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM t)
+       SELECT doc_id, source, n_tokens, cum_tokens,
+              cum_tokens <= 800 AS kept
+       FROM c ORDER BY doc_id""") { (s, d) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= 800).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1409,5 +1446,6 @@ object Pipeline {
     "q73_incremental_dedup" -> incrementalDedup,
     "q74_bigram_logprob" -> bigramLogprob,
     "q75_compaction_readback" -> compactionReadback,
+    "q76_domain_budget" -> domainBudget,
   )
 }

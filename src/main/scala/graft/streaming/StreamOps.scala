@@ -136,6 +136,28 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static incremental dedup: the streaming form of
+    * graft.dedup.Incremental — every micro-batch of new documents is
+    * anti-joined against the PERSISTED corpus fingerprint index
+    * (a static relation, re-resolved per batch, so an index merged
+    * between batches is visible to the next one), then deduped
+    * within the batch. Stream-static joins need no watermark and
+    * hold no join state: the stream side never buffers, the static
+    * side is planned per micro-batch — which is exactly the
+    * batch-vs-index shape that scales (the index streams past the
+    * day-sized batch; Spark broadcasts whichever side AQE sizes
+    * smaller, and the batch side is the small one by construction).
+    * The trailing `dropDuplicates` catches repeats WITHIN this run;
+    * its state is exactly the set of new fingerprints the run has
+    * admitted — the same set the caller merges into the index at
+    * run end, so "restart after merging" is both the state bound
+    * and the operational contract (the watermark-bounded variant is
+    * [[dedupedEvents]]). */
+  def dedupAgainstStaticIndex(docs: DataFrame, index: DataFrame,
+      idCols: Seq[String] = Seq("fingerprint")): DataFrame =
+    docs.join(index.select(idCols.map(col): _*), idCols, "left_anti")
+      .dropDuplicates(idCols)
+
   /** Stream-stream interval join: pair every left event with the
     * right-side events of the same user that occur within
     * `withinMinutes` AFTER it. Both sides carry watermarks and the

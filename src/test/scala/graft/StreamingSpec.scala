@@ -39,6 +39,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupAgainstStaticIndex: streamed batch drops indexed and " +
+      "in-run duplicates, matches the batch incremental dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_ssd").toString
+    // "new batch" parquet to stream: 10 is an indexed dup, 12 an
+    // in-batch dup of 11, 13 fresh
+    val batch = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "a genuinely new document"),
+      (12L, "a genuinely new document"),
+      (13L, "another fresh one")).toDF("doc_id", "text")
+    batch.coalesce(1).write.parquet(s"$base/in")
+    val index = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+      .withColumn("fingerprint",
+        graft.text.TextOps.fingerprint(col("text")))
+    val q = StreamOps.runToMemory(
+      StreamOps.dedupAgainstStaticIndex(stream, index), "ssd",
+      OutputMode.Append())
+    try {
+      val got = spark.table("ssd").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      // keep-ONE per fresh fingerprint (11 or 12, whichever batch
+      // order admits), plus 13; the indexed dup 10 is gone
+      assert(got.length == 2 && got.contains(13L) &&
+        (got.contains(11L) || got.contains(12L)) && !got.contains(10L))
+      // agrees with the batch operator on surviving fingerprints
+      val (surv, _) = graft.dedup.Incremental.dedupAgainstIndex(
+        batch, "doc_id", "text",
+        index.withColumn("keep_id", lit(1L)))
+      val batchFps = surv.select("fingerprint").as[String]
+        .collect().toSet
+      val streamFps = spark.table("ssd").select("fingerprint")
+        .as[String].collect().toSet
+      assert(streamFps == batchFps)
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream result equals the batch range join") {
     val q = StreamOps.runToMemory(
       StreamOps.intervalJoin(
