@@ -1401,6 +1401,100 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC snapshot diff: two corpus snapshots (derived
+    * deterministically from `documents` — modulo filters play
+    * yesterday/today, a modulo rewrite plays an edit) reconciled by
+    * a full-outer join on the key and classified added / removed /
+    * changed / unchanged. ONE co-partitioned shuffle per side; with
+    * bucketed snapshots (sources.Bucketing) the exchange disappears
+    * entirely — that is the nightly 100 TB reconciliation shape. */
+  val snapshotDiff: QueryDef = QueryDef.sql(
+    """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       b AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
+                 AS text
+             FROM documents WHERE doc_id % 4 <> 0)
+       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val b = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id").as("b_id"),
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")).as("b_text"))
+    a.join(b, col("a_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        when(col("a_id").isNull, "added")
+          .when(col("b_id").isNull, "removed")
+          .when(col("a_text") =!= col("b_text"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 retrieval scoring (Robertson/Okapi, k1=1.2 b=0.75) for a
+    * fixed query against the corpus — the classic IR ranking
+    * function from corpus statistics alone. Document frequencies,
+    * doc count, and average doc length come from ONE tiny aggregate
+    * broadcast back (in-plan, no driver round-trip); scoring is then
+    * fully row-local, term loop unrolled into codegen arithmetic.
+    * Output is every matching doc in id order (not a float-ordered
+    * top-k, which could flip on last-ulp score ties across engines).
+    */
+  val bm25Score: QueryDef = {
+    val terms = Seq("spark", "join", "stream")
+    val (k1, bb) = (1.2, 0.75)
+    def duckDf(t: String) =
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)"
+    QueryDef.sql(
+      s"""WITH t AS (SELECT doc_id,
+              string_split(trim(text), ' ') AS toks FROM documents),
+         st AS (SELECT count(*) AS n_docs,
+              avg(len(toks)) AS avgdl,
+              ${terms.zipWithIndex.map { case (t, i) =>
+                s"${duckDf(t)} AS df$i" }.mkString(", ")}
+            FROM t),
+         sc AS (SELECT doc_id,
+              ${terms.zipWithIndex.map { case (t, i) =>
+                s"""(ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1) *
+                   len(list_filter(toks, x -> x = '$t')) * ${k1 + 1} /
+                   (len(list_filter(toks, x -> x = '$t')) +
+                    $k1 * (1 - $bb + $bb * len(toks) / avgdl)))"""
+              }.mkString(" + ")} AS score
+            FROM t, st)
+         SELECT doc_id,
+                floor(score * 1000000 + 0.5) / 1000000 AS bm25
+         FROM sc WHERE score > 0 ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val statAggs = Seq(count(lit(1)).cast("long").as("n_docs"),
+        avg(size(col("toks"))).as("avgdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(array_contains(col("toks"), t).cast("int")).as(s"df$i")
+        }
+      val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+      val withStats = docs.crossJoin(broadcast(stats))
+      def tf(t: String): Column =
+        size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+            (col(s"df$i") + lit(0.5)) + lit(1)) *
+          tf(t) * lit(k1 + 1) /
+          (tf(t) + lit(k1) * (lit(1) - lit(bb) +
+            lit(bb) * size(col("toks")) / col("avgdl")))
+      }.reduce(_ + _)
+      withStats.withColumn("score", score)
+        .filter(col("score") > 0)
+        .select(col("doc_id"), r6(col("score")).as("bm25"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1447,5 +1541,7 @@ object Pipeline {
     "q74_bigram_logprob" -> bigramLogprob,
     "q75_compaction_readback" -> compactionReadback,
     "q76_domain_budget" -> domainBudget,
+    "q77_snapshot_diff" -> snapshotDiff,
+    "q78_bm25_score" -> bm25Score,
   )
 }
