@@ -1495,6 +1495,70 @@ object Pipeline {
     }
   }
 
+  /** Exact substring-duplication spans — the "exact substring dedup"
+    * shape (Lee et al. '22): every 16-token window occurring ≥2×
+    * corpus-wide marks its positions, and per document the marked
+    * positions merge into MAXIMAL repeated regions (gaps-and-islands
+    * over a running-max window). Three shuffles: gram counts, the
+    * join-back of duplicated grams (here broadcast — corpus-scale
+    * flips it to a shuffle join on a 128-bit gram hash instead of
+    * the raw string), and the per-doc window+agg. The production
+    * alternative is a distributed suffix array; this n-gram-mark
+    * formulation gets the same spans for span length ≥ k with plan
+    * shapes Spark already optimizes. */
+  val dupSpans: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[i:i+15], ' ') AS gram
+             FROM t, unnest(generate_series(1, len(toks) - 15)) AS s(i)
+             WHERE len(toks) >= 16),
+       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       h AS (SELECT doc_id, pos FROM g
+             WHERE gram IN (SELECT gram FROM dup)),
+       isl AS (SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(max(pos + 15) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS new_island
+             FROM h),
+       grp AS (SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+             FROM isl)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 15 AS BIGINT) AS span_end
+       FROM grp GROUP BY doc_id, island
+       ORDER BY doc_id, span_start""") { (s, d) =>
+    val k = 16
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextOps.wordGrams(col("toks"), k))
+          .as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("gram"))
+    val hits = grams.join(broadcast(dup), "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("new_island",
+        (col("pos") > coalesce(max(col("pos") + (k - 1)).over(wPrev),
+          lit(-1L))).cast("int"))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1543,5 +1607,6 @@ object Pipeline {
     "q76_domain_budget" -> domainBudget,
     "q77_snapshot_diff" -> snapshotDiff,
     "q78_bm25_score" -> bm25Score,
+    "q79_dup_spans" -> dupSpans,
   )
 }

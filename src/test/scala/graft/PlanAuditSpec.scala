@@ -78,6 +78,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("session-3 tier plan shapes: q74/q78 broadcast, q77 no BNLJ, " +
+      "q79 broadcasts the dup-gram set") {
+    // q74: bigram + unigram count tables broadcast into row-local
+    // scoring; q78: the single stats row broadcasts; q79: the
+    // duplicated-gram set broadcasts back onto the gram stream
+    for (q <- Seq("q74_bigram_logprob", "q78_bm25_score",
+        "q79_dup_spans")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$q lost its broadcast")
+      assert(!plan.contains("SortMergeJoin"), s"$q plans SMJ")
+    }
+    // q77 full-outer diff: co-partitioned SMJ is the declared shape —
+    // what must NOT appear is a nested-loop or cross product
+    val p77 = executedPlan("q77_snapshot_diff")
+    assert(!p77.contains("BroadcastNestedLoopJoin") &&
+      !p77.contains("CartesianProduct"), "q77 degenerated")
+    // q76 domain budget: exactly one hash exchange (the per-source
+    // window) plus the final orderBy's range exchange — nothing else.
+    // Count only the FINAL AQE plan (toString appends the initial
+    // plan, which would double every node).
+    val p76 = executedPlan("q76_domain_budget")
+      .split("== Initial Plan ==").head
+    val exchanges = p76.split("Exchange ").length - 1
+    assert(exchanges <= 2, s"q76 shuffles too much ($exchanges):\n$p76")
+  }
+
   test("q03's p99 threshold stays in-plan: construction runs no jobs") {
     // the reference's approxQuantile round-trips through the driver
     // (an aggregation job at build time); our form joins a one-row
