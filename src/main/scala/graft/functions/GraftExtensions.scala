@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.SHINGLE_HASHES,
       "_FUNC_(tokens, n) - sorted distinct hashed n-gram shingles",
       exprs => ShingleHashes(exprs(0), exprs(1)))
+    inject(GraftFunctions.GRAM_HASHES,
+      "_FUNC_(tokens, n) - positional hashed n-grams",
+      exprs => GramHashes(exprs(0), exprs(1)))
     inject(GraftFunctions.JACCARD,
       "_FUNC_(a, b) - Jaccard of two sorted array<bigint>",
       exprs => JaccardHashes(exprs(0), exprs(1)))

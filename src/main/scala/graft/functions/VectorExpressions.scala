@@ -228,6 +228,74 @@ case class ShingleHashes(left: Expression, right: Expression)
       newRight: Expression): ShingleHashes = copy(newLeft, newRight)
 }
 
+/** Positional n-gram hashes: element i = FNV-1a hash of tokens
+  * [i, i+n) joined by a space — the POSITION-PRESERVING sibling of
+  * [[ShingleHashes]] (which dedups and sorts for set semantics).
+  * Feeds exact substring-duplication marking (q79): posexplode gives
+  * (position, gram hash) pairs with no string materialization at
+  * all — the zip_with n-gram string construction this replaces is an
+  * interpreted higher-order chain that dominated the stage. Empty
+  * output for docs shorter than n. */
+case class GramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "gram hashes needs (array<string> tokens, foldable int n), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) = tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L } // space separator
+        val b = bytes(i + j)
+        var k = 0
+        while (k < b.length) {
+          h ^= (b(k) & 0xFFL); h *= 0x100000001b3L
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(t: Any, nn: Any): Any =
+    compute(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gramHashesExpr", this,
+      classOf[GramHashes].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GramHashes = copy(newLeft, newRight)
+}
+
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
   * SIGMOD'03): positional rolling n-gram hashes, then the rightmost
   * minimum of every `window` consecutive hashes, deduplicated and
@@ -870,6 +938,7 @@ object GraftFunctions {
   val MINHASH = "graft_minhash"
   val MINHASH_BUCKETS = "graft_minhash_buckets"
   val SHINGLE_HASHES = "graft_shingle_hashes"
+  val GRAM_HASHES = "graft_gram_hashes"
   val JACCARD = "graft_jaccard"
   val WINNOW = "graft_winnow"
   val SIMHASH = "graft_simhash"
@@ -892,6 +961,8 @@ object GraftFunctions {
       exprs => MinHashBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       SHINGLE_HASHES, exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      GRAM_HASHES, exprs => GramHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       JACCARD, exprs => JaccardHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -921,6 +992,9 @@ object GraftFunctions {
 
   def shingleHashes(tokens: Column, n: Int): Column =
     call_function(SHINGLE_HASHES, tokens, lit(n))
+
+  def gramHashes(tokens: Column, n: Int): Column =
+    call_function(GRAM_HASHES, tokens, lit(n))
 
   def jaccard(a: Column, b: Column): Column = call_function(JACCARD, a, b)
 

@@ -1532,16 +1532,23 @@ object Pipeline {
        FROM grp GROUP BY doc_id, island
        ORDER BY doc_id, span_start""") { (s, d) =>
     val k = 16
+    // grams never materialize as strings: graft_gram_hashes (one
+    // codegen pass, position-preserving FNV) replaces the interpreted
+    // zip_with n-gram chain, and everything downstream — the count
+    // shuffle and the join-back — carries an 8-byte hash (collision
+    // odds ~(grams²/2^65), negligible; doc'd 128-bit upgrade for
+    // corpus scale)
+    graft.functions.GraftFunctions.register(s)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        posexplode(TextOps.wordGrams(col("toks"), k))
-          .as(Seq("pos", "gram")))
-    val dup = grams.groupBy(col("gram"))
+        posexplode(graft.functions.GraftFunctions.gramHashes(
+          col("toks"), k)).as(Seq("pos", "gh")))
+    val dup = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-      .select(col("gram"))
-    val hits = grams.join(broadcast(dup), "gram")
+      .select(col("gh"))
+    val hits = grams.join(broadcast(dup), Seq("gh"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -87,6 +87,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_gram_hashes: positional, equality matches string grams, " +
+      "df path == direct eval") {
+    import graft.text.TextOps
+    val docs = Seq(
+      "a b c d e f g h a b c d e f g h", // internal 8-gram repeat
+      "x y z a b c d e f g h q",
+      "short one")
+    val df = docs.map(Tuple1(_)).toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(col("toks"),
+        GraftFunctions.gramHashes(col("toks"), 4).as("gh"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val gh = r.getSeq[Long](1)
+      val expectLen = math.max(0, toks.size - 3)
+      assert(gh.size == expectLen, s"positional length for $toks")
+      // hash equality ⇔ gram string equality at every position pair
+      // (sliding emits a short trailing window for docs < n — drop it)
+      val grams = toks.sliding(4).filter(_.size == 4)
+        .map(_.mkString(" ")).toSeq
+      for (i <- grams.indices; j <- grams.indices)
+        assert((gh(i) == gh(j)) == (grams(i) == grams(j)),
+          s"pos $i vs $j")
+    }
+    // df (codegen) path == direct interpreted eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val toks0 = docs.head.split(" ").toSeq
+    val direct = graft.functions.GramHashes(
+      Literal.create(toks0, ArrayType(StringType)),
+      Literal(4)).eval(null).asInstanceOf[ArrayData].toLongArray()
+    assert(rows(0).getSeq[Long](1).toSeq == direct.toSeq)
+  }
+
   test("graft_simhash: df path == direct eval; identical inputs agree") {
     val hashes = Seq.fill(30)(rnd.nextLong())
     val df = Seq(Tuple1(hashes), Tuple1(hashes)).toDF("h")
