@@ -1566,6 +1566,79 @@ object Pipeline {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Data-quality constraint audit (the Deequ/dbt-tests shape): a
+    * fixed suite of constraints evaluated into one violation-count
+    * report. Every single-table rule rides ONE scan as a
+    * sum(CASE) aggregate — adding a rule adds zero jobs — and each
+    * referential rule is one anti-join count (broadcast when the
+    * parent's key column fits, shuffle otherwise; key-column
+    * projection means "fits" lasts far longer than the table does).
+    */
+  val integrityAudit: QueryDef = QueryDef.sql(
+    """WITH li AS (SELECT
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS li_quantity_null,
+           sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+             AS li_quantity_nonpos,
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0
+             END) AS li_discount_range,
+           sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+             AS li_price_negative
+         FROM lineitem),
+       ord AS (SELECT count(*) AS o_orphan_cust FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)),
+       lio AS (SELECT count(*) AS li_orphan_order FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+       SELECT * FROM (
+         SELECT 'li_quantity_null' AS check_name,
+                CAST(li_quantity_null AS BIGINT) AS violations FROM li
+         UNION ALL SELECT 'li_quantity_nonpos',
+                CAST(li_quantity_nonpos AS BIGINT) FROM li
+         UNION ALL SELECT 'li_discount_range',
+                CAST(li_discount_range AS BIGINT) FROM li
+         UNION ALL SELECT 'li_price_negative',
+                CAST(li_price_negative AS BIGINT) FROM li
+         UNION ALL SELECT 'o_orphan_cust',
+                CAST(o_orphan_cust AS BIGINT) FROM ord
+         UNION ALL SELECT 'li_orphan_order',
+                CAST(li_orphan_order AS BIGINT) FROM lio)
+       ORDER BY check_name""") { (s, d) =>
+    def viol(c: Column): Column =
+      sum(when(c, 1).otherwise(0)).cast("long")
+    val li = Tables.lineitem(s, d).agg(
+      viol(col("l_quantity").isNull).as("li_quantity_null"),
+      viol(col("l_quantity") <= 0).as("li_quantity_nonpos"),
+      viol(col("l_discount") < 0 || col("l_discount") > 1)
+        .as("li_discount_range"),
+      viol(col("l_extendedprice") < 0).as("li_price_negative"))
+    val orphanCust = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("o_orphan_cust"))
+    val orphanOrder = Tables.lineitem(s, d)
+      .join(broadcast(Tables.orders(s, d).select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("li_orphan_order"))
+    // unpivot the one-row agg with stack — the four lineitem rules
+    // genuinely share one scan (a per-rule union would re-run it)
+    val liRows = li.select(expr(
+      """stack(4,
+         'li_quantity_null', li_quantity_null,
+         'li_quantity_nonpos', li_quantity_nonpos,
+         'li_discount_range', li_discount_range,
+         'li_price_negative', li_price_negative)
+         AS (check_name, violations)"""))
+    def row(src: org.apache.spark.sql.DataFrame, name: String) =
+      src.select(lit(name).as("check_name"),
+        col(name).as("violations"))
+    liRows
+      .unionByName(row(orphanCust, "o_orphan_cust"))
+      .unionByName(row(orphanOrder, "li_orphan_order"))
+      .orderBy(col("check_name"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1615,5 +1688,6 @@ object Pipeline {
     "q77_snapshot_diff" -> snapshotDiff,
     "q78_bm25_score" -> bm25Score,
     "q79_dup_spans" -> dupSpans,
+    "q80_integrity_audit" -> integrityAudit,
   )
 }
