@@ -29,7 +29,8 @@ object Bench {
     Seq("q01_demand_heatmap", // relational/codegen baseline
       "q30_dedup_minhash",    // shingle + minhash + jaccard exprs
       "q31_dedup_simhash",    // simhash expr
-      "q33_ann_lsh"           // cross-polytope + dot exprs
+      "q33_ann_lsh",          // cross-polytope + dot exprs
+      "q79_dup_spans"         // positional gram-hash expr
     ).foreach(runNoop)
     // min of two timed passes: one pass is dominated by first-run
     // effects (codegen compile, page cache, GC) that vary run to

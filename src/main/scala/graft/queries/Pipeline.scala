@@ -748,11 +748,17 @@ object Pipeline {
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
+        // gram COUNTS are what the metrics need, so grams run as
+        // codegen positional hashes (graft_gram_hashes), not
+        // interpreted zip_with string chains — identical counts,
+        // cheaper sort/distinct on longs
         (TextOps.maxMultiplicity(col("toks")).cast("double")
           / size(col("toks"))).as("topword"),
-        (TextOps.maxMultiplicity(TextOps.wordGrams(col("toks"), 2))
+        (TextOps.maxMultiplicity(
+            graft.functions.GraftFunctions.gramHashes(col("toks"), 2))
           .cast("double") / (size(col("toks")) - 1)).as("top2"),
-        (lit(1.0) - size(array_distinct(TextOps.wordGrams(col("toks"), 3)))
+        (lit(1.0) - size(array_distinct(
+            graft.functions.GraftFunctions.gramHashes(col("toks"), 3)))
           .cast("double") / (size(col("toks")) - 2)).as("dup3"))
     base.select(col("doc_id"),
         r6(col("topword")).as("topword_frac"),
@@ -1239,8 +1245,9 @@ object Pipeline {
           === col("lang"))
         .withColumn("n", size(toks).cast("long"))
         .withColumn("dup3", lit(1.0) -
-          size(array_distinct(TextOps.wordGrams(toks, 3))).cast("double")
-            / (col("n") - 2))
+          size(array_distinct(
+            graft.functions.GraftFunctions.gramHashes(toks, 3)))
+            .cast("double") / (col("n") - 2))
         .filter(col("n") >= 20 && col("dup3") <= 0.6)
         .withColumn("fingerprint", TextOps.fingerprint(col("text")))
       val uniq = Dedup.keepFirstByKey(survivors, Seq("fingerprint"),

@@ -129,7 +129,12 @@ object TextOps {
     * no explode/groupBy shuffle of per-doc grams. */
   def maxMultiplicity(arr: Column): Column =
     aggregate(sort_array(arr),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      // element-typed init: prev seeds from the array's own first
+      // element with run 0, so the fold works for ANY element type
+      // (string grams, hashed grams) — the first iteration then
+      // matches prev and correctly starts the run at 1
+      struct(try_element_at(arr, lit(1)).as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"),
           acc.getField("run") + 1).otherwise(lit(1))
