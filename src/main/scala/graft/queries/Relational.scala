@@ -187,6 +187,39 @@ object Relational {
       .orderBy(col("rf"), col("ls"))
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube
+    * specialize): exactly the three requested aggregation levels in
+    * one pass — Spark expands the sets into a single Expand+Aggregate
+    * (one scan, one shuffle, not one job per set) — with the
+    * grouping-flag vector disambiguating real NULLs from subtotal
+    * rows (built per-column; DuckDB spells it GROUPING(col)). */
+  val groupingSets: QueryDef = QueryDef.sql(
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+         AS BIGINT) AS gid,
+       floor((sum(o_totalprice)) * 1000000 + 0.5) / 1000000 AS sum_price,
+       count(*) AS n_rows
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                               (o_orderpriority), (o_orderstatus))
+       ORDER BY 1, 2, 3""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(r6(sum(col("o_totalprice"))).as("sum_price"),
+        count(lit(1)).as("n_rows"),
+        // grouping() only resolves inside the grouping-sets Aggregate
+        (grouping(col("o_orderpriority")).cast("long") * 2 +
+          grouping(col("o_orderstatus")).cast("long")).as("gid"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("sum_price"), col("n_rows"))
+      .orderBy(col("pri"), col("status"), col("gid"))
+  }
+
   /** PIVOT: event counts per user, one column per event type.
     * Spark pivot with an explicit value list (no extra distinct job,
     * deterministic column order); nulls → 0 to match FILTER counts. */
@@ -455,5 +488,6 @@ object Relational {
     "q63_salted_join" -> saltedJoinQ,
     "q64_approx_quantiles" -> approxQuantiles,
     "q65_window_breadth" -> windowBreadth,
+    "q81_grouping_sets" -> groupingSets,
   )
 }
