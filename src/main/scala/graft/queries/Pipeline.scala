@@ -1646,6 +1646,30 @@ object Pipeline {
       .orderBy(col("check_name"))
   }
 
+  /** ORC source/sink round-trip: the third columnar format next to
+    * parquet (everywhere) and JSONL/CSV (TextSources) — ORC rides
+    * Spark's native vectorized reader with the same pushdown/pruning
+    * machinery, so format choice is an org-standard question, not an
+    * engine one. Layout never changes content → oracle is the same
+    * agg off the parquet source; the plan check that matters
+    * (PushedFilters on the ORC scan) is gated in PlanAuditSpec. */
+  val orcRoundtrip: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(*) AS n,
+         floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+       FROM events WHERE value > 100
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q82_" +
+      Integer.toHexString(d.hashCode)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("value") > 100)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1696,5 +1720,6 @@ object Pipeline {
     "q78_bm25_score" -> bm25Score,
     "q79_dup_spans" -> dupSpans,
     "q80_integrity_audit" -> integrityAudit,
+    "q82_orc_roundtrip" -> orcRoundtrip,
   )
 }

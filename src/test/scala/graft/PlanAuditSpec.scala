@@ -142,6 +142,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q82's read-back filter pushes down to the ORC scan") {
+    val plan = executedPlan("q82_orc_roundtrip")
+    assert(plan.contains("Format: orc") || plan.contains("orc"),
+      "q82 lost its ORC scan")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pushed.exists(_.contains("GreaterThan(value,100")),
+      s"value>100 not pushed to the ORC scan:\n$plan")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
