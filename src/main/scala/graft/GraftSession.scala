@@ -40,6 +40,15 @@ object GraftSession {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     GraftFunctions.register(s)
+    // programmatic twin of the GraftExtensions injection, for
+    // sessions joining a pre-existing context where the static
+    // spark.sql.extensions conf did not apply; the rule is
+    // idempotent so double registration is harmless
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.TokenContainsPrefilter))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+
+          graft.plans.TokenContainsPrefilter
     s
   }
 }

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "hash_funcs", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules ride the same injection point (idempotent, so
+    // double registration via the GraftSession programmatic path is
+    // harmless)
+    ext.injectOptimizerRule(_ => graft.plans.TokenContainsPrefilter)
     def inject(name: String, usage: String,
         builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),

@@ -1670,6 +1670,30 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** Token-membership search accelerated by the custom optimizer
+    * rule (plans.TokenContainsPrefilter): the filter itself —
+    * `array_contains(split(trim(text),' '), 'spark')` — cannot push
+    * to the scan, but the rule conjoins the implied
+    * `text CONTAINS 'spark'`, which lands in PushedFilters and
+    * skips row groups before a single token is split. RuleSpec
+    * asserts the plan shape and rule-off equivalence; the oracle
+    * checks semantics stay exact. */
+  val tokenSearch: QueryDef = QueryDef.sql(
+    """SELECT lang, count(*) AS n,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+           AS total_tokens
+       FROM documents
+       WHERE list_contains(string_split(trim(text), ' '), 'spark')
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.documents(s, d)
+      .filter(array_contains(TextOps.tokens(col("text")), "spark"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1721,5 +1745,6 @@ object Pipeline {
     "q79_dup_spans" -> dupSpans,
     "q80_integrity_audit" -> integrityAudit,
     "q82_orc_roundtrip" -> orcRoundtrip,
+    "q83_token_search" -> tokenSearch,
   )
 }
