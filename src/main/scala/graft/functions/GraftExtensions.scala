@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.GRAM_HASHES,
       "_FUNC_(tokens, n) - positional hashed n-grams",
       exprs => GramHashes(exprs(0), exprs(1)))
+    inject(GraftFunctions.RANDOM_PROJECTION,
+      "_FUNC_(vec, k) - Rademacher random projection to k dims",
+      exprs => RandomProjection(exprs(0), exprs(1)))
     inject(GraftFunctions.JACCARD,
       "_FUNC_(a, b) - Jaccard of two sorted array<bigint>",
       exprs => JaccardHashes(exprs(0), exprs(1)))

@@ -932,6 +932,64 @@ object HyperplaneBits {
   }
 }
 
+/** Random projection (Achlioptas '01 / JL): project a d-dim vector
+  * onto `k` deterministic Rademacher directions, scaled by 1/√k so
+  * squared distances are preserved in expectation — the
+  * dimensionality-reduction front-end for clustering/IVF when d is
+  * large. Same splitmix64 ±1 matrix family as [[HyperplaneBits]]
+  * (which keeps only the signs of these projections); this keeps the
+  * float values. Row-local, codegen, O(k·d) per row. */
+case class RandomProjection(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(DoubleType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "random projection needs (array<double>, foldable int k), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  def compute(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((ExprUtil.splitmix64(p.toLong * 1000003L + i)
+          & 1L) == 1L) 1.0 else -1.0
+        proj += vec.getDouble(i) * sign
+        i += 1
+      }
+      out(p) = proj * inv
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any, kk: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("randomProjExpr", this,
+      classOf[RandomProjection].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $self.compute($v);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RandomProjection = copy(newLeft, newRight)
+}
+
 object GraftFunctions {
 
   val DOT = "graft_dot"
@@ -939,6 +997,7 @@ object GraftFunctions {
   val MINHASH_BUCKETS = "graft_minhash_buckets"
   val SHINGLE_HASHES = "graft_shingle_hashes"
   val GRAM_HASHES = "graft_gram_hashes"
+  val RANDOM_PROJECTION = "graft_random_projection"
   val JACCARD = "graft_jaccard"
   val WINNOW = "graft_winnow"
   val SIMHASH = "graft_simhash"
@@ -963,6 +1022,9 @@ object GraftFunctions {
       SHINGLE_HASHES, exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       GRAM_HASHES, exprs => GramHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      RANDOM_PROJECTION,
+      exprs => RandomProjection(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       JACCARD, exprs => JaccardHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -995,6 +1057,9 @@ object GraftFunctions {
 
   def gramHashes(tokens: Column, n: Int): Column =
     call_function(GRAM_HASHES, tokens, lit(n))
+
+  def randomProjection(vec: Column, k: Int): Column =
+    call_function(RANDOM_PROJECTION, vec, lit(k))
 
   def jaccard(a: Column, b: Column): Column = call_function(JACCARD, a, b)
 

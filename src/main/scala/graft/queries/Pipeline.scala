@@ -1694,6 +1694,27 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Random-projection dimensionality reduction (Achlioptas/JL):
+    * embeddings 64 → 16 dims through the deterministic Rademacher
+    * codegen expression — the feature-engineering front-end for
+    * clustering/IVF when d is large. splitmix64 is not expressible
+    * in overflow-checked DuckDB SQL, so this row is rows-only; the
+    * measured gates live in RandomProjectionSpec (norm preservation
+    * ≈1 in expectation, pairwise-distance correlation, and
+    * sign-consistency with graft_hyperplane_bits, which is exactly
+    * this matrix sign-quantized). */
+  val randomProjectionQ: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.randomProjection(
+          graft.vector.VectorOps.toDouble(col("embedding")), 16)
+          .as("projected"))
+      .select(col("vec_id"),
+        transform(col("projected"), x => r6(x)).as("projected"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1746,5 +1767,6 @@ object Pipeline {
     "q80_integrity_audit" -> integrityAudit,
     "q82_orc_roundtrip" -> orcRoundtrip,
     "q83_token_search" -> tokenSearch,
+    "q84_random_projection" -> randomProjectionQ,
   )
 }
