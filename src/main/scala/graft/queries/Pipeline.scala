@@ -1715,6 +1715,45 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label embedding centroids — element-wise mean vector per
+    * group, the pooling step behind domain centroids / class
+    * prototypes / SemDeDup cluster seeds. Declarative shape:
+    * posexplode to (label, dim, value), ONE partial-agg shuffle of
+    * n×d skinny rows keyed (label, dim), reassemble sorted. The
+    * alternative (fold whole arrays through an object agg) blocks
+    * codegen and map-side combine; dims are fixed and small, so the
+    * skinny explode wins at scale. Oracle: unnest WITH ORDINALITY +
+    * ordered list() in DuckDB. */
+  val labelCentroids: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT label, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS dim
+         FROM embeddings),
+       m AS (SELECT label, dim,
+           floor((avg(val)) * 1000000 + 0.5) / 1000000 AS mv
+         FROM e GROUP BY 1, 2)
+       SELECT CAST(label AS BIGINT) AS label,
+              list(mv ORDER BY dim) AS centroid,
+              (SELECT CAST(count(*) AS BIGINT) FROM embeddings x
+               WHERE x.label = m.label) AS n_members
+       FROM m GROUP BY label ORDER BY label""") { (s, d) =>
+    val exploded = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(graft.vector.VectorOps.toDouble(col("embedding")))
+          .as(Seq("dim", "val")))
+    exploded
+      .groupBy(col("label"), col("dim"))
+      .agg(r6(avg(col("val"))).as("mv"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("mv"))))
+          .as("pairs"),
+        first(col("cnt")).as("n_members"))
+      .select(col("label"),
+        transform(col("pairs"), p => p.getField("mv")).as("centroid"),
+        col("n_members"))
+      .orderBy(col("label"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1768,5 +1807,6 @@ object Pipeline {
     "q82_orc_roundtrip" -> orcRoundtrip,
     "q83_token_search" -> tokenSearch,
     "q84_random_projection" -> randomProjectionQ,
+    "q85_label_centroids" -> labelCentroids,
   )
 }
