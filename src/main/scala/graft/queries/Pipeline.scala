@@ -1754,6 +1754,43 @@ object Pipeline {
       .orderBy(col("label"))
   }
 
+  /** Quantile feature binning — discretize a numeric feature into
+    * quartile buckets for downstream models/stratification. The
+    * quartile thresholds are ONE exact-percentile aggregate
+    * broadcast in-plan (the q03 machinery — no driver round-trip,
+    * matches DuckDB's quantile_cont interpolation); binning is then
+    * a row-local when-chain. Per-bin count + mass proves the
+    * assignment. */
+  val quantileBinning: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.5) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+           FROM orders)
+       SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+              WHEN o_totalprice <= q2 THEN 1
+              WHEN o_totalprice <= q3 THEN 2
+              ELSE 3 END AS BIGINT) AS bin,
+         count(*) AS n,
+         floor((sum(o_totalprice)) * 1000000 + 0.5) / 1000000 AS mass
+       FROM orders, t GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val thr = orders.agg(
+      percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+      percentile(col("o_totalprice"), lit(0.5)).as("q2"),
+      percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+    orders.crossJoin(broadcast(thr))
+      .select(
+        when(col("o_totalprice") <= col("q1"), 0L)
+          .when(col("o_totalprice") <= col("q2"), 1L)
+          .when(col("o_totalprice") <= col("q3"), 2L)
+          .otherwise(3L).as("bin"),
+        col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("o_totalprice"))).as("mass"))
+      .orderBy(col("bin"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -1808,5 +1845,6 @@ object Pipeline {
     "q83_token_search" -> tokenSearch,
     "q84_random_projection" -> randomProjectionQ,
     "q85_label_centroids" -> labelCentroids,
+    "q86_quantile_binning" -> quantileBinning,
   )
 }
