@@ -18,7 +18,8 @@ object SparkEntry {
 
   private def catalog: Map[String, QueryDef] =
     graft.queries.Parity.defs ++ graft.queries.Relational.defs ++
-      graft.queries.Pipeline.defs ++ graft.queries.Cached.defs
+      graft.queries.Pipeline.defs ++ graft.queries.Cached.defs ++
+      graft.queries.Advanced.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, v) => k -> v.fn }

@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // dev convenience: extra args restrict the dump to named queries
+    // (the driver always passes exactly two, so the contract holds)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", cpus,
       // micros (not INT96/nanos) so dumped timestamps carry the same
@@ -15,7 +18,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // Spark TimestampType is an instant (tz-aware); DuckDB's is
       // naive. Under the pinned UTC session the wall-clock values are
       // identical, so dump timestamps as NTZ micros to give the
