@@ -155,10 +155,180 @@ object Advanced {
       .orderBy(col("nationkey"), col("rank"))
   }
 
+  /** Kolmogorov-Smirnov drift statistic between two event-type value
+    * distributions — the distribution-shift check a data pipeline
+    * runs between ingest batches. The ECDFs need a GLOBAL cumulative
+    * sum over distinct values; since `value` is a continuous double,
+    * the distinct relation is corpus-sized, so a naive
+    * `Window.orderBy(value)` would collapse to one task. Instead the
+    * cumsums ride `Packing.withGlobalOffsets`' distributed prefix sum
+    * (range shuffle + per-partition bases) — the same primitive as
+    * sequence packing, reused. All divisions are exact-integer →
+    * double casts performed identically on both engines, so even the
+    * argmax tie filter (`diff = dmax`) is portable. */
+  val ksDrift: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events WHERE event_type IN ('click', 'view')),
+       g AS (SELECT value, sum(ia) AS na, sum(1 - ia) AS nb
+             FROM e GROUP BY 1),
+       t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g),
+       c AS (SELECT value, sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+             FROM g WINDOW w AS (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       d AS (SELECT value,
+               abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) AS diff
+             FROM c, t),
+       m AS (SELECT max(diff) AS dmax FROM d)
+       SELECT CAST(ta AS BIGINT) AS n_click, CAST(tb AS BIGINT) AS n_view,
+              floor((dmax) * 1000000 + 0.5) / 1000000 AS d_stat,
+              min(value) AS ks_at
+       FROM d, m, t WHERE diff = dmax GROUP BY 1, 2, 3""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+    val g = e.groupBy(col("value"))
+      .agg(sum(col("ia")).as("na"), sum(lit(1L) - col("ia")).as("nb"))
+    val tot = g.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    // two distributed prefix sums (exclusive) + the row's own count
+    // = the inclusive ECDF numerators
+    val ca = graft.ops.Packing.withGlobalOffsets(g, "value", "na")
+      .withColumnRenamed("offset", "ca_ex")
+    val cb = graft.ops.Packing.withGlobalOffsets(ca, "value", "nb")
+      .withColumnRenamed("offset", "cb_ex")
+    val diff = cb.crossJoin(broadcast(tot))
+      .select(col("value"), col("ta"), col("tb"),
+        abs((col("ca_ex") + col("na")).cast("double") / col("ta").cast("double")
+          - (col("cb_ex") + col("nb")).cast("double") / col("tb").cast("double"))
+          .as("diff"))
+    val m = diff.agg(max(col("diff")).as("dmax"))
+    diff.crossJoin(broadcast(m))
+      .filter(col("diff") === col("dmax"))
+      .groupBy(col("ta").as("n_click"), col("tb").as("n_view"),
+        r6(col("dmax")).as("d_stat"))
+      .agg(min(col("value")).as("ks_at"))
+  }
+
+  /** Sliding event-time windows (10-minute window, 5-minute slide):
+    * each event lands in exactly window/slide = 2 windows. Spark's
+    * `window()` expands rows BEFORE the aggregate — a map-side
+    * explode by a factor of 2, then one shuffle keyed on
+    * (window, event_type); epoch-aligned starts keep the oracle a
+    * pure floor-arithmetic UNION ALL. */
+  val slidingWindow: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+       x AS (SELECT (us // 300000000) * 300000000 AS w, event_type, value
+               FROM e
+             UNION ALL
+             SELECT (us // 300000000) * 300000000 - 300000000, event_type,
+               value FROM e)
+       SELECT w AS w_start_us, event_type, count(*) AS n,
+              floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+       FROM x GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** kNN label prediction — majority vote of the 5 nearest corpus
+    * neighbors by cosine (the q32 machinery: broadcast queries,
+    * corpus unshuffled, codegen dot). The vote table is |Q|·k rows,
+    * so IT broadcasts into the label join; ties break to the larger
+    * vote count then the smaller label via one orderable-struct
+    * max — no window over the corpus anywhere. */
+  val knnClassify: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 50),
+       p AS (SELECT q_id, e.vec_id AS n_id,
+               floor((list_dot_product(q_v, e.v)
+                 / (sqrt(list_dot_product(q_v, q_v))
+                    * sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5) / 1000000 AS cos
+             FROM q JOIN e ON e.vec_id <> q_id),
+       r AS (SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id) AS rank
+             FROM p),
+       v AS (SELECT q_id, CAST(emb.label AS BIGINT) AS n_label,
+               count(*) AS votes
+             FROM r JOIN embeddings emb ON emb.vec_id = r.n_id
+             WHERE rank <= 5 GROUP BY 1, 2),
+       b AS (SELECT q_id, n_label, votes,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY votes DESC, n_label) AS rk
+             FROM v)
+       SELECT b.q_id, b.n_label AS pred_label,
+              CAST(b.votes AS BIGINT) AS votes,
+              CAST(t.label AS BIGINT) AS true_label
+       FROM b JOIN embeddings t ON t.vec_id = b.q_id
+       WHERE rk = 1 ORDER BY b.q_id""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val nn = graft.vector.VectorOps.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 50), 5)
+    val labels = emb.select(col("vec_id").as("n_id"),
+      col("label").cast("long").as("n_label"))
+    val votes = labels.join(broadcast(nn.select(col("q_id"), col("n_id"))),
+        "n_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("votes"), (-col("n_label")).as("neg"))).as("m"))
+      .select(col("q_id"), (-col("m.neg")).as("pred_label"),
+        col("m.votes").as("votes"))
+    val truth = emb.select(col("vec_id").as("q_id"),
+      col("label").cast("long").as("true_label"))
+    truth.join(broadcast(pred), "q_id")
+      .select(col("q_id"), col("pred_label"), col("votes"),
+        col("true_label"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Aggregate-function breadth on one shuffle: bool_and/bool_or,
+    * filtered counts, and argmin/argmax via orderable-struct min/max
+    * (tie-broken by the key, so the pick is total and portable —
+    * plain min_by/max_by on a non-unique ordering column would be
+    * nondeterministic on BOTH engines). */
+  val aggBreadth: QueryDef = QueryDef.sql(
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+              bool_and(c_acctbal > 0) AS all_positive,
+              bool_or(c_acctbal > 9000) AS any_rich,
+              count(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+              (min(struct_pack(a := c_acctbal, k := c_custkey))).k
+                AS poorest_cust,
+              (max(struct_pack(a := c_acctbal, k := c_custkey))).k
+                AS richest_cust
+       FROM customer GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        bool_and(col("c_acctbal") > 0).as("all_positive"),
+        bool_or(col("c_acctbal") > 9000).as("any_rich"),
+        count_if(col("c_acctbal") < 0).as("n_negative"),
+        min(struct(col("c_acctbal").as("a"), col("c_custkey").as("k")))
+          .as("mn"),
+        max(struct(col("c_acctbal").as("a"), col("c_custkey").as("k")))
+          .as("mx"))
+      .select(col("segment"), col("n"), col("all_positive"),
+        col("any_rich"), col("n_negative"),
+        col("mn.k").as("poorest_cust"), col("mx.k").as("richest_cust"))
+      .orderBy(col("segment"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
     "q89_mixture_weights" -> mixtureWeights,
     "q90_grouped_topk" -> groupedTopK,
+    "q91_ks_drift" -> ksDrift,
+    "q92_sliding_window" -> slidingWindow,
+    "q93_knn_classify" -> knnClassify,
+    "q94_agg_breadth" -> aggBreadth,
   )
 }
