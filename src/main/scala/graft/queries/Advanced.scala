@@ -321,6 +321,96 @@ object Advanced {
       .orderBy(col("segment"))
   }
 
+  /** Per-document token-distribution entropy — the quality signal
+    * that separates natural prose (high entropy) from repetitive
+    * boilerplate (low). Fully row-local on the Spark side
+    * ([[graft.text.TextOps.tokenEntropy]]'s sorted-run fold — no
+    * doc×token shuffle); the oracle recomputes it relationally with
+    * a list-ordered sum so the float fold order matches. */
+  val tokenEntropyQ: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+       c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+       e AS (SELECT doc_id,
+               list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY tok),
+                 x -> x * ln(x))) AS s,
+               sum(c) AS n
+             FROM c GROUP BY 1)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              floor((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
+                * 1000000 + 0.5) / 1000000 AS entropy
+       FROM e ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        r6(TextOps.tokenEntropy(col("toks"))).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Robust outlier detection per event type: median + MAD (median
+    * absolute deviation), flagging values beyond 3·MAD — the
+    * quantile-threshold pattern of q03 applied twice. Both medians
+    * are exact in-plan percentile aggregates broadcast back; no
+    * driver round-trip, no sort of the corpus (percentile is a
+    * partial-aggregating sketch-free exact agg over bounded
+    * groups). */
+  val madOutliers: QueryDef = QueryDef.sql(
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+       d AS (SELECT e.event_type, value, med, abs(value - med) AS dev
+             FROM events e JOIN m USING (event_type)),
+       s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             FROM d GROUP BY 1)
+       SELECT d.event_type, count(*) AS n,
+              count(*) FILTER (WHERE dev > 3 * mad) AS n_outliers,
+              floor((max(med)) * 1000000 + 0.5) / 1000000 AS median,
+              floor((max(mad)) * 1000000 + 0.5) / 1000000 AS mad
+       FROM d JOIN s USING (event_type) GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("dev") > lit(3) * col("mad")).as("n_outliers"),
+        r6(max(col("med"))).as("median"),
+        r6(max(col("mad"))).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Retention cohort matrix: users grouped by first-seen day, the
+    * count of distinct active users per (cohort, day offset) — the
+    * standard product-retention triangle. The per-user first-seen
+    * aggregate keys on user_id like the event join that follows, so
+    * the shuffle partitioning is reused; distinct-user counting is
+    * a two-level partial aggregate, never a collect. */
+  val retentionCohorts: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT user_id,
+             min(date_trunc('day', ts)) AS cohort
+           FROM events GROUP BY 1)
+       SELECT cohort, CAST(date_diff('day', CAST(cohort AS DATE),
+                CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS day_off,
+              count(DISTINCT e.user_id) AS active_users
+       FROM events e JOIN u USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    // cohort stays a day-truncated TIMESTAMP (the parquet logical
+    // type the driver compare is proven on — q24), not DATE
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+    ev.join(u, "user_id")
+      .groupBy(col("cohort"),
+        datediff(to_date(date_trunc("day", col("ts"))), to_date(col("cohort")))
+          .cast("long").as("day_off"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort"), col("day_off"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -330,5 +420,8 @@ object Advanced {
     "q92_sliding_window" -> slidingWindow,
     "q93_knn_classify" -> knnClassify,
     "q94_agg_breadth" -> aggBreadth,
+    "q95_token_entropy" -> tokenEntropyQ,
+    "q96_mad_outliers" -> madOutliers,
+    "q97_retention_cohorts" -> retentionCohorts,
   )
 }

@@ -143,6 +143,33 @@ object TextOps {
       },
       acc => acc.getField("best"))
 
+  /** Shannon entropy (nats) of a document's token distribution:
+    * H = ln(n) − (Σ c·ln c)/n over per-token counts c. Row-local
+    * like [[maxMultiplicity]]: sort, fold a (prev, run, acc) state
+    * over the runs — each run's c·ln(c) term closes in ascending
+    * token order, the SAME left-to-right order as the oracle's
+    * list-ordered sum, so double addition agrees bit-for-bit. */
+  def tokenEntropy(toks: Column): Column = {
+    def term(run: Column): Column = {
+      val r = run.cast("double")
+      when(run > 0, r * log(r)).otherwise(lit(0.0))
+    }
+    val folded = aggregate(sort_array(toks),
+      struct(try_element_at(toks, lit(1)).as("prev"), lit(0L).as("run"),
+        lit(0.0).as("acc")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("acc"))
+            .otherwise(acc.getField("acc") + term(acc.getField("run")))
+            .as("acc"))
+      },
+      acc => acc.getField("acc") + term(acc.getField("run")))
+    val n = size(toks).cast("double")
+    when(size(toks) > 0, log(n) - folded / n)
+  }
+
   def shingles(toks: Column, n: Int = 3): Column = {
     val win = size(toks) - lit(n - 1)
     val first = slice(toks, lit(1), win)

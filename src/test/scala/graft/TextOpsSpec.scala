@@ -48,6 +48,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.collect()(0).getDouble(0) == 0.75)
   }
 
+  test("tokenEntropy: 0 for constant docs, ln(k) for uniform, " +
+      "order-insensitive") {
+    val df = Seq(
+      "a a a a",          // one symbol → H = 0
+      "a b c d",          // uniform over 4 → H = ln 4
+      "b a d c",          // permutation → same H
+      "a a b b b b"       // H = ln 6 - (2 ln 2 + 4 ln 4)/6
+    ).toDF("t").select(TextOps.tokenEntropy(TextOps.tokens(col("t"))).as("h"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - math.log(4)) < 1e-12)
+    assert(got(2) == got(1))
+    val expected = math.log(6) -
+      (2 * math.log(2) + 4 * math.log(4)) / 6
+    assert(math.abs(got(3) - expected) < 1e-12)
+  }
+
   test("bpeTokenEstimate: max of word count and chars/4") {
     val df = Seq("ab cd", "abcdefghijklmnopqrstuvwxyz").toDF("t")
       .select(TextOps.bpeTokenEstimate(col("t")).as("e"))
