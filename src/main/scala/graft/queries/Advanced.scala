@@ -411,6 +411,166 @@ object Advanced {
       .orderBy(col("cohort"), col("day_off"))
   }
 
+  /** PMI collocations — the corpus-statistics step behind phrase
+    * mining / tokenizer-merge candidates: pointwise mutual
+    * information of adjacent token pairs, top-20 with support ≥ 5.
+    * All count tables are vocabulary-bounded (the q74 shapes); the
+    * scalars N and B broadcast in-plan; PMI is computed in the
+    * additive-ln form (overflow-safe at any corpus size, identical
+    * op order on both engines) and RANKED on its r6-rounded value
+    * (the q57 lesson: ulp-level ln() differences must not flip
+    * ranks), tie-broken by the bigram text. Global top-20 plans
+    * TakeOrderedAndProject, not a full sort. */
+  val pmiCollocations: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       w AS (SELECT unnest(toks) AS tok FROM t),
+       uni AS (SELECT tok, count(*) AS c1 FROM w GROUP BY 1),
+       tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+       x AS (SELECT unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+             FROM t WHERE len(toks) >= 2),
+       bc AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c2
+              FROM x GROUP BY 1, 2),
+       btot AS (SELECT CAST(sum(c2) AS DOUBLE) AS bt FROM bc),
+       p AS (SELECT w1 || ' ' || w2 AS bg, c2,
+               floor((ln(CAST(c2 AS DOUBLE)) + 2.0 * ln(n) - ln(bt)
+                 - ln(CAST(a.c1 AS DOUBLE)) - ln(CAST(b.c1 AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS pmi
+             FROM bc JOIN uni a ON bc.w1 = a.tok
+                     JOIN uni b ON bc.w2 = b.tok, tot, btot
+             WHERE c2 >= 5),
+       r AS (SELECT bg, CAST(c2 AS BIGINT) AS c2, pmi,
+               row_number() OVER (ORDER BY pmi DESC, bg) AS rank
+             FROM p)
+       SELECT bg, c2, pmi, CAST(rank AS BIGINT) AS rank
+       FROM r WHERE rank <= 20 ORDER BY rank""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("n"))
+    val bi = docs.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("s"))
+      .groupBy(col("s.w1").as("w1"), col("s.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val btot = bi.agg(sum(col("c2")).cast("double").as("bt"))
+    val p = bi
+      .join(uni.select(col("tok").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c1b")), "w2")
+      .filter(col("c2") >= 5)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bg"), col("c2"),
+        r6(log(col("c2").cast("double")) + lit(2.0) * log(col("n"))
+          - log(col("bt")) - log(col("c1a").cast("double"))
+          - log(col("c1b").cast("double"))).as("pmi"))
+    val top = p.orderBy(col("pmi").desc, col("bg")).limit(20)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("bg"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** Chi-square independence test between event type and hour of
+    * day — the categorical drift / association check. The
+    * contingency table is bounded (|types| × 24 cells), so row and
+    * column marginals broadcast in-plan; expected counts come from
+    * exact integer marginal products cast to double identically on
+    * both engines. */
+  val chiSquare: QueryDef = QueryDef.sql(
+    """WITH o AS (SELECT event_type AS et, CAST(hour(ts) AS INTEGER) AS hr,
+             count(*) AS obs
+           FROM events GROUP BY 1, 2),
+       r AS (SELECT et, sum(obs) AS rt FROM o GROUP BY 1),
+       c AS (SELECT hr, sum(obs) AS ct FROM o GROUP BY 1),
+       n AS (SELECT sum(obs) AS n, count(DISTINCT et) AS nr,
+               count(DISTINCT hr) AS nc FROM o),
+       t AS (SELECT obs,
+               CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+             FROM o JOIN r USING (et) JOIN c USING (hr), n)
+       SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+              CAST((SELECT (nr - 1) * (nc - 1) FROM n) AS BIGINT) AS dof,
+              floor((sum((CAST(obs AS DOUBLE) - exp)
+                * (CAST(obs AS DOUBLE) - exp) / exp)) * 1000000 + 0.5)
+                / 1000000 AS chi2
+       FROM t""") { (s, d) =>
+    val o = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"),
+        hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("obs"))
+    val r = o.groupBy(col("et")).agg(sum(col("obs")).as("rt"))
+    val c = o.groupBy(col("hr")).agg(sum(col("obs")).as("ct"))
+    val n = o.agg(sum(col("obs")).as("n"),
+      countDistinct(col("et")).as("nr"), countDistinct(col("hr")).as("nc"))
+    o.join(broadcast(r), "et").join(broadcast(c), "hr")
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("nr"), col("nc"), col("obs").cast("double").as("od"),
+        ((col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+          .as("exp"))
+      .groupBy(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      .agg(r6(sum((col("od") - col("exp")) * (col("od") - col("exp"))
+        / col("exp"))).as("chi2"))
+  }
+
+  /** One-pass dataset profile ("dataset card" stats) over the
+    * numeric measure columns of lineitem: null counts, exact
+    * distinct cardinalities, min/max/mean — ONE scan computing every
+    * aggregate (multi-distinct planned via Expand), unpivoted with
+    * `stack` so adding a column adds zero jobs. The Deequ-style rule
+    * audit (q80) asserts; this row describes. */
+  val columnProfile: QueryDef = QueryDef.sql(
+    """SELECT 'l_discount' AS column_name, count(*) AS n,
+              count(*) - count(l_discount) AS n_null,
+              count(DISTINCT l_discount) AS n_distinct,
+              floor((min(l_discount)) * 1000000 + 0.5) / 1000000 AS min_v,
+              floor((max(l_discount)) * 1000000 + 0.5) / 1000000 AS max_v,
+              floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_v
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+              count(DISTINCT l_extendedprice),
+              floor((min(l_extendedprice)) * 1000000 + 0.5) / 1000000,
+              floor((max(l_extendedprice)) * 1000000 + 0.5) / 1000000,
+              floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+              count(DISTINCT l_quantity),
+              floor((min(l_quantity)) * 1000000 + 0.5) / 1000000,
+              floor((max(l_quantity)) * 1000000 + 0.5) / 1000000,
+              floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_tax', count(*), count(*) - count(l_tax),
+              count(DISTINCT l_tax),
+              floor((min(l_tax)) * 1000000 + 0.5) / 1000000,
+              floor((max(l_tax)) * 1000000 + 0.5) / 1000000,
+              floor((avg(l_tax)) * 1000000 + 0.5) / 1000000
+       FROM lineitem
+       ORDER BY column_name""") { (s, d) =>
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        r6(min(col(c))).as(s"mn_$c"),
+        r6(max(col(c))).as(s"mx_$c"),
+        r6(avg(col(c))).as(s"av_$c"))): _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n - cnt_$c, nd_$c, mn_$c, mx_$c, av_$c").mkString(", ")
+    agg.selectExpr("n",
+        s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, n_null, n_distinct, min_v, max_v, avg_v)")
+      .select(col("column_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("avg_v"))
+      .orderBy(col("column_name"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -423,5 +583,8 @@ object Advanced {
     "q95_token_entropy" -> tokenEntropyQ,
     "q96_mad_outliers" -> madOutliers,
     "q97_retention_cohorts" -> retentionCohorts,
+    "q98_pmi_collocations" -> pmiCollocations,
+    "q99_chi_square" -> chiSquare,
+    "q100_column_profile" -> columnProfile,
   )
 }

@@ -152,6 +152,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"value>100 not pushed to the ORC scan:\n$plan")
   }
 
+  test("session-4 tier shapes: q91 distributed ECDF, q93/q96 " +
+      "broadcast-only joins, q98 top-k, q90 heap agg") {
+    // q91's cumsums must ride the range-partitioned prefix sum: every
+    // window operator partitions by the range-partition id (scalar
+    // aggregates like the totals/max legitimately single-partition,
+    // so the gate targets the Window nodes specifically)
+    val p91 = executedPlan("q91_ks_drift")
+    val windows91 = p91.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows91.nonEmpty, "q91 lost its ECDF windows")
+    assert(windows91.forall(_.contains("__pid")),
+      s"q91 has a window not partitioned by the prefix-sum pid:\n" +
+        windows91.mkString("\n"))
+    // kNN votes and MAD thresholds are tiny relations: broadcast,
+    // never a corpus-sized SMJ
+    for (q <- Seq("q93_knn_classify", "q96_mad_outliers")) {
+      val p = executedPlan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q plans SMJ")
+    }
+    // global top-20 collocations: per-partition heaps, no full sort
+    val p98 = executedPlan("q98_pmi_collocations")
+    assert(p98.contains("TakeOrderedAndProject"),
+      "q98 must plan TakeOrderedAndProject for its global top-k")
+    // q90 aggregates through the bounded heap, not a window
+    val p90 = executedPlan("q90_grouped_topk")
+    assert(p90.contains("ObjectHashAggregate") && !p90.contains("Window"))
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
