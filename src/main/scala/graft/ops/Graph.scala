@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation on edge DataFrames — the second graph
+  * operator family next to connected components
+  * (`Dedup.nearDupComponents`).
+  *
+  * Weighted PageRank (Page et al. '99; the power-iteration form every
+  * distributed engine ships): rank flows along out-edges proportional
+  * to edge weight, damped toward the uniform distribution. Each
+  * iteration is ONE shuffle (contribution groupBy on dst) plus one
+  * left join back onto the node set — both keyed on the node id, so
+  * the partitioning is reused across iterations; nothing ever
+  * materializes beyond the node and edge relations. The node count is
+  * the only driver-side scalar (same status as the vocabulary count
+  * in the LM scorers).
+  *
+  * Iteration count is FIXED (caller-chosen), not convergence-tested —
+  * that keeps the whole computation one declarative plan and makes
+  * the result engine-portable (an epsilon test would couple output to
+  * float drift). For web-scale graphs add a `localCheckpoint` every
+  * few rounds to truncate lineage; at bounded iters the plan is fine.
+  */
+object Graph {
+
+  /** @param edges (src, dst, w) with integral weight `w`; parallel
+    *              edges should be pre-aggregated. Nodes with no
+    *              out-edges receive damped rank but emit none
+    *              (standard simplified dangling handling — document
+    *              when it matters for the graph at hand).
+    * @return (node, rank) for every node appearing as src or dst */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val out = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val n = nodes.count()
+    val base = (1 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(out, "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("w").cast("double") / col("outw").cast("double"))
+            .as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+}

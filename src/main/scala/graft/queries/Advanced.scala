@@ -571,6 +571,55 @@ object Advanced {
       .orderBy(col("column_name"))
   }
 
+  /** Weighted PageRank over the user-journey transition graph
+    * (event_type → next event_type, edge weight = transition count):
+    * the steady-state importance of each funnel stage. Exercises
+    * [[graft.ops.Graph.pageRank]] — fixed 5 power iterations, each
+    * one node-keyed shuffle; the oracle unrolls the same five
+    * iterations as chained CTEs with identical float arithmetic. */
+  private def prIterCte(k: Int): String =
+    s"""r$k AS (SELECT nd.node,
+          (1 - 0.85) / n + 0.85 * coalesce(s.c, 0) AS rank
+        FROM nd CROSS JOIN nn LEFT JOIN
+          (SELECT ed.dst AS node,
+             sum(r.rank * CAST(ed.w AS DOUBLE)
+               / CAST(od.outw AS DOUBLE)) AS c
+           FROM r${k - 1} r JOIN ed ON ed.src = r.node
+                JOIN od ON od.src = ed.src
+           GROUP BY 1) s ON s.node = nd.node)"""
+
+  val pageRankTransitions: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+             event_id FROM events),
+       t AS (SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS dst
+             FROM e),
+       ed AS (SELECT src, dst, count(*) AS w FROM t
+              WHERE dst IS NOT NULL GROUP BY 1, 2),
+       od AS (SELECT src, sum(w) AS outw FROM ed GROUP BY 1),
+       nd AS (SELECT DISTINCT node FROM
+               (SELECT src AS node FROM ed
+                UNION ALL SELECT dst FROM ed)),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       r0 AS (SELECT node, 1.0 / n AS rank FROM nd CROSS JOIN nn),
+       ${(1 to 5).map(prIterCte).mkString(",\n       ")}
+       SELECT node, floor((rank) * 1000000 + 0.5) / 1000000 AS rank
+       FROM r5 ORDER BY node""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.pageRank(edges, iters = 5)
+      .select(col("node"), r6(col("rank")).as("rank"))
+      .orderBy(col("node"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -586,5 +635,6 @@ object Advanced {
     "q98_pmi_collocations" -> pmiCollocations,
     "q99_chi_square" -> chiSquare,
     "q100_column_profile" -> columnProfile,
+    "q101_pagerank" -> pageRankTransitions,
   )
 }
