@@ -620,6 +620,92 @@ object Advanced {
       .orderBy(col("node"))
   }
 
+  /** Higher-order-function breadth over the embedding column — the
+    * row-local vector feature pass (norm via the codegen dot, mean/
+    * extrema/predicates via transform-family HOFs). Everything is
+    * per-row; the only shuffle is the final presentation sort. The
+    * mean's fold runs in list order on both engines, so the float
+    * sums agree. */
+  val vectorStats: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)
+       SELECT vec_id,
+              floor((sqrt(list_dot_product(v, v))) * 1000000 + 0.5)
+                / 1000000 AS norm,
+              floor((list_sum(v) / len(v)) * 1000000 + 0.5)
+                / 1000000 AS mean_v,
+              list_min(v) AS min_v, list_max(v) AS max_v,
+              CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+              len(list_filter(v, x -> abs(x) > 0.5)) > 0 AS has_large
+       FROM e ORDER BY vec_id""") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val v = graft.vector.VectorOps.toDouble(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"),
+        r6(sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+          .as("norm"),
+        r6(aggregate(col("v"), lit(0.0), (acc, x) => acc + x)
+          / size(col("v"))).as("mean_v"),
+        array_min(col("v")).as("min_v"), array_max(col("v")).as("max_v"),
+        size(filter(col("v"), x => x > 0)).as("n_pos"),
+        exists(col("v"), x => abs(x) > 0.5).as("has_large"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Materialized-rollup maintenance: the first 14 days are the
+    * persisted aggregate snapshot (key → count/sum state), newer
+    * events are the increment; merging is a union + re-aggregate of
+    * STATE rows — day-sized work, never a full recompute. (The
+    * membership-index sibling is q73; this is the additive-state
+    * form every nightly rollup uses.) Oracle: the full recompute —
+    * equality IS the correctness claim. */
+  val incrementalAgg: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(*) AS n,
+              floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total,
+              floor((sum(value) / count(*)) * 1000000 + 0.5) / 1000000
+                AS mean_value
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        dayofmonth(col("ts")).as("dom"))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+    val snapshot = state(ev.filter(col("dom") <= 14))
+    val increment = state(ev.filter(col("dom") > 14))
+    snapshot.unionByName(increment)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .select(col("event_type"), col("n"), r6(col("s")).as("total"),
+        r6(col("s") / col("n")).as("mean_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HLL sketch rollup — the mergeable-state form of distinct
+    * counting: per-day sketches union to the period total WITHOUT
+    * re-touching the raw data (the q43 estimator made re-usable).
+    * Sketch bytes are engine-specific, so the row is rows-only; the
+    * correctness claims live in SketchSpec: merged-daily estimate ==
+    * direct whole-period estimate EXACTLY (same sketch algebra), and
+    * both within 5% of the exact distinct count (also carried in the
+    * output for eyeballing). */
+  val hllRollup: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        dayofmonth(col("ts")).as("dom"))
+    val daily = ev.groupBy(col("event_type"), col("dom"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("merged_estimate"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("direct_estimate"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+    merged.join(direct, "event_type").orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -636,5 +722,8 @@ object Advanced {
     "q99_chi_square" -> chiSquare,
     "q100_column_profile" -> columnProfile,
     "q101_pagerank" -> pageRankTransitions,
+    "q102_vector_stats" -> vectorStats,
+    "q103_incremental_agg" -> incrementalAgg,
+    "q104_hll_rollup" -> hllRollup,
   )
 }

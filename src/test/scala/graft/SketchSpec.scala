@@ -47,6 +47,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q104 HLL rollup: merged daily sketches equal the direct " +
+      "sketch exactly; both within 5% of exact") {
+    val rows = SparkEntry.queries("q104_hll_rollup")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (merged, direct, exact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      // same sketch algebra → union of partials IS the direct sketch
+      assert(merged == direct,
+        s"${r.getString(0)}: merged $merged != direct $direct")
+      assert(math.abs(direct - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: estimate $direct vs exact $exact")
+    }
+  }
+
   test("q42 decorrelates: one aggregate + join, no per-row subquery") {
     val df = SparkEntry.queries("q42_correlated_subquery")(spark, dir)
     df.collect()
