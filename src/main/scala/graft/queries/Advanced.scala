@@ -706,6 +706,96 @@ object Advanced {
     merged.join(direct, "event_type").orderBy(col("event_type"))
   }
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (min / difference of per-value counts), the
+    * semantics q13/q14's distinct forms erase. Spark plans both as
+    * one aggregate + generate (count pairs, then replicate), not a
+    * join blowup. */
+  val setAll: QueryDef = QueryDef.sql(
+    """SELECT 'intersect_all' AS op, user_id FROM
+         (SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT ALL
+          SELECT user_id FROM events WHERE event_type = 'view')
+       UNION ALL
+       SELECT 'except_all', user_id FROM
+         (SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT ALL
+          SELECT user_id FROM events WHERE event_type = 'view')
+       ORDER BY op, user_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"))
+    clicks.intersectAll(views).select(lit("intersect_all").as("op"),
+        col("user_id"))
+      .unionByName(clicks.exceptAll(views)
+        .select(lit("except_all").as("op"), col("user_id")))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  /** Null-handling API surface (the reference's P6 dropna widened):
+    * nulls introduced with a guard, then `na.fill` for numeric
+    * defaulting, `na.replace` for categorical recoding, and a
+    * null-flag — the standard feature-cleaning trio. All row-local. */
+  val nullHandling: QueryDef = QueryDef.sql(
+    """WITH b AS (SELECT event_id, event_type,
+             CASE WHEN value < 1 THEN NULL ELSE value END AS v
+           FROM events)
+       SELECT event_id,
+              CASE WHEN event_type = 'click' THEN 'tap'
+                   ELSE event_type END AS event_type_replaced,
+              coalesce(v, -1.0) AS value_filled,
+              v IS NULL AS was_null
+       FROM b ORDER BY event_id""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(col("value") < 1, lit(null)).otherwise(col("value")).as("v"))
+      .na.replace("event_type", Map("click" -> "tap"))
+      .withColumn("was_null", col("v").isNull)
+      .na.fill(Map("v" -> -1.0))
+      .select(col("event_id"),
+        col("event_type").as("event_type_replaced"),
+        col("v").as("value_filled"), col("was_null"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-spine gap filling: every hour between each user's first
+    * and last activity, zero-filled where no events landed — the
+    * completeness step before any per-period rate or SLA metric.
+    * The spine generates from per-user (min, max) bounds — a
+    * bounded-size aggregate exploded row-locally, NOT a global
+    * calendar cross join; the fill is one co-keyed left join. */
+  val gapFill: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+           FROM events GROUP BY 1),
+       spine AS (SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                 AS hour_start
+             FROM u),
+       a AS (SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               count(*) AS n
+             FROM events GROUP BY 1, 2)
+       SELECT s.user_id, s.hour_start, coalesce(a.n, 0) AS n
+       FROM spine s LEFT JOIN a USING (user_id, hour_start)
+       ORDER BY 1, 2""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+        .as("hour_start"))
+    val active = ev.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("cnt"))
+    spine.join(active, Seq("user_id", "hour_start"), "left")
+      .select(col("user_id"), col("hour_start"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("hour_start"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -725,5 +815,8 @@ object Advanced {
     "q102_vector_stats" -> vectorStats,
     "q103_incremental_agg" -> incrementalAgg,
     "q104_hll_rollup" -> hllRollup,
+    "q105_set_all" -> setAll,
+    "q106_null_handling" -> nullHandling,
+    "q107_gap_fill" -> gapFill,
   )
 }
