@@ -796,6 +796,67 @@ object Advanced {
       .orderBy(col("user_id"), col("hour_start"))
   }
 
+  /** String-function breadth — the row-local text-wrangling surface
+    * (pad/translate/reverse/split_part/concat_ws/repeat/substr),
+    * every function chosen for identical semantics on both engines
+    * (initcap, soundex, format_number are NOT portable and are
+    * deliberately absent). */
+  val stringBreadth: QueryDef = QueryDef.sql(
+    """SELECT c_custkey,
+              lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+              translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_lc_vowels,
+              reverse(c_name) AS rev_name,
+              split_part(c_name, '#', 2) AS cust_num,
+              concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+                AS tag,
+              repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars,
+              upper(substr(c_mktsegment, 1, 3)) AS seg3
+       FROM customer ORDER BY c_custkey""") { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou")
+          .as("segment_lc_vowels"),
+        reverse(col("c_name")).as("rev_name"),
+        expr("split_part(c_name, '#', 2)").as("cust_num"),
+        concat_ws("|", col("c_mktsegment"), col("c_nationkey").cast("string"))
+          .as("tag"),
+        expr("repeat('*', CAST(c_custkey % 5 AS INT))").as("stars"),
+        upper(substring(col("c_mktsegment"), 1, 3)).as("seg3"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date/time-function breadth over event time: quarter, ISO week,
+    * day-of-year, month end, and day/month arithmetic. Date-typed
+    * results are emitted as ISO strings — both engines cast DATE to
+    * 'YYYY-MM-DD', while a raw DATE column would ride different
+    * physical types through the compare. */
+  val dateBreadth: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events)
+       SELECT event_id,
+              CAST(d AS VARCHAR) AS day,
+              CAST(quarter(d) AS INTEGER) AS qtr,
+              CAST(weekofyear(d) AS INTEGER) AS iso_week,
+              CAST(dayofyear(d) AS INTEGER) AS doy,
+              CAST(last_day(d) AS VARCHAR) AS month_end,
+              CAST(d + 7 AS VARCHAR) AS next_week,
+              CAST(CAST(d + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+                AS next_month
+       FROM e ORDER BY event_id""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .select(col("event_id"),
+        col("d").cast("string").as("day"),
+        quarter(col("d")).cast("int").as("qtr"),
+        weekofyear(col("d")).cast("int").as("iso_week"),
+        dayofyear(col("d")).cast("int").as("doy"),
+        last_day(col("d")).cast("string").as("month_end"),
+        date_add(col("d"), 7).cast("string").as("next_week"),
+        add_months(col("d"), 1).cast("string").as("next_month"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -818,5 +879,7 @@ object Advanced {
     "q105_set_all" -> setAll,
     "q106_null_handling" -> nullHandling,
     "q107_gap_fill" -> gapFill,
+    "q108_string_breadth" -> stringBreadth,
+    "q109_date_breadth" -> dateBreadth,
   )
 }

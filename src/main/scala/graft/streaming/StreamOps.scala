@@ -55,6 +55,21 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window counts (streaming form of q92): each event
+    * contributes to window/slide overlapping windows; Spark expands
+    * the rows map-side before the keyed aggregation, and the
+    * watermark still bounds state — closed slides evict exactly like
+    * tumbling windows. */
+  def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Arbitrary stateful op: running per-user event count via
     * mapGroupsWithState (KeyValueGroupedDataset). */
   def runningUserCounts(events: DataFrame): DataFrame = {

@@ -25,6 +25,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts: streaming equals the batch sliding windows " +
+      "row-for-row") {
+    val stream = StreamOps.eventsStream(spark, dir)
+    val q = StreamOps.runToMemory(
+      StreamOps.slidingCounts(stream), "sw", OutputMode.Complete())
+    try {
+      val streamed = spark.table("sw")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2))).toSet
+      val batch = Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2))).toSet
+      assert(streamed == batch)
+      // every event lands in exactly window/slide = 2 windows
+      val total = spark.table("sw")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(total == 2 * Tables.events(spark, dir).count())
+    } finally q.stop()
+  }
+
   test("dedupedEvents: duplicates within the watermark collapse") {
     // fold event ids onto 50 values → guaranteed duplicates
     val stream = StreamOps.eventsStream(spark, dir)
