@@ -42,3 +42,30 @@ pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_chars": pa.array(ncs, pa.int64())}),
                f"{out}/documents.parquet")
 print(f"documents: {len(ids)} rows in 10 token-renamed shards")
+
+# events: 10 user-shifted replicas of sf0.1 (1M rows, 1500 users) with
+# jittered timestamps — per-user structure (sessions, funnels,
+# transitions) preserved per replica, value distribution untouched, so
+# the event-time tier scales both rows and key cardinality 10x.
+# Schema matches the harness fixture exactly (nanosecond timestamps).
+ev = duckdb.sql("SELECT event_id, epoch_ns(ts) AS ns, user_id, "
+                "event_type, value, props FROM "
+                "'/root/testdata/sf0.1/events.parquet' "
+                "ORDER BY event_id").fetchall()
+jit = rng.integers(0, 1_000_000, size=len(ev) * 10)  # < 1ms jitter
+eids, enss, eus, ets, evs, eps = [], [], [], [], [], []
+k = 0
+for s in range(10):
+    for (i, ns, u, t, v, p) in ev:
+        eids.append(i + s * 10_000_000)
+        enss.append(ns + int(jit[k])); k += 1
+        eus.append(u + s * 100_000)
+        ets.append(t); evs.append(v); eps.append(p)
+pq.write_table(pa.table({"event_id": pa.array(eids, pa.int64()),
+                         "ts": pa.array(enss, pa.timestamp("ns")),
+                         "user_id": pa.array(eus, pa.int64()),
+                         "event_type": pa.array(ets),
+                         "value": pa.array(evs, pa.float64()),
+                         "props": pa.array(eps)}),
+               f"{out}/events.parquet")
+print(f"events: {len(eids)} rows, {len(set(eus))} users, 10 replicas")
