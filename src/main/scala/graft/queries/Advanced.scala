@@ -857,6 +857,93 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
+  /** Last-touch attribution: each purchase attributed to the user's
+    * most recent click at-or-before it — the as-of join
+    * (`ops/AsOf`, q44's operator) reused on a second domain, proving
+    * it is generic: ONE user-keyed shuffle, zero join blowup, rights
+    * pre-deduplicated per (user, ts) to honor the operator contract.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val attribution: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+       p AS (SELECT event_id, user_id, us FROM e
+             WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, us AS c_us, max(event_id) AS click_event_id
+             FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+       SELECT p.event_id, p.user_id, p.us AS purchase_us,
+              c.click_event_id,
+              c.click_event_id IS NOT NULL AS attributed
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.us >= c.c_us
+       ORDER BY p.event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("c_us"))
+      .agg(max(col("event_id")).as("click_event_id"))
+    graft.ops.AsOf.asofJoin(purchases, clicks, "user_id",
+        leftTs = "us", rightTs = "c_us", payload = Seq("click_event_id"))
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("click_event_id"),
+        col("click_event_id").isNotNull.as("attributed"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Near-dup cluster collapse with a QUALITY keep policy — q48's
+    * transitive components composed with a keep-longest rule (ties
+    * to the smaller doc_id via one orderable-struct aggregate per
+    * cluster, broadcast back). This is the decision step real
+    * curation runs after clustering: q48 says WHICH docs group,
+    * this row says WHO survives. */
+  val dedupKeepBest: QueryDef = QueryDef.sql(
+    """WITH RECURSIVE
+       t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))) >= 0.6),
+       sym AS (SELECT a_id AS u, b_id AS v FROM p
+               UNION ALL SELECT b_id, a_id FROM p),
+       lbl(u, l) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         UNION
+         SELECT s2.v, lbl.l FROM lbl JOIN sym s2 ON s2.u = lbl.u),
+       m AS (SELECT u AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY u),
+       b AS (SELECT m.cluster_id,
+               max(struct_pack(nc := d.n_chars, ni := -d.doc_id)) AS best
+             FROM m JOIN documents d USING (doc_id) GROUP BY 1)
+       SELECT m.doc_id, m.cluster_id, d.n_chars,
+              (d.n_chars = (b.best).nc AND m.doc_id = -(b.best).ni) AS keep
+       FROM m JOIN documents d USING (doc_id) JOIN b USING (cluster_id)
+       ORDER BY m.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.dedup.Dedup.minhashNearDupPairs(docs,
+      "doc_id", "text", 0.6)
+    val comp = graft.dedup.Dedup.nearDupComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val withLen = comp.join(docs.select(col("doc_id"), col("n_chars")),
+      "doc_id")
+    val best = withLen.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("ni")))
+        .as("best"))
+    withLen.join(broadcast(best), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        (col("n_chars") === col("best.nc") &&
+          col("doc_id") === -col("best.ni")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -881,5 +968,7 @@ object Advanced {
     "q107_gap_fill" -> gapFill,
     "q108_string_breadth" -> stringBreadth,
     "q109_date_breadth" -> dateBreadth,
+    "q110_attribution" -> attribution,
+    "q111_dedup_keep_best" -> dedupKeepBest,
   )
 }
