@@ -944,6 +944,57 @@ object Advanced {
       .orderBy(col("doc_id"))
   }
 
+  /** ANSI-safe arithmetic surface — Spark 4 runs ANSI mode, where
+    * raw division-by-zero and bad casts THROW; the try_* family
+    * yields NULL instead, which is exactly DuckDB's native
+    * double-division and TRY_CAST semantics, so the oracle is
+    * direct. The error-tolerant path every ingest pipeline needs. */
+  val safeMath: QueryDef = QueryDef.sql(
+    """SELECT event_id,
+              floor((value / CAST(user_id % 3 AS DOUBLE)) * 1000000 + 0.5)
+                / 1000000 AS safe_div,
+              user_id % 3 = 0 AS div_was_zero,
+              try_cast(substr(event_type, 1, 2) AS INTEGER) AS bad_parse,
+              try_cast(CAST(user_id AS VARCHAR) AS INTEGER) AS good_parse
+       FROM events ORDER BY event_id""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        r6(try_divide(col("value"), (col("user_id") % 3).cast("double")))
+          .as("safe_div"),
+        (col("user_id") % 3 === 0).as("div_was_zero"),
+        expr("try_cast(substr(event_type, 1, 2) AS INT)").as("bad_parse"),
+        expr("try_cast(CAST(user_id AS STRING) AS INT)").as("good_parse"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Nested-type round trip: shred per-user rows into a sorted
+    * array<struct> profile, then flatten back with explode — the
+    * parquet-nested-column pattern (one struct column instead of a
+    * second table). The oracle states the IDENTITY: flatten(nest(x))
+    * equals the flat aggregation, so DuckDB never needs to build the
+    * nested value at all. */
+  val nestedShred: QueryDef = QueryDef.sql(
+    """WITH g AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+       t AS (SELECT user_id, sum(n) AS n_events FROM g GROUP BY 1)
+       SELECT g.user_id, CAST(t.n_events AS BIGINT) AS n_events,
+              g.event_type, g.n
+       FROM g JOIN t USING (user_id) ORDER BY 1, 3""") { (s, d) =>
+    val perType = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val nested = perType.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        array_sort(collect_list(struct(col("event_type").as("t"),
+          col("n")))).as("types"))
+    nested
+      .select(col("user_id"), col("n_events"),
+        explode(col("types")).as("e"))
+      .select(col("user_id"), col("n_events"),
+        col("e.t").as("event_type"), col("e.n").as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -970,5 +1021,7 @@ object Advanced {
     "q109_date_breadth" -> dateBreadth,
     "q110_attribution" -> attribution,
     "q111_dedup_keep_best" -> dedupKeepBest,
+    "q112_safe_math" -> safeMath,
+    "q113_nested_shred" -> nestedShred,
   )
 }
