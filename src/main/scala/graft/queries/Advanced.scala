@@ -995,6 +995,70 @@ object Advanced {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Cumulative user acquisition: distinct users first seen per day,
+    * running total — the growth curve. First-seen is a user-keyed
+    * aggregate; the cumsum window runs over the per-DAY relation,
+    * whose size is bounded by the calendar, so the global ordering
+    * is legitimately tiny (documented — this is NOT the corpus-sized
+    * global window q69/q91 avoid). */
+  val newUsersCumulative: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT user_id, min(date_trunc('day', ts)) AS d0
+           FROM events GROUP BY 1),
+       g AS (SELECT d0, count(*) AS new_users FROM u GROUP BY 1)
+       SELECT d0 AS day, new_users,
+              CAST(sum(new_users) OVER (ORDER BY d0
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS total_users
+       FROM g ORDER BY day""") { (s, d) =>
+    val firstSeen = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("d0"))
+    val daily = firstSeen.groupBy(col("d0"))
+      .agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("total_users",
+        sum(col("new_users")).over(Window.orderBy(col("d0"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d0").as("day"), col("new_users"), col("total_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Zipf fit over the token frequency distribution — ordinary
+    * least squares of ln(freq) on ln(rank) via the regression
+    * AGGREGATES (regr_slope/regr_intercept/corr), one pass over the
+    * vocabulary-bounded frequency table. Ranks are exact integers
+    * (count DESC, token ASC — total order), so both engines regress
+    * the identical point set. */
+  val zipfSlope: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+       f AS (SELECT tok, count(*) AS c FROM w GROUP BY 1),
+       r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+             FROM f)
+       SELECT CAST(count(*) AS BIGINT) AS n_points,
+              floor((regr_slope(ln(CAST(c AS DOUBLE)),
+                ln(CAST(rk AS DOUBLE)))) * 1000000 + 0.5) / 1000000
+                AS slope,
+              floor((regr_intercept(ln(CAST(c AS DOUBLE)),
+                ln(CAST(rk AS DOUBLE)))) * 1000000 + 0.5) / 1000000
+                AS intercept,
+              floor((corr(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))))
+                * 1000000 + 0.5) / 1000000 AS correlation
+       FROM r WHERE rk <= 1000""") { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = f.withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .filter(col("rk") <= 1000)
+      .select(log(col("c").cast("double")).as("y"),
+        log(col("rk").cast("double")).as("x"))
+    ranked.agg(count(lit(1)).as("n_points"),
+      r6(regr_slope(col("y"), col("x"))).as("slope"),
+      r6(regr_intercept(col("y"), col("x"))).as("intercept"),
+      r6(corr(col("y"), col("x"))).as("correlation"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -1023,5 +1087,7 @@ object Advanced {
     "q111_dedup_keep_best" -> dedupKeepBest,
     "q112_safe_math" -> safeMath,
     "q113_nested_shred" -> nestedShred,
+    "q114_new_users_cumulative" -> newUsersCumulative,
+    "q115_zipf_slope" -> zipfSlope,
   )
 }
