@@ -10,49 +10,88 @@ package graft
   * fail the bench loudly, not record a fast "success". A warmup run
   * of the flagship shape absorbs JVM/session/codegen startup so the
   * first timed query isn't charged for it.
+  *
+  * Output is CRASH-PROOF (VERDICT r3 #1): one `{"query":…,"sec":…}`
+  * JSON line is printed and flushed the moment each query's timing
+  * completes, so a JVM/RPC death 28 minutes into a 29-minute run
+  * still leaves a per-query record on stdout instead of zeroing the
+  * round's whole perf signal (r3's bench died with its only println
+  * at the very end). The final contract line (`"metric":"total"`)
+  * is unchanged and still last.
+  *
+  * Queries run in two lanes (VERDICT r3 #5): the BATCH lane is
+  * min-of-2 cache-cold passes — a plan-quality signal; the STREAMING
+  * lane (q47) is timed ONCE, because what it measures is availableNow
+  * micro-batch machinery (checkpoint dir, offset log, per-batch
+  * planning — ~9 s of fixed overhead at any SF) and a second pass
+  * adds no information while charging 13% of the bench to it. Both
+  * lanes appear in `queries`; `batch_total`/`streaming_total` split
+  * the headline `value` for the plan-quality read.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev convenience: restrict to a comma-separated subset while
+    // iterating on one query's plan (driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = GraftSession.create(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
     def runNoop(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    def emit(line: String): Unit = { println(line); System.out.flush() }
     // warmup (untimed): one query per native-expression family, so
     // the first TIMED query of each family measures the steady-state
     // plan rather than absorbing that family's C2/codegen compilation
     // (measured: q33 reads 1.8 s when it is the first cross-polytope
     // plan of the JVM, 0.7 s steady-state). Caches are still cleared
     // before every timed pass — warmup only warms code, not data.
-    Seq("q01_demand_heatmap", // relational/codegen baseline
+    val warmups = Seq(
+      "q01_demand_heatmap",   // relational/codegen baseline
       "q30_dedup_minhash",    // shingle + minhash + jaccard exprs
       "q31_dedup_simhash",    // simhash expr
       "q33_ann_lsh",          // cross-polytope + dot exprs
-      "q79_dup_spans"         // positional gram-hash expr
-    ).foreach(runNoop)
-    // min of two timed passes: one pass is dominated by first-run
-    // effects (codegen compile, page cache, GC) that vary run to
-    // run; the min is the steady-state cost of the declared plan.
-    // Every pass starts cache-cold: operator persists are released
-    // and the catalog cleared BEFORE the timer, else CacheManager's
-    // canonicalized-plan matching lets pass 2 read pass 1's caches
-    // and the min becomes a warm-cache number (VERDICT r2 #2).
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).map { _ =>
-        Caching.releaseAll()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        runNoop(name)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      "q79_dup_spans",        // positional gram-hash expr
+      "q111_dedup_keep_best"  // cluster-collapse + argmax family
+      // (VERDICT r3 #6: 7.9 s at sf0.01 vs 2.7 s at sf0.1 was this
+      // family's first-run codegen landing in its timed pass)
+    )
+    warmups.filter(w => only.isEmpty || only(w)).foreach(runNoop)
+    val streamingLane = Set("q47_stream_tumbling")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    def timedPass(name: String): Double = {
+      // every pass starts cache-cold: operator persists are released
+      // and the catalog cleared BEFORE the timer, else CacheManager's
+      // canonicalized-plan matching lets pass 2 read pass 1's caches
+      // and the min becomes a warm-cache number (VERDICT r2 #2)
+      Caching.releaseAll()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      runNoop(name)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      // batch lane: min of two timed passes — one pass is dominated
+      // by first-run effects (codegen compile, page cache, GC) that
+      // vary run to run; the min is the steady-state cost of the
+      // declared plan. Streaming lane: one pass (fixed micro-batch
+      // machinery dominates; min-of-2 would just double the cost).
+      val passes = if (streamingLane(name)) 1 else 2
+      val sec = (1 to passes).map(_ => timedPass(name)).min
+      emit(s"""{"query":"$name","sec":$sec}""")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streamingTotal =
+      results.filter(r => streamingLane(r._1)).map(_._2).sum
+    val batchTotal = total - streamingTotal
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":$batchTotal,"streaming_total":$streamingTotal}""")
     spark.stop()
   }
 }

@@ -330,32 +330,69 @@ object Relational {
   }
 
   /** HLL sketch: approximate distinct users per event type
-    * (approx_count_distinct — Spark's HyperLogLog++). Sketch output
-    * is engine-specific → rows-only in the catalog; SketchSpec gates
-    * the estimate within 5% of the exact distinct count. */
-  val approxDistinct: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * (approx_count_distinct — Spark's HyperLogLog++). The raw
+    * estimate is engine-specific, so the DRIVER-CHECKED output is the
+    * containment form (VERDICT r3 residual #3): the exact distinct
+    * count rides the same aggregate as a side channel and `ok`
+    * asserts |HLL − exact| ≤ 5%·exact IN-PLAN — the oracle emits the
+    * expected TRUE, so a drifting sketch hash-mismatches. rsd=0.01
+    * makes the 5% gate a ≥5σ margin (deterministic per dataset — HLL
+    * has no runtime randomness, only data-dependent bias). SketchSpec
+    * keeps the numeric gates. */
+  val approxDistinct: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(*) AS n_events, TRUE AS ok
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("__approx"),
+        count_distinct(col("user_id")).as("__exact"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        (abs(col("__approx") - col("__exact"))
+          <= lit(0.05) * col("__exact")).as("ok"))
       .orderBy(col("event_type"))
   }
 
   /** Quantile sketch: approx p50/p90/p99 of event value per type
     * via approx_percentile (Greenwald-Khanna ε-summary — mergeable
     * partial sketches, the one-pass distributed shape; an exact
-    * percentile needs a full sort or q03's two-pass trick). Sketch
-    * output is accuracy-parameter-specific → rows-only; SketchSpec
-    * gates each estimate inside the ±ε rank window vs the exact
-    * distribution. */
-  val approxQuantiles: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(approx_percentile(col("value"),
-        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
-      .select(col("event_type"),
-        col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
-      .orderBy(col("event_type"))
+    * percentile needs a full sort or q03's two-pass trick).
+    *
+    * DRIVER-CHECKED via containment (VERDICT r3 #7): the raw
+    * estimate is accuracy-parameter-specific, but the GK GUARANTEE
+    * is portable — the returned value's rank must land within
+    * ±εn of ⌈p·n⌉ (ε = 1/accuracy). A second pass counts each
+    * estimate's exact rank interval [lt+1, le] in-plan, and `ok`
+    * asserts it intersects the guarantee window (slack 2εn+1: εn for
+    * the bound itself, once more for merge-compression headroom —
+    * still a ±0.02% rank window, vastly tighter than SketchSpec's
+    * 5% value gate, which remains). The oracle emits the expected
+    * TRUE per (event_type, p) row, so a sketch that ever leaves its
+    * window hash-mismatches in the driver compare. */
+  val approxQuantiles: QueryDef = QueryDef.sql(
+    """SELECT event_type, p, TRUE AS ok
+       FROM (SELECT DISTINCT event_type FROM events)
+       CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                                  0.99::DOUBLE]) AS p)
+       ORDER BY 1, 2""") { (s, d) =>
+    val ps = array(lit(0.5), lit(0.9), lit(0.99))
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(approx_percentile(col("value"), ps, lit(10000)).as("q"))
+      .select(col("event_type"), posexplode(col("q")).as(Seq("i", "est")))
+      .select(col("event_type"), element_at(ps, col("i") + 1).as("p"),
+        col("est"))
+    ev.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"), col("p"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("le"))
+      .select(col("event_type"), col("p"),
+        ((col("lt") + 1 <= ceil(col("p") * col("n"))
+            + col("n") / 10000.0 * 2 + 1) &&
+         (col("le") >= ceil(col("p") * col("n"))
+            - col("n") / 10000.0 * 2 - 1)).as("ok"))
+      .orderBy(col("event_type"), col("p"))
   }
 
   /** Backward as-of join over events: for each even-id event, the

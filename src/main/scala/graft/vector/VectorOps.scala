@@ -241,7 +241,14 @@ object VectorOps {
     // parallelism buys at any corpus size where it would matter
     val c = graft.Caching.retain(
       withNorm(corpus, idCol, vecCol, "n").persist())
-    val n = c.count() // materialize before multi-consumer fan-out
+    // sizing count runs on the RAW corpus, not the normed projection:
+    // over a parquet scan it folds to a metadata-only count (no
+    // vector decode, no cache fill — measured ~0.3 s cheaper than
+    // counting through the persist at sf0.1). The persist of `c`
+    // materializes lazily under its first consumer (`seeds`, next
+    // job) — every later consumer is strictly after that job, so
+    // nothing computes twice.
+    val n = corpus.count()
     val nl = if (nlist > 0) nlist
       else math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
     val np = if (nprobe > 0) nprobe
@@ -271,8 +278,13 @@ object VectorOps {
     // one Lloyd refinement: replace sampled seeds with their cells'
     // mean vectors (element-wise avg via posexplode — deterministic,
     // one extra pass) — measurably better-shaped cells than raw
-    // samples, without a full iterative k-means fit
-    val centroids = assignCells(c, seeds, "n")
+    // samples, without a full iterative k-means fit.
+    // PERSISTED (VERDICT r3 #3): two consumers read the centroid
+    // relation (corpus assignment below + query probes), and each is
+    // fed by a corpus-wide crossJoin+agg chain — unpersisted, the
+    // whole index build ran twice (measured ~2× of q40's cost; nl
+    // rows of d doubles is a trivial cache footprint at any scale)
+    val centroids = graft.Caching.retain(assignCells(c, seeds, "n")
       .select(col("cell"), posexplode(col("n_v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("x"))
       .groupBy(col("cell"))
@@ -280,6 +292,8 @@ object VectorOps {
         s => s.getField("x")).as("c_v"))
       .select(col("cell").as("c_id"), col("c_v"),
         norm(col("c_v")).as("c_norm"))
+      .persist())
+    centroids.count() // materialize before the two consumers fork
     val assigned = assignCells(c, centroids, "n")
     // queries probe their np nearest cells: a collect_list + sorted
     // slice per query id (tiny groups — one per query), no window
@@ -295,15 +309,27 @@ object VectorOps {
       .select(col("q_id"), col("q_v"), col("q_norm"),
         explode(transform(col("__cells"), s => s.getField("c_id")))
           .as("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+    // per-query top-k through the bounded-heap TopK AGGREGATE, not a
+    // window: the window formulation shuffles and SORTS every probed
+    // candidate (nprobe/nlist of the corpus per query) to keep k
+    // rows; the aggregate folds each task's candidates into a
+    // k-entry buffer map-side, so only k rows per (query × task)
+    // cross the shuffle — the shortlist-then-exact-re-rank shape
+    // (VERDICT r3 #3), with the re-rank fused into the heap because
+    // the exact cosine is already computed per candidate. Ordering
+    // (cos desc, id asc) matches the window formulation bit-for-bit
+    // (TopKSpec gates the equivalence).
+    val topk = graft.ops.TopK.topk(k)
     assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
       .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
         / (col("q_norm") * col("n_norm"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 
   /** Scale-path embedding near-dup: cross-polytope LSH candidate
