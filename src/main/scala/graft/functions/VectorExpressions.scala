@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for graft's hot per-row/per-pair loops.
   *
@@ -990,6 +991,95 @@ case class RandomProjection(left: Expression, right: Expression)
       newRight: Expression): RandomProjection = copy(newLeft, newRight)
 }
 
+/** One-pass whole-word language-ID: argmax over per-language marker
+  * occurrence counts, first-listed language wins exact ties, 'und'
+  * when every score is zero — bit-identical semantics to the
+  * composable fold (per-language replace-trick score columns +
+  * greatest + CASE chain), which is what the DuckDB oracles still
+  * run.
+  *
+  * Why native: the fold form inlines each language's score tree into
+  * `best` AND into every CASE branch (~6× per language), and
+  * predicate pushdown then substitutes the whole thing into the
+  * consuming Filter — on the 5-language profile that generated a
+  * >64 KB janino method in q72's composed pipeline, kicking the
+  * stage out of whole-stage codegen entirely, and even when it
+  * compiles it evaluates ≥15 full-text `replace` copies per row.
+  * This expression is one generated call; counting is indexOf skips
+  * (no copies), one padded string per row.
+  *
+  * Occurrence semantics match the replace trick exactly: markers are
+  * padded with spaces (whole words over a space-padded text) and
+  * matches count LEFT-TO-RIGHT NON-OVERLAPPING — two adjacent words
+  * share their separating space, so "x the the x" counts ONE " the "
+  * (the second starts inside the first match), same as
+  * `(length(s) - length(replace(s, m, ''))) / length(m)` on any
+  * engine.
+  *
+  * Profiles arrive as one foldable packed string
+  * (records split by U+001E, fields by U+001F — see
+  * [[GraftFunctions.encodeLangProfiles]]): the registry API passes
+  * only Columns, and two flat separators beat nested literal arrays
+  * for a value parsed once per executor into the transient table. */
+case class LangPredict(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "lang predict needs (string text, foldable string profiles), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  @transient private lazy val profiles: Array[(UTF8String, Array[String])] =
+    right.eval().asInstanceOf[UTF8String].toString
+      .split('\u001E').map { rec =>
+        val parts = rec.split('\u001F')
+        (UTF8String.fromString(parts(0)),
+          parts.drop(1).map(m => s" $m "))
+      }
+
+  private val und = UTF8String.fromString("und")
+
+  def predict(t: UTF8String): UTF8String = {
+    val s = " " + t.toString + " "
+    var bestScore = 0L
+    var best: UTF8String = null
+    var i = 0
+    while (i < profiles.length) {
+      val ms = profiles(i)._2
+      var sc = 0L
+      var j = 0
+      while (j < ms.length) {
+        val p = ms(j)
+        var idx = s.indexOf(p)
+        while (idx >= 0) { sc += 1; idx = s.indexOf(p, idx + p.length) }
+        j += 1
+      }
+      if (sc > bestScore) { bestScore = sc; best = profiles(i)._1 }
+      i += 1
+    }
+    if (best == null) und else best
+  }
+
+  override def nullSafeEval(t: Any, p: Any): Any =
+    predict(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langPredictExpr", this,
+      classOf[LangPredict].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $self.predict($t);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LangPredict = copy(newLeft, newRight)
+}
+
 object GraftFunctions {
 
   val DOT = "graft_dot"
@@ -1004,6 +1094,7 @@ object GraftFunctions {
   val HYPERPLANE = "graft_hyperplane_bits"
   val HYPERPLANE_BANDS = "graft_hyperplane_bands"
   val CP_KEYS = "graft_cp_keys"
+  val LANG_PREDICT = "graft_lang_predict"
 
   /** Idempotently register graft's native expressions on a session
     * (temp functions — session-scoped, executor-safe via codegen).
@@ -1041,6 +1132,8 @@ object GraftFunctions {
       CP_KEYS,
       exprs => CrossPolytopeKeys(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      LANG_PREDICT, exprs => LangPredict(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product (register(spark) must have run). */
@@ -1076,4 +1169,19 @@ object GraftFunctions {
 
   def cpKeys(vec: Column, kHashes: Int, bands: Int, probes: Int): Column =
     call_function(CP_KEYS, vec, lit(kHashes), lit(bands), lit(probes))
+
+  /** Pack language profiles for [[LangPredict]]: records joined by
+    * U+001E, fields by U+001F (lang first, then its markers). The
+    * separators are C0 controls that cannot appear in marker words. */
+  def encodeLangProfiles(profiles: Seq[(String, Seq[String])]): String = {
+    require(profiles.forall { case (l, ms) =>
+      !(l +: ms).exists(s => s.exists(c => c == '\u001E' || c == '\u001F'))
+    }, "language profiles must not contain U+001E/U+001F separators")
+    profiles.map { case (l, ms) => (l +: ms).mkString("\u001F") }
+      .mkString("\u001E")
+  }
+
+  def langPredict(text: Column,
+      profiles: Seq[(String, Seq[String])]): Column =
+    call_function(LANG_PREDICT, text, lit(encodeLangProfiles(profiles)))
 }

@@ -155,6 +155,7 @@ object Pipeline {
             ${langProfiles.map(_._1 + "_score").mkString(", ")},
             CASE $cases ELSE 'und' END AS predicted_lang
          FROM b ORDER BY doc_id""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val df = Tables.documents(s, d)
       val scored = langProfiles.foldLeft(df) { case (acc, (l, ms)) =>
         acc.withColumn(s"${l}_score", TextOps.langScore(col("text"), ms))
@@ -1245,6 +1246,7 @@ object Pipeline {
          SELECT doc_id, n, "offset",
                 CAST("offset" // 512 AS BIGINT) AS bin_first
          FROM o ORDER BY doc_id""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val toks = TextOps.tokens(col("text"))
       val survivors = Tables.documents(s, d)
         .filter(TextOps.languageId(col("text"), langProfiles)

@@ -53,8 +53,23 @@ object TextOps {
   }
 
   /** n-gram language-ID heuristic: argmax of per-language marker
-    * scores, first-listed language wins ties, 'und' when all zero. */
-  def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    * scores, first-listed language wins ties, 'und' when all zero.
+    * Runs through the native one-pass [[graft.functions.LangPredict]]
+    * expression (GraftFunctions.register must have run on the
+    * session): the composable fold below duplicates every language's
+    * score tree into `best` and each CASE branch, and predicate
+    * pushdown re-inlines the lot into consuming Filters — q72's
+    * composed pipeline generated a >64 KB janino method that kicked
+    * the whole stage out of codegen. Semantics are bit-identical
+    * (TextOpsSpec cross-checks against [[languageIdComposed]]). */
+  def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    graft.functions.GraftFunctions.langPredict(text, profiles)
+
+  /** The composable built-ins-only formulation — the DuckDB oracles
+    * mirror THIS shape; kept as the cross-check reference for the
+    * native expression. */
+  def languageIdComposed(text: Column,
+      profiles: Seq[(String, Seq[String])]): Column = {
     val scores = profiles.map { case (lang, ms) => lang -> langScore(text, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), elseC) =>

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
 
   test("tokens + counts") {
     val df = Seq("  the quick brown fox  ").toDF("t")
@@ -39,6 +40,27 @@ class TextOpsSpec extends AnyFunSuite {
     val df = Seq("the cat sat", "el gato", "zzz qqq").toDF("t")
       .select(TextOps.languageId(col("t"), profiles).as("l"))
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "und"))
+  }
+
+  test("languageId native expression == composed built-ins fold " +
+      "on the documents fixture and on adversarial overlaps") {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "is"),
+      "es" -> Seq("el", "la", "de"),
+      "fr" -> Seq("le", "les", "des"),
+      "de" -> Seq("der", "und", "die"),
+      "zh" -> Seq("的", "了", "是"))
+    // adversarial: adjacent markers share their separating space
+    // (replace-trick counts ONE), exact cross-language ties, unicode
+    val edge = Seq("the the the", "el la de le les des", "的 了 是",
+      "", "der und die der und die", "nothing matching at all")
+      .toDF("text")
+    for (df <- Seq(edge, Tables.documents(spark, dir).select(col("text")))) {
+      val both = df.select(
+        TextOps.languageId(col("text"), profiles).as("native"),
+        TextOps.languageIdComposed(col("text"), profiles).as("composed"))
+      assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    }
   }
 
   test("stopwordRatio uses multiset counts, not distinct") {
