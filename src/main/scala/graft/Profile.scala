@@ -77,6 +77,44 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "scale-r4") {
+      // round-4 scale addendum (VERDICT r3 #8): the post-slimming IVF
+      // and the attribution/keep-best tier against the 10× corpus.
+      // Pass the corpus dir (tools/make_scale_data.py output, or a
+      // harness sf dir — both carry the same table names).
+      val dir = args(1)
+      val bigEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nBig = bigEmb.count().toInt
+      val q10 = bigEmb.filter(col("vec_id") < 10)
+      def timeCount(name: String)(df: => org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val runs = (1 to 2).map { _ =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = df.count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[scale] $name%-42s rows=${runs.head._1}%9d " +
+          f"${runs.map(_._2).min}%8.2f s")
+      }
+      import graft.vector.{VectorOps => V}
+      timeCount("ivf topk k=3 (q40 shape)")(V.ivfTopK(bigEmb, q10, 3))
+      // k=n keeps EVERY probed candidate in the heap, so the output
+      // row count IS the candidate volume (fraction = rows/(q·(n−1)))
+      timeCount("ivf probed candidates (k=n)")(
+        V.ivfTopK(bigEmb, q10, nBig))
+      timeCount("brute topk k=3 (q32 exact baseline)")(
+        V.bruteForceTopK(bigEmb, q10, 3))
+      // catalog rows over the scaled events/documents in `dir`;
+      // output rows double as the pair/survivor counts on record
+      for (name <- Seq("q110_attribution", "q111_dedup_keep_best"))
+        timeCount(name)(SparkEntry.queries(name)(spark, dir))
+      Caching.releaseAll()
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "scale") {
       // scale-evidence mode (tools/make_scale_data.py generates the
       // 10x corpus): times each operator twice cache-cold, prints

@@ -68,21 +68,30 @@ object VectorOps {
 
   /** Exact top-k cosine neighbors for each query vector.
     * Queries are broadcast (small side); scores are computed in the
-    * corpus scan stage; ranking is on graft.Rounding.r6(cos) with an id
-    * tie-break so results are stable across engines and runs. */
+    * corpus scan stage; ranking is on graft.Rounding.r6(cos) with an
+    * id tie-break so results are stable across engines and runs.
+    * Ranking runs through the bounded-heap TopK aggregate — identical
+    * ordering to `row_number() OVER (ORDER BY cos DESC, id)` (gated
+    * by TopKSpec) but only k rows per (query × task) cross the
+    * shuffle, where the window form shuffles and sorts ALL q×n scored
+    * rows (measured 6.3 s → expected ~linear at the 20k corpus). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val c = withNorm(spread(corpus), idCol, vecCol, "n")
     val q = withNorm(queries, idCol, vecCol, "q")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+    val topk = graft.ops.TopK.topk(k)
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"),
+        graft.Rounding.r6(dot(col("q_v"), col("n_v"))
+          / (col("q_norm") * col("n_norm"))).as("cos"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits packed into a
@@ -261,20 +270,29 @@ object VectorOps {
       .orderBy(col("__h")).limit(nl).drop("__h")
     // nearest cell per row: max_by over the nlist-way crossJoin —
     // partial aggregation folds each row's nlist scores map-side, so
-    // the shuffle carries one row per id and nothing is sorted
+    // the shuffle carries one row per id and nothing is sorted. The
+    // aggregate is SKINNY on purpose (id, cell-id, score only): the
+    // r3 form carried the full d-double vector in the max_by struct,
+    // so every one of the n×nlist comparison rows copied the vector
+    // through the agg buffer — measured 27× cost at 10× corpus
+    // (O(n^1.5) comparison rows × O(d) payload). The vector instead
+    // rejoins by id afterwards (id→cell is n skinny rows; AQE picks
+    // broadcast at fixture scale, co-partitioned hash at 100 TB).
     def assignCells(df: DataFrame, cents: DataFrame,
-        prefix: String): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__ccos", dot(col(s"${prefix}_v"), col("c_v"))
-          / (col(s"${prefix}_norm") * col("c_norm")))
-        .groupBy(col(s"${prefix}_id"))
-        .agg(max_by(
-          struct(col(s"${prefix}_v"), col(s"${prefix}_norm"), col("c_id")),
-          struct(col("__ccos"), (-col("c_id")).as("__tb"))).as("__best"))
+        prefix: String): DataFrame = {
+      val cells = df
+        .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
+          col(s"${prefix}_norm"))
+        .crossJoin(broadcast(cents))
         .select(col(s"${prefix}_id"),
-          col("__best").getField(s"${prefix}_v").as(s"${prefix}_v"),
-          col("__best").getField(s"${prefix}_norm").as(s"${prefix}_norm"),
-          col("__best").getField("c_id").as("cell"))
+          (dot(col(s"${prefix}_v"), col("c_v"))
+            / (col(s"${prefix}_norm") * col("c_norm"))).as("__ccos"),
+          col("c_id"))
+        .groupBy(col(s"${prefix}_id"))
+        .agg(max_by(col("c_id"),
+          struct(col("__ccos"), (-col("c_id")).as("__tb"))).as("cell"))
+      df.join(cells, s"${prefix}_id")
+    }
     // one Lloyd refinement: replace sampled seeds with their cells'
     // mean vectors (element-wise avg via posexplode — deterministic,
     // one extra pass) — measurably better-shaped cells than raw
