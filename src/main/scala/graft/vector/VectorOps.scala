@@ -132,7 +132,8 @@ object VectorOps {
     * Scale shape: keys are row-local; the candidate join streams the
     * corpus-side key table against broadcast query keys (map-side);
     * the only corpus shuffles are the candidate-id distinct and the
-    * per-query top-k window, both bounded by the candidate set. */
+    * per-query top-k (bounded-heap aggregate — only k rows per
+    * (query × task) cross it), both bounded by the candidate set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cpHashes: Int = 1, bands: Int = 32, probes: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -148,14 +149,18 @@ object VectorOps {
     val cand = cKeys.join(broadcast(qKeys), "key")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+    val topk = graft.ops.TopK.topk(k)
     cand.join(c, "n_id").join(broadcast(q), "q_id")
-      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"),
+        graft.Rounding.r6(dot(col("q_v"), col("n_v"))
+          / (col("q_norm") * col("n_norm"))).as("cos"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 
   /** Candidate pairs from cross-polytope band keys: (a_id, b_id),
@@ -828,27 +833,34 @@ object VectorOps {
 
   /** Shared tail of the ADC searches: per-query shortlist of the top
     * k·rerank ADC scores, then exact-cosine re-rank of only those
-    * rows (raw vectors broadcast-joined for |Q|·k·rerank ids). */
+    * rows (raw vectors broadcast-joined for |Q|·k·rerank ids). Both
+    * rankings run through the bounded-heap TopK aggregate — the
+    * window forms shuffled and SORTED all |Q|×n ADC rows to keep
+    * k·rerank (ordering identical: desc score, id tie-break). */
   private def adcShortlistRerank(scored: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int, rerank: Int,
       idCol: String, vecCol: String): DataFrame = {
-    val wAdc = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").desc, col("n_id"))
+    val topSl = graft.ops.TopK.topk(k * rerank)
     val shortlist = scored
-      .withColumn("__r", row_number().over(wAdc))
-      .filter(col("__r") <= k * rerank)
-      .select(col("q_id"), col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topSl(col("adc"), col("n_id")).as("__sl"))
+      .select(col("q_id"),
+        explode(transform(col("__sl"), s => s.getField("id"))).as("n_id"))
     val cwn = withNorm(corpus, idCol, vecCol, "b")
     val qwn = withNorm(queries, idCol, vecCol, "q")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+    val topk = graft.ops.TopK.topk(k)
     cwn.join(broadcast(shortlist), col("b_id") === col("n_id"))
       .join(broadcast(qwn), "q_id")
-      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("b_v"))
-        / (col("q_norm") * col("b_norm"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"),
+        graft.Rounding.r6(dot(col("q_v"), col("b_v"))
+          / (col("q_norm") * col("b_norm"))).as("cos"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 
   /** All ordered pairs (a < b) from a sorted bucket-member array —
