@@ -703,6 +703,20 @@ object Pipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ ANN — the FAISS-style composition of q40's cell probing
+    * with q54's compressed ADC scan + exact re-rank: the one plan
+    * whose per-query cost shrinks on both axes at 100 TB (rows via
+    * nprobe/nlist, bytes via 16× codes). Approximate on two axes →
+    * rows-only; AnnRecallSpec gates measured recall vs the exact q32
+    * baseline. */
+  val annIvfPq: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, iters = 1)
+    VectorOps.ivfPqTopK(emb, queries, 3, cb, 16, 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Gopher-style repetition heuristics (Rae et al. '21 §A1.1 /
     * RefinedWeb / Dolma rule family): fraction of the doc consumed by
     * its most frequent word and 2-gram, and the duplicate-3-gram
@@ -1839,6 +1853,7 @@ object Pipeline {
     "q52_pii_scrub" -> piiScrub,
     "q53_pq_encode" -> pqEncodeDet,
     "q54_pq_adc_topk" -> pqAdc,
+    "q116_ann_ivfpq" -> annIvfPq,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,

@@ -249,6 +249,38 @@ object VectorOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, probes) =
+      ivfAssignAndProbes(corpus, queries, nlist, nprobe, idCol, vecCol)
+    // per-query top-k through the bounded-heap TopK AGGREGATE, not a
+    // window: the window formulation shuffles and SORTS every probed
+    // candidate (nprobe/nlist of the corpus per query) to keep k
+    // rows; the aggregate folds each task's candidates into a
+    // k-entry buffer map-side, so only k rows per (query × task)
+    // cross the shuffle — the shortlist-then-exact-re-rank shape
+    // (VERDICT r3 #3), with the re-rank fused into the heap because
+    // the exact cosine is already computed per candidate. Ordering
+    // (cos desc, id asc) matches the window formulation bit-for-bit
+    // (TopKSpec gates the equivalence).
+    val topk = graft.ops.TopK.topk(k)
+    assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
+        / (col("q_norm") * col("n_norm"))))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+
+  /** Shared IVF front half (ivfTopK + ivfPqTopK): builds the cell
+    * structure and returns (assigned, probes) — `assigned` is the
+    * persisted normed corpus plus its `cell` id, `probes` is one row
+    * per (query, probed cell) carrying the query vector+norm. */
+  private def ivfAssignAndProbes(corpus: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     GraftFunctions.register(corpus.sparkSession)
     // no spread(): per-row work here is nlist dot products, light
     // enough that forcing a repartition shuffle costs more than the
@@ -332,27 +364,70 @@ object VectorOps {
       .select(col("q_id"), col("q_v"), col("q_norm"),
         explode(transform(col("__cells"), s => s.getField("c_id")))
           .as("cell"))
-    // per-query top-k through the bounded-heap TopK AGGREGATE, not a
-    // window: the window formulation shuffles and SORTS every probed
-    // candidate (nprobe/nlist of the corpus per query) to keep k
-    // rows; the aggregate folds each task's candidates into a
-    // k-entry buffer map-side, so only k rows per (query × task)
-    // cross the shuffle — the shortlist-then-exact-re-rank shape
-    // (VERDICT r3 #3), with the re-rank fused into the heap because
-    // the exact cosine is already computed per candidate. Ordering
-    // (cos desc, id asc) matches the window formulation bit-for-bit
-    // (TopKSpec gates the equivalence).
-    val topk = graft.ops.TopK.topk(k)
-    assigned.join(broadcast(probes),
-        assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
-      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm"))))
-      .groupBy(col("q_id"))
-      .agg(topk(col("cos"), col("n_id")).as("__top"))
-      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
-      .select(col("q_id"), col("__s").getField("id").as("n_id"),
-        col("__s").getField("ord").as("cos"),
-        (col("__i") + 1).cast("int").as("rank"))
+    (assigned, probes)
+  }
+
+  /** IVF-PQ: the FAISS-style composition of the two scale structures.
+    * IVF cells bound WHERE to look ([[ivfTopK]]'s probe structure);
+    * PQ codes bound WHAT is read there (ADC scoring over the m-byte
+    * code relation, [[pqAdcTopKFromCodes]]'s scan); an exact-cosine
+    * re-rank of the k·rerank shortlist restores full-precision
+    * ranking. A search touches: centroids (tiny, broadcast), the
+    * probed cells' (id, codes) rows — nprobe/nlist of a 16×-
+    * compressed relation, the only corpus-sized read — and raw
+    * vectors for |Q|·k·rerank ids only. This is the first plan here
+    * whose per-query cost shrinks on BOTH axes at 100 TB: rows
+    * scanned (cells) and bytes per row (codes). Approximate on two
+    * axes (cell recall × ADC shortlist recall) → rows-only in the
+    * catalog; AnnRecallSpec gates measured recall against
+    * [[bruteForceTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebook: DataFrame, m: Int, dsub: Int,
+      nlist: Int = 0, nprobe: Int = 0, rerank: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assigned, probes) =
+      ivfAssignAndProbes(corpus, queries, nlist, nprobe, idCol, vecCol)
+    // candidate code rows: (q_id, n_id, codes) for members of probed
+    // cells — the cell mapping rides `assigned` (skinny join), the
+    // probe list is broadcast, and only then do codes attach, so the
+    // un-probed corpus majority is never ADC-scored
+    val codes = pqCodes(corpus, codebook, m, dsub, idCol, vecCol)
+    val cand = assigned.select(col("n_id"), col("cell"))
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(codes.withColumnRenamed("pq_id", "n_id"), "n_id")
+      .select(col("q_id"), col("n_id"), col("codes"))
+    // ADC scoring: per-query LUTs (|Q|·m·k inner products) collected
+    // once and shipped in the task closure, same as the full-scan ADC
+    val cb = collectCodebook(codebook, m)
+    val qRows = normalize(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])].collect()
+    val luts = qRows.map { case (qid, qv) =>
+      val q = qv.toArray
+      qid -> Array.tabulate(m) { sub =>
+        cb(sub).map { cv =>
+          var ip = 0.0; var i = 0
+          while (i < dsub) { ip += q(sub * dsub + i) * cv(i); i += 1 }
+          ip
+        }
+      }
+    }.toMap
+    val scored = cand
+      .select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions(_.map { case (qid, nid, cs) =>
+        val lut = luts(qid)
+        val c = cs.toArray
+        var adc = 0.0; var s = 0
+        while (s < m) { adc += lut(s)(c(s)); s += 1 }
+        (qid, nid, adc)
+      })
+      .toDF("q_id", "n_id", "adc")
+    adcShortlistRerank(scored, corpus, queries, k, rerank, idCol, vecCol)
   }
 
   /** Scale-path embedding near-dup: cross-polytope LSH candidate

@@ -86,6 +86,21 @@ class AnnRecallSpec extends AnyFunSuite {
     Caching.releaseAll()
   }
 
+  test("ivfPqTopK recall@3 vs bruteForceTopK >= 0.6 on sf0.001") {
+    // two stacked approximations (cell probing ~0.83 × ADC shortlist
+    // ~0.9 on this near-isotropic fixture) — the gate sits under the
+    // product with margin; clustered real embeddings sit far above
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(VectorOps.bruteForceTopK(emb, queries, 3))
+    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, 1)
+    val ivfpq = pairs(VectorOps.ivfPqTopK(emb, queries, 3, cb, 16, 4))
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"IVF-PQ recall@3 = $recall%.3f (${(exact & ivfpq).size}/${exact.size})")
+    assert(recall >= 0.6, f"IVF-PQ recall@3 $recall%.3f below 0.6 gate")
+    Caching.releaseAll()
+  }
+
   test("lshTopK candidates always score with exact cosine (rank sane)") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
