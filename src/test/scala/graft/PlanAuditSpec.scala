@@ -105,6 +105,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"q76 shuffles too much ($exchanges):\n$p76")
   }
 
+  test("ANN top-k rankings stay heap aggregates: no Window in " +
+      "q32/q33/q40/q54/q116 (r4 migration gate)") {
+    // the window formulation shuffles + sorts every scored candidate;
+    // the bounded-heap TopK aggregate crosses the shuffle with k rows
+    // per (query × task). A refactor that reintroduces row_number
+    // ranking regresses exactly the r3→r4 fix and fails here.
+    for (q <- Seq("q32_cosine_topk", "q33_ann_lsh", "q40_ann_ivf",
+        "q54_pq_adc_topk", "q116_ann_ivfpq")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"), s"$q ranks through a Window")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q lost the TopK heap aggregate")
+    }
+  }
+
   test("q03's p99 threshold stays in-plan: construction runs no jobs") {
     // the reference's approxQuantile round-trips through the driver
     // (an aggregation job at build time); our form joins a one-row
