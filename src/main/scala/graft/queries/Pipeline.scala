@@ -123,6 +123,64 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality scoring — logistic-classifier INFERENCE as
+    * columnar math (the fastText/DSIR-shaped curation step: score
+    * every document with a trained quality model, keep above
+    * threshold). Weights here are fixed documented stand-ins (the
+    * engine contribution is in-plan inference; training happens
+    * offline), features are q26's portable text stats, and the whole
+    * scoring pass is row-local — no shuffle, fuses into the scan, at
+    * 100 TB it rides the first read of the corpus. `kept` compares
+    * the LOGIT against 0 (⟺ p ≥ 0.5) so the flag never depends on
+    * exp() rounding; the probability itself is r6-rounded with the
+    * same left-to-right arithmetic on both engines. */
+  val qualityLogit: QueryDef = QueryDef.sql(
+    """WITH t AS (
+         SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / len(toks) AS avg_tok,
+                len(list_filter(toks,
+                  x -> x IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
+                  / len(toks) AS stop_ratio,
+                (length(text) - length(regexp_replace(text,
+                  '[.,;:!?]', '', 'g')))::DOUBLE / length(text) AS punct
+         FROM t),
+       z AS (
+         SELECT doc_id,
+                ((((-3.0 + 2.0 * least(n_tokens / 200.0, 1.0))
+                   + 2.5 * stop_ratio)
+                  + 1.0 * least(avg_tok / 8.0, 1.0))
+                 - 4.0 * punct) AS logit
+         FROM m)
+       SELECT doc_id,
+              floor((1.0 / (1.0 + exp(-logit))) * 1000000 + 0.5)
+                / 1000000 AS quality_prob,
+              logit >= 0 AS kept
+       FROM z ORDER BY doc_id""") { (s, d) =>
+    val feats = Tables.documents(s, d)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextOps.avgTokenLen(col("toks")).as("avg_tok"),
+        TextOps.stopwordRatio(col("toks"), stopwords).as("stop_ratio"),
+        TextOps.punctRatio(col("text")).as("punct"))
+    // parenthesized left-to-right identically to the oracle: float
+    // addition order is part of the contract, not a style choice
+    val logit = ((lit(-3.0)
+      + lit(2.0) * least(col("n_tokens") / lit(200.0), lit(1.0)))
+      + lit(2.5) * col("stop_ratio"))
+      .+(lit(1.0) * least(col("avg_tok") / lit(8.0), lit(1.0)))
+      .-(lit(4.0) * col("punct"))
+    feats.select(col("doc_id"),
+        r6(lit(1.0) / (lit(1.0) + exp(-logit))).as("quality_prob"),
+        (logit >= 0).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "is"),
     "es" -> Seq("el", "la", "de"),
@@ -1854,6 +1912,7 @@ object Pipeline {
     "q53_pq_encode" -> pqEncodeDet,
     "q54_pq_adc_topk" -> pqAdc,
     "q116_ann_ivfpq" -> annIvfPq,
+    "q117_quality_logit" -> qualityLogit,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,
