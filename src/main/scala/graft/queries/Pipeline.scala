@@ -664,6 +664,96 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG/embedding-prep document chunking: overlapping token windows
+    * (W=64, stride 48 → 16-token overlap), emitted as (doc_id,
+    * chunk_idx, n_chunk_tokens, chunk) — the step between curation
+    * and embedding in retrieval pipelines. Entirely row-local
+    * (sequence + slice + explode fuse into the scan; output rows ≈
+    * tokens/stride per doc); at 100 TB chunking rides the corpus
+    * read with zero shuffle. Window starts run to floor((n−1)/S) so
+    * every token is covered and the last chunk may be short —
+    * identical slicing arithmetic on both engines. */
+  val chunkWindows: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks) - 1) // 48)) AS i
+             FROM t)
+       SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              CAST(len(toks[i*48+1 : least(i*48+64, len(toks))])
+                   AS BIGINT) AS n_chunk_tokens,
+              array_to_string(toks[i*48+1 : least(i*48+64, len(toks))],
+                              ' ') AS chunk
+       FROM c ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    val W = 64; val S = 48
+    Tables.documents(s, d)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / S).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("i") * S + 1, lit(W)).as("__c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Leakage-safe train/val split: q51's deterministic md5 split
+    * keyed by the near-dup CLUSTER, not the document — near-dups
+    * never straddle the boundary, the contamination mode a naive
+    * per-doc split has (a train doc's near-copy in val inflates
+    * eval). Group key = connected-component cluster id for clustered
+    * docs (q48's operator), the doc's own id otherwise; same-cluster
+    * ⇒ same key ⇒ same split BY CONSTRUCTION on both engines.
+    * Oracle: q48's recursive-CTE components + the same md5 bucket. */
+  val leakageSafeSplit: QueryDef = QueryDef.sql(
+    """WITH RECURSIVE
+       t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+             FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))) >= 0.6),
+       sym AS (SELECT a_id AS u, b_id AS v FROM p
+               UNION ALL SELECT b_id, a_id FROM p),
+       lbl(u, l) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         UNION
+         SELECT s2.v, lbl.l FROM lbl JOIN sym s2 ON s2.u = lbl.u),
+       m AS (SELECT u AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY u),
+       g AS (SELECT d.doc_id,
+               COALESCE(m.cluster_id, d.doc_id) AS group_id
+             FROM documents d LEFT JOIN m USING (doc_id))
+       SELECT doc_id, group_id,
+         CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS INTEGER) AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+              ELSE 'val' END AS split
+       FROM g ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val comp = graft.dedup.Dedup.nearDupComponents(
+        graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.6))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val bucket = (conv(substring(md5(col("group_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100).cast("int")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .select(col("doc_id"), col("group_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing parity: plant a deterministic email + phone per
     * doc, scrub with TextOps.scrubPii, verify counts and the md5 of
     * the scrubbed text against DuckDB running the same RE2-portable
@@ -1913,6 +2003,8 @@ object Pipeline {
     "q54_pq_adc_topk" -> pqAdc,
     "q116_ann_ivfpq" -> annIvfPq,
     "q117_quality_logit" -> qualityLogit,
+    "q118_chunk_windows" -> chunkWindows,
+    "q119_leakage_safe_split" -> leakageSafeSplit,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,
