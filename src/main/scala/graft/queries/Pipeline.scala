@@ -535,6 +535,52 @@ object Pipeline {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming ingest dedup against a persisted index — q73's
+    * nightly-batch shape under Structured Streaming (VERDICT-visible
+    * twin of StreamOps.dedupAgainstStaticIndex): the second half of
+    * the corpus arrives as a file stream, every micro-batch is
+    * anti-joined against the static fingerprint index of the first
+    * half (stream-static joins buffer NO state — the index is
+    * re-planned per batch), and the survivors fold into a
+    * complete-mode min-keep aggregate so the output is deterministic
+    * regardless of arrival/partition order (a streaming
+    * dropDuplicates keeps an arbitrary first). The split boundary is
+    * one bounded driver scalar (like the PQ codebooks — documented);
+    * everything else stays in-plan. */
+  val streamStaticDedup: QueryDef = QueryDef.sql(
+    """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+       d1 AS (SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+              FROM documents, m WHERE doc_id < mid),
+       d2 AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+              FROM documents, m WHERE doc_id >= mid)
+       SELECT fingerprint, min(doc_id) AS keep_id FROM d2
+       WHERE fingerprint NOT IN (SELECT fingerprint FROM d1)
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    val mid = docs.agg((max(col("doc_id")) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val index = docs.filter(col("doc_id") < mid)
+      .select(TextOps.fingerprint(col("text")).as("fingerprint"))
+      .distinct()
+    val sink = "graft_q120_stream_sink"
+    val q = graft.streaming.StreamOps.documentsStream(s, d)
+      .filter(col("doc_id") >= mid)
+      .select(col("doc_id"), TextOps.fingerprint(col("text"))
+        .as("fingerprint"))
+      .join(index, Seq("fingerprint"), "left_anti")
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("fingerprint"), col("keep_id"))
+      .orderBy(col("fingerprint"))
+  }
+
   /** Near-dup cluster collapse: MinHash pairs → connected components
     * (iterative min-label propagation) → (doc, cluster id, cluster
     * size). The step after pair generation in a real dedup pipeline —
@@ -2005,6 +2051,7 @@ object Pipeline {
     "q117_quality_logit" -> qualityLogit,
     "q118_chunk_windows" -> chunkWindows,
     "q119_leakage_safe_split" -> leakageSafeSplit,
+    "q120_stream_static_dedup" -> streamStaticDedup,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,

@@ -43,6 +43,24 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** documents schema for streaming reads (matches the fixture
+    * parquet footer exactly). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Open the documents table as a file stream — the ingest shape of
+    * a continuously-arriving corpus (one file per trigger ≈ one
+    * upstream drop per micro-batch). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Tumbling-window counts with a watermark: the streaming form of
     * q24. Late data beyond the watermark is dropped; state for
     * closed windows is evicted — bounded memory at any scale. */
