@@ -800,6 +800,35 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-epoch training order: every document gets a
+    * reproducible pseudo-random position per epoch (rank of
+    * md5(epoch:doc_id) — content-independent, engine-portable, no
+    * RNG state), the property that makes a training run replayable
+    * from any step on any cluster layout. Per-epoch ranking is a
+    * range-partitioned sort here (exact global positions, oracle-
+    * checkable); at 100 TB the same hash ordering degrades
+    * gracefully to bucketed shuffling — files bucketed by hash
+    * prefix, exact order only within buckets — without changing the
+    * key. */
+  val epochShuffle: QueryDef = QueryDef.sql(
+    """SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+         CAST(row_number() OVER (PARTITION BY epoch
+           ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                        || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS pos
+       FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+       ORDER BY doc_id, epoch""") { (s, d) =>
+    val h = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("epoch")).orderBy(h, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** PII scrubbing parity: plant a deterministic email + phone per
     * doc, scrub with TextOps.scrubPii, verify counts and the md5 of
     * the scrubbed text against DuckDB running the same RE2-portable
@@ -2052,6 +2081,7 @@ object Pipeline {
     "q118_chunk_windows" -> chunkWindows,
     "q119_leakage_safe_split" -> leakageSafeSplit,
     "q120_stream_static_dedup" -> streamStaticDedup,
+    "q121_epoch_shuffle" -> epochShuffle,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,
