@@ -291,6 +291,49 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Dedup observability: near-dup volume audited BY SOURCE PAIR —
+    * the report curation teams read to find which feeds duplicate
+    * each other (mirror sites, scraped re-posts) before deciding
+    * drop policy. The PAIR relation is the broadcast side (post-
+    * verify it is output-sized, orders smaller than the corpus), so
+    * the doc→source map streams map-side through both attach joins
+    * and the corpus never shuffles; the audit agg is
+    * source-cardinality-bounded. Oracle: the exact all-pairs
+    * relation joined the same way (valid on q30's grounds — exact
+    * verify, banding recall ≈ 1 at 0.6). */
+  val dedupAudit: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))) >= 0.6)
+       SELECT da.source AS source_a, db.source AS source_b,
+              count(*) AS n_pairs
+       FROM p JOIN documents da ON da.doc_id = p.a_id
+              JOIN documents db ON db.doc_id = p.b_id
+       GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.6)
+      .select(col("a_id"), col("b_id"))
+    val withA = src.select(col("doc_id").as("a_id"),
+        col("source").as("source_a"))
+      .join(broadcast(pairs), "a_id")
+    src.select(col("doc_id").as("b_id"), col("source").as("source_b"))
+      .join(broadcast(withA), "b_id")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit chunk banding,
     * the Manku WWW'07 configuration — recall 1 by pigeonhole: <= 3
     * differing bits cannot touch all 4 chunks). Hash-family-dependent
@@ -2082,6 +2125,7 @@ object Pipeline {
     "q119_leakage_safe_split" -> leakageSafeSplit,
     "q120_stream_static_dedup" -> streamStaticDedup,
     "q121_epoch_shuffle" -> epochShuffle,
+    "q122_dedup_audit" -> dedupAudit,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,
