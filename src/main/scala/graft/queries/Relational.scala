@@ -514,6 +514,87 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): unshipped-revenue top-10 —
+    * the canonical selective fact/fact/dim join. Plan properties the
+    * engine promises at 100 TB: both date filters and the segment
+    * filter push to the parquet scans (only matching row groups
+    * read), customer broadcasts, lineitem⋈orders shuffles on the
+    * join key once, and the top-10 rides TakeOrderedAndProject
+    * (per-partition heaps — revenue is an EXACT decimal sum, so the
+    * ordering is deterministic and the limit engine-portable). */
+  val shippingPriority: QueryDef = QueryDef.sql(
+    """SELECT l_orderkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")), 6).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue by nation where
+    * the supplier and the customer share the nation — the 6-way
+    * snowflake with an extra equi-constraint. Dims broadcast
+    * (supplier/customer/nation/region are orders-of-magnitude
+    * smaller than the facts at any scale), the one fact-fact join
+    * shuffles on orderkey, the s_nationkey = c_nationkey constraint
+    * evaluates inside the broadcast join — no extra shuffle. Exact
+    * decimal revenue for portable ordering. */
+  val localSupplierVolume: QueryDef = QueryDef.sql(
+    """SELECT n_name,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1999-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")), 6).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -537,5 +618,7 @@ object Relational {
     "q64_approx_quantiles" -> approxQuantiles,
     "q65_window_breadth" -> windowBreadth,
     "q81_grouping_sets" -> groupingSets,
+    "q123_shipping_priority" -> shippingPriority,
+    "q124_local_supplier_volume" -> localSupplierVolume,
   )
 }

@@ -24,6 +24,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q123/q124 TPC-H shapes: dims broadcast, top-k heaped, " +
+      "no nested-loop or cartesian joins") {
+    val q3 = executedPlan("q123_shipping_priority")
+    assert(q3.contains("TakeOrderedAndProject"),
+      "q123's LIMIT 10 must ride per-partition heaps")
+    assert(q3.contains("BroadcastHashJoin"))
+    assert(!q3.contains("BroadcastNestedLoopJoin"))
+    assert(!q3.contains("CartesianProduct"))
+    val q5 = executedPlan("q124_local_supplier_volume")
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("BroadcastNestedLoopJoin"))
+    assert(!q5.contains("CartesianProduct"))
+  }
+
   test("q16 global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = executedPlan("q16_global_topk")
     assert(plan.contains("TakeOrderedAndProject"))
