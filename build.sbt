@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output passes straight through to sbt's own
+// stdout/stderr instead of being re-logged with `[info] `/`[error] `
+// prefixes. The driver's artifact parser anchors on Bench's
+// `{"metric":…}` line at line start — four rounds of `[info] `-
+// prefixed output defeated it even when the line was complete.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

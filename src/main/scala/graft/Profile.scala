@@ -100,10 +100,13 @@ object Profile {
       }
       import graft.vector.{VectorOps => V}
       timeCount("ivf topk k=3 (q40 shape)")(V.ivfTopK(bigEmb, q10, 3))
-      // k=n keeps EVERY probed candidate in the heap, so the output
-      // row count IS the candidate volume (fraction = rows/(q·(n−1)))
-      timeCount("ivf probed candidates (k=n)")(
-        V.ivfTopK(bigEmb, q10, nBig))
+      // candidate volume via a plain count over the probe join — a
+      // k=n heap would be O(candidates²) time / O(n) buffer per query
+      val candTotal = V.ivfCandidateCounts(bigEmb, q10)
+        .agg(sum(col("candidates"))).head().getLong(0)
+      println(f"[scale] ivf probed candidates (count agg)   " +
+        f"total=$candTotal%9d fraction=${
+          candTotal.toDouble / (10.0 * (nBig - 1))}%.3f")
       timeCount("brute topk k=3 (q32 exact baseline)")(
         V.bruteForceTopK(bigEmb, q10, 3))
       // catalog rows over the scaled events/documents in `dir`;

@@ -685,12 +685,25 @@ object Advanced {
   /** HLL sketch rollup — the mergeable-state form of distinct
     * counting: per-day sketches union to the period total WITHOUT
     * re-touching the raw data (the q43 estimator made re-usable).
-    * Sketch bytes are engine-specific, so the row is rows-only; the
-    * correctness claims live in SketchSpec: merged-daily estimate ==
-    * direct whole-period estimate EXACTLY (same sketch algebra), and
-    * both within 5% of the exact distinct count (also carried in the
-    * output for eyeballing). */
-  val hllRollup: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    *
+    * DRIVER-CHECKED via containment (the q43/q64 pattern, VERDICT r3
+    * #7): the sketch bytes and estimates are engine-specific, but two
+    * portable claims ride the plan as booleans — `merge_ok` (merged
+    * daily estimate within 2% of the direct whole-period estimate:
+    * they estimate the SAME set, but Datasketches HLL union is
+    * bit-identical to the direct sketch only while both stay in
+    * sparse/set mode — measured exact at sf0.01, ≤ 1.26% apart at
+    * sf0.1 where 1500 distinct crosses into dense HLL mode — so 2%
+    * is the honest mode-independent bound for two lgK=12 estimates
+    * of one set) and `bound_ok` (BOTH estimates within 5% of the
+    * exact distinct count — generous vs lgK=12's ~1.6% rse). The
+    * oracle emits the exact count and both expected TRUEs, so a
+    * sketch violating either claim hash-mismatches in the driver
+    * compare. SketchSpec keeps the same gates suite-side. */
+  val hllRollup: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+              TRUE AS merge_ok, TRUE AS bound_ok
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("user_id"),
         dayofmonth(col("ts")).as("dom"))
@@ -703,7 +716,14 @@ object Advanced {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
         .as("direct_estimate"),
         countDistinct(col("user_id")).as("exact_distinct"))
-    merged.join(direct, "event_type").orderBy(col("event_type"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("merged_estimate") - col("direct_estimate"))
+          <= lit(0.02) * col("direct_estimate")).as("merge_ok"),
+        (greatest(abs(col("direct_estimate") - col("exact_distinct")),
+            abs(col("merged_estimate") - col("exact_distinct")))
+          <= lit(0.05) * col("exact_distinct")).as("bound_ok"))
+      .orderBy(col("event_type"))
   }
 
   /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep

@@ -1210,8 +1210,8 @@ object Pipeline {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
         p => p.getField("m")).as("cv"))
     j.join(broadcast(cent), "label")
-      .withColumn("cos", VectorOps.dot(col("v"), col("cv"))
-        / (VectorOps.norm(col("v")) * VectorOps.norm(col("cv"))))
+      .withColumn("cos", try_divide(VectorOps.dot(col("v"), col("cv")),
+        VectorOps.norm(col("v")) * VectorOps.norm(col("cv"))))
       .select(col("vec_id"), col("label"),
         r6(col("cos")).as("centroid_cos"),
         (col("cos") < 0.0).as("is_outlier"))
@@ -1309,8 +1309,8 @@ object Pipeline {
       .withColumn("b_norm", VectorOps.norm(col("b_v")))
     val pairs = a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", r6(VectorOps.dot(col("a_v"), col("b_v"))
-        / (col("a_norm") * col("b_norm"))))
+      .withColumn("cos", r6(try_divide(VectorOps.dot(col("a_v"), col("b_v")),
+        col("a_norm") * col("b_norm"))))
       .filter(col("cos") >= 0.35)
       .select(col("a_id"), col("b_id"))
     val comp = Dedup.nearDupComponents(pairs)
@@ -2097,6 +2097,128 @@ object Pipeline {
       .orderBy(col("bin"))
   }
 
+  /** BPE-training pair statistics — the inner loop of byte-pair-
+    * encoding tokenizer training: count adjacent character pairs
+    * within words across the corpus, rank by frequency (the top pair
+    * is the next merge a BPE trainer would apply). Pair extraction
+    * is row-local (split + per-word substring windows fuse into the
+    * corpus scan); the aggregate's key space is ALPHABET²-bounded, so
+    * the shuffle carries a vocabulary-sized relation no matter the
+    * corpus size, and the top-20 plans TakeOrderedAndProject — the
+    * exact shape a 100 TB tokenizer-training pass needs. `n_docs`
+    * (document frequency) rides the same aggregate. */
+  val bpePairCounts: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+                    AS w
+                  FROM documents),
+       p AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(w) - 1),
+                 i -> substr(w, i, 2))) AS pair
+             FROM w WHERE length(w) >= 2)
+       SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+       FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      // filter BEFORE sequence(): Spark's sequence(1, 0) yields the
+      // DESCENDING [1, 0], not the empty list DuckDB's
+      // generate_series gives — 1-char words must never reach it
+      .filter(length(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** Per-dimension winsorization of the embedding corpus — the
+    * outlier-clipping step feature pipelines run before
+    * normalization/training: exact p01/p99 per dimension (one
+    * skinny posexplode aggregate; percentile matches DuckDB's
+    * quantile_cont interpolation, the q86 machinery), then clip and
+    * re-aggregate. Two shuffles total, both over (dim, value) pairs
+    * — embeddings themselves never move; the d-row bounds relation
+    * broadcasts. Emits per-dim bounds, clip count, and the
+    * winsorized mean as the audit surface. */
+  val winsorizeEmbeddings: QueryDef = QueryDef.sql(
+    """WITH v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+           FROM embeddings),
+       b AS (SELECT dim, quantile_cont(x, 0.01) AS lo,
+               quantile_cont(x, 0.99) AS hi
+             FROM v GROUP BY 1)
+       SELECT v.dim,
+         floor((b.lo) * 1000000 + 0.5) / 1000000 AS p01,
+         floor((b.hi) * 1000000 + 0.5) / 1000000 AS p99,
+         CAST(count(CASE WHEN x < b.lo OR x > b.hi THEN 1 END) AS BIGINT)
+           AS n_clipped,
+         floor((avg(least(greatest(x, b.lo), b.hi))) * 1000000 + 0.5)
+           / 1000000 AS mean_winsorized
+       FROM v JOIN b USING (dim)
+       GROUP BY 1, b.lo, b.hi ORDER BY 1""") { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(graft.vector.VectorOps.toDouble(col("embedding")))
+          .as(Seq("dim", "x")))
+    val b = v.groupBy(col("dim"))
+      .agg(percentile(col("x"), lit(0.01)).as("lo"),
+        percentile(col("x"), lit(0.99)).as("hi"))
+    v.join(broadcast(b), "dim")
+      .select(col("dim"), col("lo"), col("hi"), col("x"),
+        least(greatest(col("x"), col("lo")), col("hi")).as("cx"),
+        (col("x") < col("lo") || col("x") > col("hi"))
+          .cast("long").as("clipped"))
+      .groupBy(col("dim"))
+      .agg(r6(first(col("lo"))).as("p01"), r6(first(col("hi"))).as("p99"),
+        sum(col("clipped")).as("n_clipped"),
+        r6(avg(col("cx"))).as("mean_winsorized"))
+      .orderBy(col("dim"))
+  }
+
+  /** Length-bucketed inference batching — group documents into
+    * fixed-size batches by descending token length so same-batch
+    * sequences pad to similar lengths (padding waste is the
+    * dominating cost of naive batching at inference/training time);
+    * emits per-batch occupancy and the padding fraction the layout
+    * achieves. The global ranking runs over SKINNY (doc_id,
+    * n_tokens) rows only — text never sorts; at 100 TB the same key
+    * degrades to precomputed length-range buckets (hash the length
+    * into band ids) with exact ordering only within buckets, without
+    * changing batch semantics. */
+  val lengthBatching: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))
+                    AS n_tokens
+                  FROM documents),
+       r AS (SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+             FROM t)
+       SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(n_tokens) AS BIGINT) AS max_len,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+         floor((1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                / (max(n_tokens) * count(*))) * 1000000 + 0.5)
+           / 1000000 AS padding_frac
+       FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val B = 32
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("doc_id"))
+    t.select(col("doc_id"), col("n_tokens"),
+        row_number().over(w).as("rn"))
+      .groupBy(floor((col("rn") - 1) / B).cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).cast("long").as("max_len"),
+        sum(col("n_tokens")).cast("long").as("sum_len"),
+        r6(lit(1.0) - sum(col("n_tokens")).cast("double")
+          / (max(col("n_tokens")) * count(lit(1)))).as("padding_frac"))
+      .orderBy(col("batch_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -2132,6 +2254,9 @@ object Pipeline {
     "q120_stream_static_dedup" -> streamStaticDedup,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
+    "q125_bpe_pair_counts" -> bpePairCounts,
+    "q126_winsorize_embeddings" -> winsorizeEmbeddings,
+    "q127_length_batching" -> lengthBatching,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,

@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 /** Build-once memoization for catalog rows whose input is a derived
   * on-disk LAYOUT of a source table (q75's deliberately-fragmented
@@ -32,14 +33,40 @@ object FixtureMemo {
 
   /** Run `build` unless `dir` already carries `sig`; stamp on success.
     * The stamp is written AFTER the build completes, so a crashed or
-    * interrupted build is retried, never trusted. */
+    * interrupted build is retried, never trusted.
+    *
+    * Safe across concurrent JVMs (two processes racing the same
+    * layout — e.g. a Verify and a Bench): the check-build-stamp
+    * critical section holds an OS-level FileChannel lock keyed on the
+    * layout dir, so the loser of the race re-checks under the lock
+    * and sees the winner's stamp instead of overwriting a layout the
+    * winner may be mid-write on. The stamp itself goes through a
+    * temp-file + ATOMIC_MOVE rename, so a reader can never observe a
+    * half-written marker as a valid signature. */
   def once(dir: String, sig: String)(build: => Unit): Unit = {
     val m = Paths.get(dir, marker)
-    val hit = Files.exists(m) && Files.readString(m) == sig
-    if (!hit) {
-      build
-      Files.createDirectories(m.getParent)
-      Files.writeString(m, sig)
-    }
+    def stamped = Files.exists(m) && Files.readString(m) == sig
+    if (stamped) return // fast path: no lock traffic once built
+    // lock file lives BESIDE the layout dir (dir may be wiped by the
+    // build itself); name keyed on the dir so unrelated layouts never
+    // serialize on each other
+    val lockPath = Paths.get(
+      dir.stripSuffix("/") + ".lock")
+    Files.createDirectories(lockPath.getParent)
+    val ch = FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until the racing builder finishes
+      try {
+        if (!stamped) { // re-check: the lock winner may have built it
+          build
+          Files.createDirectories(m.getParent)
+          val tmp = m.resolveSibling(marker + ".tmp")
+          Files.writeString(tmp, sig)
+          Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 }

@@ -45,7 +45,11 @@ object VectorOps {
 
   /** Cosine from raw vectors — O(3 dots); inside joins prefer
     * precomputed per-row norm columns (see bruteForceTopK). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    // try_divide, not `/`: Spark 4 runs ANSI mode by default, where a
+    // zero-norm operand would make x/0 THROW mid-query instead of
+    // yielding the NULL the ranking paths filter out
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Ensure pair-scoring runs at session parallelism: a small
     * single-file parquet corpus plans one input partition, which
@@ -83,9 +87,13 @@ object VectorOps {
     val topk = graft.ops.TopK.topk(k)
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"),
-        graft.Rounding.r6(dot(col("q_v"), col("n_v"))
-          / (col("q_norm") * col("n_norm"))).as("cos"),
+        graft.Rounding.r6(try_divide(dot(col("q_v"), col("n_v")),
+          col("q_norm") * col("n_norm"))).as("cos"),
         col("n_id"))
+      // a zero-norm vector makes cos NULL (x/0 → NULL); the window
+      // form sorted NULLs last and dropped them, but the TopK
+      // aggregate's encoder requires a non-null primitive ord
+      .filter(col("cos").isNotNull)
       .groupBy(col("q_id"))
       .agg(topk(col("cos"), col("n_id")).as("__top"))
       .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
@@ -152,9 +160,10 @@ object VectorOps {
     val topk = graft.ops.TopK.topk(k)
     cand.join(c, "n_id").join(broadcast(q), "q_id")
       .select(col("q_id"),
-        graft.Rounding.r6(dot(col("q_v"), col("n_v"))
-          / (col("q_norm") * col("n_norm"))).as("cos"),
+        graft.Rounding.r6(try_divide(dot(col("q_v"), col("n_v")),
+          col("q_norm") * col("n_norm"))).as("cos"),
         col("n_id"))
+      .filter(col("cos").isNotNull) // zero-norm vector → NULL cos
       .groupBy(col("q_id"))
       .agg(topk(col("cos"), col("n_id")).as("__top"))
       .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
@@ -264,14 +273,33 @@ object VectorOps {
     val topk = graft.ops.TopK.topk(k)
     assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
-      .withColumn("cos", graft.Rounding.r6(dot(col("q_v"), col("n_v"))
-        / (col("q_norm") * col("n_norm"))))
+      .withColumn("cos", graft.Rounding.r6(try_divide(
+        dot(col("q_v"), col("n_v")),
+        col("q_norm") * col("n_norm"))))
+      .filter(col("cos").isNotNull) // zero-norm vector → NULL cos
       .groupBy(col("q_id"))
       .agg(topk(col("cos"), col("n_id")).as("__top"))
       .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
       .select(col("q_id"), col("__s").getField("id").as("n_id"),
         col("__s").getField("ord").as("cos"),
         (col("__i") + 1).cast("int").as("rank"))
+  }
+
+  /** Candidate volume of the IVF probe join, one row per query:
+    * (q_id, candidates). Diagnostic companion to [[ivfTopK]] — a
+    * plain count aggregate over the probe join, NOT a k=n heap
+    * (TopK's insert is an O(k) arraycopy per row and its buffer
+    * crosses the shuffle encoder, so k=n measurement is O(n²) time
+    * and O(n) memory per query — it would dominate or OOM the very
+    * profiling run it supports). */
+  def ivfCandidateCounts(corpus: DataFrame, queries: DataFrame,
+      nlist: Int = 0, nprobe: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, probes) =
+      ivfAssignAndProbes(corpus, queries, nlist, nprobe, idCol, vecCol)
+    assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("candidates"))
   }
 
   /** Shared IVF front half (ivfTopK + ivfPqTopK): builds the cell
@@ -322,8 +350,8 @@ object VectorOps {
           col(s"${prefix}_norm"))
         .crossJoin(broadcast(cents))
         .select(col(s"${prefix}_id"),
-          (dot(col(s"${prefix}_v"), col("c_v"))
-            / (col(s"${prefix}_norm") * col("c_norm"))).as("__ccos"),
+          try_divide(dot(col(s"${prefix}_v"), col("c_v")),
+            col(s"${prefix}_norm") * col("c_norm")).as("__ccos"),
           col("c_id"))
         .groupBy(col(s"${prefix}_id"))
         .agg(max_by(col("c_id"),
@@ -354,8 +382,8 @@ object VectorOps {
     // slice per query id (tiny groups — one per query), no window
     val probes = withNorm(queries, idCol, vecCol, "q")
       .crossJoin(broadcast(centroids))
-      .withColumn("__ccos", dot(col("q_v"), col("c_v"))
-        / (col("q_norm") * col("c_norm")))
+      .withColumn("__ccos", try_divide(dot(col("q_v"), col("c_v")),
+        col("q_norm") * col("c_norm")))
       .groupBy(col("q_id"))
       .agg(first(col("q_v")).as("q_v"), first(col("q_norm")).as("q_norm"),
         slice(sort_array(collect_list(
@@ -473,8 +501,9 @@ object VectorOps {
       .join(sides, "a_id")
       .join(sides.select(col("a_id").as("b_id"), col("a_v").as("b_v"),
         col("a_norm").as("b_norm")), "b_id")
-      .withColumn("cos", graft.Rounding.r6(dot(col("a_v"), col("b_v"))
-        / (col("a_norm") * col("b_norm"))))
+      .withColumn("cos", graft.Rounding.r6(try_divide(
+        dot(col("a_v"), col("b_v")),
+        col("a_norm") * col("b_norm"))))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
       .distinct()
@@ -917,6 +946,7 @@ object VectorOps {
       idCol: String, vecCol: String): DataFrame = {
     val topSl = graft.ops.TopK.topk(k * rerank)
     val shortlist = scored
+      .filter(col("adc").isNotNull) // NULL score would crash the heap's encoder
       .groupBy(col("q_id"))
       .agg(topSl(col("adc"), col("n_id")).as("__sl"))
       .select(col("q_id"),
@@ -927,9 +957,10 @@ object VectorOps {
     cwn.join(broadcast(shortlist), col("b_id") === col("n_id"))
       .join(broadcast(qwn), "q_id")
       .select(col("q_id"),
-        graft.Rounding.r6(dot(col("q_v"), col("b_v"))
-          / (col("q_norm") * col("b_norm"))).as("cos"),
+        graft.Rounding.r6(try_divide(dot(col("q_v"), col("b_v")),
+          col("q_norm") * col("b_norm"))).as("cos"),
         col("n_id"))
+      .filter(col("cos").isNotNull) // zero-norm vector → NULL cos
       .groupBy(col("q_id"))
       .agg(topk(col("cos"), col("n_id")).as("__top"))
       .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
@@ -959,8 +990,9 @@ object VectorOps {
     val a = withNorm(spread(df), idCol, vecCol, "a")
     val b = withNorm(df, idCol, vecCol, "b")
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", graft.Rounding.r6(dot(col("a_v"), col("b_v"))
-        / (col("a_norm") * col("b_norm"))))
+      .withColumn("cos", graft.Rounding.r6(try_divide(
+        dot(col("a_v"), col("b_v")),
+        col("a_norm") * col("b_norm"))))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
   }

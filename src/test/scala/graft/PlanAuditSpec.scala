@@ -38,6 +38,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q5.contains("CartesianProduct"))
   }
 
+  test("round-5 tier shapes: q125 heaped top-k over a bounded key " +
+      "space, q126 broadcasts the bounds relation, q127 sorts only " +
+      "skinny rows") {
+    val bpe = executedPlan("q125_bpe_pair_counts")
+    assert(bpe.contains("TakeOrderedAndProject"),
+      "q125's LIMIT 20 must ride per-partition heaps, not a full sort")
+    assert(!bpe.contains("SortMergeJoin") && !bpe.contains("Join"),
+      "q125 is scan+agg only — a join would mean a regression")
+    val win = executedPlan("q126_winsorize_embeddings")
+    assert(win.contains("BroadcastHashJoin"),
+      "q126's d-row bounds relation must broadcast")
+    assert(!win.contains("SortMergeJoin"))
+    val bp = executedPlan("q127_length_batching")
+    // the global ranking may sort, but only the skinny (doc_id,
+    // n_tokens) projection: the exchange's direct child must be the
+    // tokenize-and-drop Project, so `text` is consumed map-side and
+    // never crosses the shuffle (AdaptiveSparkPlanExec hides the
+    // exchange from a tree collect — assert on the rendered shape)
+    val skinnyExchange =
+      """Exchange SinglePartition[^\n]*\n\s*\+- \*?\(?\d*\)?\s*Project \[doc_id#\d+L, size\(""".r
+    assert(skinnyExchange.findFirstIn(bp).isDefined,
+      s"q127's exchange must be fed by the skinny tokenize Project:\n$bp")
+  }
+
   test("q16 global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = executedPlan("q16_global_topk")
     assert(plan.contains("TakeOrderedAndProject"))

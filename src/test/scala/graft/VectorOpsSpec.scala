@@ -34,6 +34,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1), (2L, 2))) // closest first, -x last
   }
 
+  test("bruteForceTopK: zero-norm vectors drop out instead of crashing") {
+    // x/0 → NULL cos in Spark; before the isNotNull guard the TopK
+    // aggregate's primitive-Double encoder threw on the NULL — the
+    // window formulation this replaced sorted NULLs last and dropped
+    // them, so the guard restores that public-entry-point behavior
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 0f)), (3L, Seq(-1f, 0f)) // id 2 is the zero vector
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.bruteForceTopK(
+      corpus, corpus.filter($"vec_id" === 0L), 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 1), (3L, 2))) // zero vector absent
+    // and a zero-norm QUERY yields no rows rather than a crash
+    val zq = VectorOps.bruteForceTopK(
+      corpus, corpus.filter($"vec_id" === 2L), 3).collect()
+    assert(zq.isEmpty)
+  }
+
   test("lshSignature is deterministic across evaluations") {
     val df = Seq((0L, Seq(0.5f, -0.25f, 1f)), (1L, Seq(0.5f, -0.25f, 1f)))
       .toDF("vec_id", "embedding")
