@@ -2219,6 +2219,69 @@ object Pipeline {
       .orderBy(col("batch_id"))
   }
 
+  /** JSONL round-trip — the interchange format LLM corpora ship in
+    * (one JSON object per line): write the documents table as JSONL,
+    * read it back through an EXPLICIT schema (schema inference would
+    * be a full extra corpus scan at 100 TB), and prove lossless
+    * fidelity by matching an ORDER-INDEPENDENT hash aggregate
+    * against the oracle computed on the original table — any
+    * escaping fault, encoding corruption, dropped row, or mangled
+    * field shifts a per-lang md5 hash sum. The hash sum is bounded
+    * state per group (the q51 md5-prefix trick), never a
+    * concatenation — group size cannot blow the aggregate. */
+  val jsonlRoundtrip: QueryDef = QueryDef.sql(
+    """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+              AS BIGINT) AS text_hashsum
+       FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q128_" +
+      Integer.toHexString(d.hashCode)
+    Tables.documents(s, d).write.mode("overwrite").json(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING," +
+        " n_chars BIGINT")
+      .json(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_hashsum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Amortized PQ-ADC search over a PERSISTED index — the deployed
+    * regime every production vector store runs (q73's persisted-index
+    * pattern applied to ANN): the codebook + 16×-compressed code
+    * relation are trained/encoded ONCE per corpus snapshot
+    * (FixtureMemo keyed on the embeddings table's signature — the
+    * q70/q75 layout discipline, so a driver-regenerated fixture
+    * rebuilds) and every later search, including the bench's
+    * min-of-2, pays only codes-scan + ADC + shortlist re-rank.
+    * Catalog companion to q54 (same search, train+encode inside the
+    * timed region) and q116 (full IVF-PQ build e2e) — the three rows
+    * together put measured numbers on what index amortization buys.
+    * Training is deterministic given the corpus, so PqSpec gates
+    * bit-equality of this search against q54's inline-trained one. */
+  val pqSearchAmortized: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_q130_" +
+      Integer.toHexString(d.hashCode)
+    val sig = graft.sources.FixtureMemo.tableSig(d, "embeddings")
+    graft.sources.FixtureMemo.once(layout, sig) {
+      val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4,
+        iters = 1)
+      cb.write.mode("overwrite").parquet(s"$layout/codebook")
+      VectorOps.pqCodes(emb, s.read.parquet(s"$layout/codebook"), 16, 4)
+        .write.mode("overwrite").parquet(s"$layout/codes")
+    }
+    val cb = s.read.parquet(s"$layout/codebook")
+    val codes = s.read.parquet(s"$layout/codes")
+    VectorOps.pqAdcTopKFromCodes(codes, emb,
+        emb.filter(col("vec_id") < 10), 3, cb, 16, 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -2257,6 +2320,8 @@ object Pipeline {
     "q125_bpe_pair_counts" -> bpePairCounts,
     "q126_winsorize_embeddings" -> winsorizeEmbeddings,
     "q127_length_batching" -> lengthBatching,
+    "q128_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q130_pq_search_amortized" -> pqSearchAmortized,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,

@@ -595,6 +595,40 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): orders whose total line
+    * quantity exceeds a threshold, joined back to customer detail,
+    * top-100 by price. The HAVING aggregate runs FIRST — lineitem
+    * folds map-side to one row per orderkey before any join touches
+    * it — the survivors join orders on the orderkey shuffle (the
+    * honest fact-fact join of this shape; AQE broadcasts the
+    * post-HAVING side at fixture scale), the customer dim broadcasts
+    * explicitly, and the limit rides TakeOrderedAndProject ordered
+    * by (o_totalprice, o_orderkey) — unique, so the cut is
+    * deterministic. Quantities are integral doubles: the HAVING
+    * boundary compares exact integers in both engines regardless of
+    * summation order. */
+  val largeOrders: QueryDef = QueryDef.sql(
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         floor((qty) * 1000000 + 0.5) / 1000000 AS qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+             GROUP BY 1 HAVING sum(l_quantity) > 150) big
+       JOIN orders ON o_orderkey = big.l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""") { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 150)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), r6(col("qty")).as("qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -620,5 +654,6 @@ object Relational {
     "q81_grouping_sets" -> groupingSets,
     "q123_shipping_priority" -> shippingPriority,
     "q124_local_supplier_volume" -> localSupplierVolume,
+    "q129_large_orders" -> largeOrders,
   )
 }

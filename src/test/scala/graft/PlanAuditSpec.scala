@@ -36,6 +36,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q5.contains("BroadcastHashJoin"))
     assert(!q5.contains("BroadcastNestedLoopJoin"))
     assert(!q5.contains("CartesianProduct"))
+    val q18 = executedPlan("q129_large_orders")
+    assert(q18.contains("TakeOrderedAndProject"),
+      "q129's LIMIT 100 must ride per-partition heaps")
+    assert(q18.contains("BroadcastHashJoin"),
+      "q129's customer dim must broadcast")
+    assert(!q18.contains("BroadcastNestedLoopJoin"))
+    assert(!q18.contains("CartesianProduct"))
   }
 
   test("round-5 tier shapes: q125 heaped top-k over a bounded key " +

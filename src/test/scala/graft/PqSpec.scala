@@ -72,6 +72,23 @@ class PqSpec extends AnyFunSuite {
     Caching.releaseAll()
   }
 
+  test("q130 amortized search from the persisted index equals the " +
+      "inline-trained q54 search bit-for-bit") {
+    // same deterministic training, same search path — the only
+    // difference is a parquet round-trip of codebook + codes, which
+    // must be lossless (array<double> / array<int> survive parquet
+    // exactly). Any divergence means the persisted index is NOT the
+    // index that was trained.
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq
+    val inline = rows("q54_pq_adc_topk")
+    val amortized = rows("q130_pq_search_amortized")
+    assert(inline == amortized)
+    Caching.releaseAll()
+  }
+
   test("pqAdcTopK recall@3 vs bruteForceTopK on sf0.001") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
