@@ -118,6 +118,32 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "scale-r5") {
+      // round-5 scale addendum: the new text/vector tier against the
+      // 10× corpus (documents 50k / embeddings 20k). Catalog fns run
+      // unchanged — the scaled dir carries the same table names.
+      val dir = args(1)
+      def timeCount(name: String)(df: => org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val runs = (1 to 2).map { _ =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = df.count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[scale] $name%-42s rows=${runs.head._1}%9d " +
+          f"${runs.map(_._2).min}%8.2f s")
+      }
+      for (name <- Seq("q125_bpe_pair_counts", "q126_winsorize_embeddings",
+          "q127_length_batching", "q128_jsonl_roundtrip",
+          "q130_pq_search_amortized"))
+        timeCount(name)(SparkEntry.queries(name)(spark, dir))
+      Caching.releaseAll()
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "scale") {
       // scale-evidence mode (tools/make_scale_data.py generates the
       // 10x corpus): times each operator twice cache-cold, prints
