@@ -2282,6 +2282,144 @@ object Pipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Bloom-screened decontamination — q56's benchmark-overlap check
+    * computed through a BROADCAST BLOOM PREFILTER (q62's runtime-
+    * filter pattern applied at the n-gram level): the benchmark
+    * gram set folds into a few-hundred-KB bloom fingerprint, corpus
+    * grams are screened MAP-SIDE (`might_contain` fuses into the
+    * gram explode — no shuffle, no join for the ~99% that miss), and
+    * only bloom survivors reach the exact join. No false negatives ⇒
+    * the result is exactly q56's, which is what lets the row be
+    * oracle-checked against the plain-join SQL. At 100 TB this is
+    * the difference between joining every corpus gram against the
+    * benchmark and joining ~(overlap + fpp) of them — the shape
+    * real decontamination passes (e.g. 13-gram screens) run. */
+  val bloomContamination: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+             FROM t WHERE len(toks) >= 3),
+       bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+       hits AS (SELECT g.doc_id, count(*) AS n_shared
+                FROM g JOIN bench USING (g)
+                WHERE g.doc_id % 20 <> 0
+                GROUP BY 1)
+       SELECT t.doc_id, COALESCE(hits.n_shared, 0) AS n_shared,
+              COALESCE(hits.n_shared, 0) >= 10 AS contaminated
+       FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+       WHERE t.doc_id % 20 <> 0
+       ORDER BY t.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val grams = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("toks"), 3)).as("g"))
+    val bench = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("g")).distinct()
+    val bf = graft.ops.BloomJoin.buildFilter(bench, "g",
+      estItems = 100000L, numBits = 1L << 20)
+    graft.ops.BloomJoin.register(s)
+    val screened = grams.filter(col("doc_id") % 20 =!= 0)
+      .filter(call_function(graft.ops.BloomJoin.MIGHT_CONTAIN, lit(bf),
+        xxhash64(col("g"))))
+    val hits = screened.join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= 10).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic negative sampling — contrastive-training prep:
+    * for each anchor document, the k=5 pseudo-random negatives drawn
+    * from OTHER sources, selected by rank of md5(anchor:candidate) —
+    * content-independent, RNG-free, identical on any engine or
+    * cluster layout (the q121 replayability property applied to
+    * pair construction). The hash uses 13 hex digits (52 bits) so
+    * its integer value is EXACTLY representable as the double the
+    * TopK aggregate orders by. Anchors broadcast; ranking runs
+    * through the bounded-heap TopK aggregate, so only k rows per
+    * (anchor × task) cross the shuffle — never the |A|·n scored
+    * stream (the window form would sort all of it). */
+  val negativeSampling: QueryDef = QueryDef.sql(
+    """WITH a AS (SELECT doc_id AS anchor_id, source AS a_src
+                  FROM documents WHERE doc_id % 50 = 0),
+       c AS (SELECT anchor_id, d.doc_id AS neg_id,
+               CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':'
+                     || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+             FROM a JOIN documents d ON d.source <> a.a_src),
+       r AS (SELECT anchor_id, neg_id, h,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY h, neg_id) AS rk
+             FROM c)
+       SELECT anchor_id, CAST(rk AS INTEGER) AS rank, neg_id
+       FROM r WHERE rk <= 5 ORDER BY anchor_id, rank""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val anchors = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("anchor_id"), col("source").as("a_src"))
+    val topk = graft.ops.TopK.topk(5)
+    docs.select(col("doc_id").as("neg_id"), col("source"))
+      .join(broadcast(anchors), col("source") =!= col("a_src"))
+      .select(col("anchor_id"), col("neg_id"),
+        conv(substring(md5(concat(col("anchor_id").cast("string"),
+          lit(":"), col("neg_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      // smallest hash first ⇔ ord = -h descending; ties → smaller id
+      // (the aggregate's convention, matching ORDER BY h, neg_id)
+      .groupBy(col("anchor_id"))
+      .agg(topk((-col("h")).cast("double"), col("neg_id")).as("__top"))
+      .select(col("anchor_id"),
+        posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("anchor_id"), (col("__i") + 1).cast("int").as("rank"),
+        col("__s").getField("id").as("neg_id"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** Temperature-based source mixture sampling — the multilingual /
+    * multi-source rebalancing step every corpus mix runs (keep
+    * probability ∝ n_s^α scaled to a target budget, α=0.5): per-
+    * source counts are one tiny aggregate, the keep threshold
+    * p_s = min(1, (√n_s / Σ√n_i) · N/n_s) is ROUNDED TO 6 DECIMALS
+    * so both engines compare every document's md5 bucket against the
+    * same exact constant (sqrt is IEEE-correctly-rounded everywhere;
+    * the r6 makes the one summation-order-sensitive value portable),
+    * and the keep decision is the q51 deterministic md5 split.
+    * Row-local after a broadcast of the ~|sources| threshold
+    * relation — at 100 TB the corpus is touched once, map-side. */
+  val temperatureSampling: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+       w AS (SELECT source, n_s,
+               floor((least(1.0, sqrt(n_s) / (SELECT sum(sqrt(n_s)) FROM s)
+                      * (SELECT count(*) FROM documents) * 0.5 / n_s))
+                 * 1000000 + 0.5) / 1000000 AS p_keep
+             FROM s)
+       SELECT d.doc_id, d.source, w.p_keep,
+              (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 < w.p_keep AS kept
+       FROM documents d JOIN w USING (source)
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+    val denomAndTotal = counts.agg(
+      sum(sqrt(col("n_s"))).as("__denom"),
+      sum(col("n_s")).cast("double").as("__total"))
+    val w = counts.crossJoin(broadcast(denomAndTotal))
+      .select(col("source"),
+        r6(least(lit(1.0), sqrt(col("n_s")) / col("__denom")
+          * col("__total") * 0.5 / col("n_s"))).as("p_keep"))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 1000000) / lit(1000000.0)
+    docs.join(broadcast(w), "source")
+      .select(col("doc_id"), col("source"), col("p_keep"),
+        (bucket < col("p_keep")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -2322,6 +2460,9 @@ object Pipeline {
     "q127_length_batching" -> lengthBatching,
     "q128_jsonl_roundtrip" -> jsonlRoundtrip,
     "q130_pq_search_amortized" -> pqSearchAmortized,
+    "q131_bloom_contamination" -> bloomContamination,
+    "q132_negative_sampling" -> negativeSampling,
+    "q133_temperature_sampling" -> temperatureSampling,
     "q55_quality_repetition" -> qualityRepetition,
     "q56_contamination_check" -> contaminationCheck,
     "q57_tfidf_topk" -> tfidfTopK,

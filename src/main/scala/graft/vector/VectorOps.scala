@@ -54,11 +54,21 @@ object VectorOps {
   /** Ensure pair-scoring runs at session parallelism: a small
     * single-file parquet corpus plans one input partition, which
     * would serialize the O(pairs) join loop onto one core. No-op
-    * when the input already has enough partitions (never
-    * down-partitions a large scan). */
+    * when the input is big enough to already plan ≥ target
+    * partitions (never down-partitions a large scan).
+    *
+    * The decision reads OPTIMIZER STATS, not `df.rdd` (VERDICT r3
+    * nit): materializing the RDD at composition time forces eager
+    * physical planning of the whole upstream plan outside AQE — a
+    * scan larger than target × maxPartitionBytes already plans at
+    * least `target` splits, which is the same predicate the stats
+    * answer without building anything. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val maxSplit =
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size >= BigInt(maxSplit) * target) df else df.repartition(target)
   }
 
   /** id + double vector + precomputed norm, under prefixed names —

@@ -157,12 +157,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // per (query × task). A refactor that reintroduces row_number
     // ranking regresses exactly the r3→r4 fix and fails here.
     for (q <- Seq("q32_cosine_topk", "q33_ann_lsh", "q40_ann_ivf",
-        "q54_pq_adc_topk", "q116_ann_ivfpq")) {
+        "q54_pq_adc_topk", "q116_ann_ivfpq", "q132_negative_sampling")) {
       val plan = executedPlan(q)
       assert(!plan.contains("Window"), s"$q ranks through a Window")
       assert(plan.contains("ObjectHashAggregate"),
         s"$q lost the TopK heap aggregate")
     }
+  }
+
+  test("q131's bloom screen filters grams BEFORE the benchmark join") {
+    val plan = executedPlan("q131_bloom_contamination")
+    // the might_contain filter must sit on the corpus gram stream
+    // (map-side, pre-join); if it disappears, every gram joins and
+    // the row silently degrades to q56's unscreened plan
+    assert(plan.contains("might_contain") ||
+      plan.contains("BloomFilterMightContain"),
+      "bloom screen missing from the executed plan")
+    assert(plan.contains("BroadcastHashJoin"))
   }
 
   test("q03's p99 threshold stays in-plan: construction runs no jobs") {
