@@ -9,8 +9,15 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // `Explain qNN_...` (no dir) is a natural invocation — accept it:
+    // any leading arg that names a catalog query is a name, not a dir
+    val (sfDir, rest) = args.headOption match {
+      case Some(a) if SparkEntry.queries.contains(a) =>
+        ("/root/testdata/sf0.001", args.toSeq)
+      case Some(a) => (a, args.drop(1).toSeq)
+      case None => ("/root/testdata/sf0.001", Seq.empty[String])
+    }
+    val names = if (rest.nonEmpty) rest
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.create(s"local[$cpus]", cpus)

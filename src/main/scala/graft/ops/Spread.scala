@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Ensure CPU-heavy row-local work (pair scoring, tokenize/shingle/
+  * hash passes) runs at session parallelism: a small single-file
+  * parquet scan plans ONE input partition, which would serialize the
+  * whole pass onto one core. No-op when the input is big enough to
+  * already plan ≥ target partitions (at cluster scale it is — never
+  * down-partitions a large scan).
+  *
+  * The decision reads OPTIMIZER STATS, not `df.rdd` (VERDICT r3
+  * nit): materializing the RDD at composition time forces eager
+  * physical planning of the whole upstream plan outside AQE. A scan
+  * larger than target × maxPartitionBytes already plans at least
+  * `target` splits — the stats answer the same predicate without
+  * building anything. Shared by Dedup and VectorOps so the
+  * heuristic can never fork between the text and vector paths.
+  */
+object Spread {
+  def apply(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val maxSplit =
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size >= BigInt(maxSplit) * target) df else df.repartition(target)
+  }
+}

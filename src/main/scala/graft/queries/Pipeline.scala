@@ -2235,8 +2235,14 @@ object Pipeline {
          CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
               AS BIGINT) AS text_hashsum
        FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    // pid-suffixed: the layout is rewritten every call (the write IS
+    // the operator), so two concurrent JVMs on the same sfDir must
+    // not share a dir — one's overwrite would race the other's
+    // read-back (the FixtureMemo-style lock is wrong here: nothing
+    // is memoized)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q128_" +
-      Integer.toHexString(d.hashCode)
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
     Tables.documents(s, d).write.mode("overwrite").json(dir)
     s.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING," +
@@ -2267,7 +2273,12 @@ object Pipeline {
     val emb = Tables.embeddings(s, d)
     val layout = s"${System.getProperty("java.io.tmpdir")}/graft_q130_" +
       Integer.toHexString(d.hashCode)
-    val sig = graft.sources.FixtureMemo.tableSig(d, "embeddings")
+    // signature = corpus snapshot + PQ params + training-code rev:
+    // a param or algorithm change must rebuild the persisted index
+    // even when the fixture is unchanged (bump the rev on any
+    // pqTrain/pqCodes behavior change)
+    val sig = graft.sources.FixtureMemo.tableSig(d, "embeddings") +
+      ":pq_m16_k16_d4_i1:rev1"
     graft.sources.FixtureMemo.once(layout, sig) {
       val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4,
         iters = 1)

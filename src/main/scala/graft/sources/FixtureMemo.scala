@@ -43,30 +43,39 @@ object FixtureMemo {
     * winner may be mid-write on. The stamp itself goes through a
     * temp-file + ATOMIC_MOVE rename, so a reader can never observe a
     * half-written marker as a valid signature. */
+  // per-dir monitor for SAME-JVM contention: OS file locks are held
+  // per-JVM, and a second thread's ch.lock() on an overlapping region
+  // throws OverlappingFileLockException instead of waiting — threads
+  // serialize here first, processes on the file lock inside
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def once(dir: String, sig: String)(build: => Unit): Unit = {
     val m = Paths.get(dir, marker)
     def stamped = Files.exists(m) && Files.readString(m) == sig
     if (stamped) return // fast path: no lock traffic once built
-    // lock file lives BESIDE the layout dir (dir may be wiped by the
-    // build itself); name keyed on the dir so unrelated layouts never
-    // serialize on each other
-    val lockPath = Paths.get(
-      dir.stripSuffix("/") + ".lock")
-    Files.createDirectories(lockPath.getParent)
-    val ch = FileChannel.open(lockPath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock() // blocks until the racing builder finishes
+    jvmLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      // lock file lives BESIDE the layout dir (dir may be wiped by
+      // the build itself); name keyed on the dir so unrelated layouts
+      // never serialize on each other
+      val lockPath = Paths.get(
+        dir.stripSuffix("/") + ".lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
-        if (!stamped) { // re-check: the lock winner may have built it
-          build
-          Files.createDirectories(m.getParent)
-          val tmp = m.resolveSibling(marker + ".tmp")
-          Files.writeString(tmp, sig)
-          Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        }
-      } finally lock.release()
-    } finally ch.close()
+        val lock = ch.lock() // blocks until the racing builder finishes
+        try {
+          if (!stamped) { // re-check: the lock winner may have built it
+            build
+            Files.createDirectories(m.getParent)
+            val tmp = m.resolveSibling(marker + ".tmp")
+            Files.writeString(tmp, sig)
+            Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
   }
 }

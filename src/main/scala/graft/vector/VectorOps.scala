@@ -51,25 +51,8 @@ object VectorOps {
     // yielding the NULL the ranking paths filter out
     try_divide(dot(a, b), norm(a) * norm(b))
 
-  /** Ensure pair-scoring runs at session parallelism: a small
-    * single-file parquet corpus plans one input partition, which
-    * would serialize the O(pairs) join loop onto one core. No-op
-    * when the input is big enough to already plan ≥ target
-    * partitions (never down-partitions a large scan).
-    *
-    * The decision reads OPTIMIZER STATS, not `df.rdd` (VERDICT r3
-    * nit): materializing the RDD at composition time forces eager
-    * physical planning of the whole upstream plan outside AQE — a
-    * scan larger than target × maxPartitionBytes already plans at
-    * least `target` splits, which is the same predicate the stats
-    * answer without building anything. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val maxSplit =
-      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size >= BigInt(maxSplit) * target) df else df.repartition(target)
-  }
+  /** See [[graft.ops.Spread]] — shared session-parallelism guard. */
+  private def spread(df: DataFrame): DataFrame = graft.ops.Spread(df)
 
   /** id + double vector + precomputed norm, under prefixed names —
     * the projection both join sides share so per-pair work is one
@@ -564,12 +547,17 @@ object VectorOps {
 
   /** Unit-normalize the vector column in place (row-local). PQ-for-
     * cosine encodes the normalized corpus so summed subspace inner
-    * products approximate the cosine directly. */
+    * products approximate the cosine directly. A zero-norm vector
+    * has no direction to encode — it is DROPPED here (same "zero
+    * vectors fall out of rankings" convention as the try_divide
+    * paths; a raw division would THROW under ANSI mode and poison
+    * every PQ consumer: q54/q116/q130, pqCodes, pqAdcTopK). */
   def normalize(df: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol), toDouble(col(vecCol)).as(vecCol))
       .withColumn("__n", sqrt(aggregate(col(vecCol), lit(0.0),
         (acc, x) => acc + x * x)))
+      .filter(col("__n") > 0.0)
       .select(col(idCol),
         transform(col(vecCol), x => x / col("__n")).as(vecCol))
 
