@@ -2431,6 +2431,95 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental ANN index upkeep — the vector-tier twin of q73's
+    * nightly dedup: the index artifacts (codebook trained on the
+    * EXISTING corpus half + its codes) persist across runs
+    * (FixtureMemo); a new-arrivals batch is encoded with the STALE
+    * codebook — row-local, touches only the delta — appended to the
+    * code relation, and searched. The operational claim (PqSpec,
+    * bit-for-bit): incremental append introduces ZERO drift versus
+    * batch re-encoding the full corpus with the same codebook —
+    * encode is row-local-deterministic given the codebook, so the
+    * only honest staleness cost is codebook quality, which retrains
+    * on rebuild cadence (q130's sig discipline), never per batch.
+    * At 100 TB: nightly cost = encode(delta) + append, not
+    * retrain(corpus) + re-encode(corpus). */
+  val pqIndexIncremental: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val mid = emb.agg((max(col("vec_id")) / 2).cast("long"))
+      .collect()(0).getLong(0) // bounded driver scalar (q120 pattern)
+    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_q134_" +
+      Integer.toHexString(d.hashCode)
+    val sig = graft.sources.FixtureMemo.tableSig(d, "embeddings") +
+      ":pq_m16_k16_d4_i1:rev1"
+    graft.sources.FixtureMemo.once(layout, sig) {
+      val old = emb.filter(col("vec_id") < mid)
+      val cb = VectorOps.pqTrain(VectorOps.normalize(old), 16, 16, 4,
+        iters = 1)
+      cb.write.mode("overwrite").parquet(s"$layout/codebook")
+      VectorOps.pqCodes(old, s.read.parquet(s"$layout/codebook"), 16, 4)
+        .write.mode("overwrite").parquet(s"$layout/codes")
+    }
+    val cb = s.read.parquet(s"$layout/codebook")
+    val delta = VectorOps.pqCodes(emb.filter(col("vec_id") >= mid),
+      cb, 16, 4)
+    val codes = s.read.parquet(s"$layout/codes").unionByName(delta)
+    VectorOps.pqAdcTopKFromCodes(codes, emb,
+        emb.filter(col("vec_id") < 10), 3, cb, 16, 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding distribution drift between corpus snapshots — the
+    * vector-tier twin of q91's scalar KS drift: split the corpus
+    * into an old/new half (deterministic id boundary), compare
+    * per-dimension means and spreads, and flag dimensions whose
+    * standardized shift |Δmean|/σ_old exceeds a threshold. The op
+    * every embedding-refresh pipeline runs before swapping an index
+    * or re-training a probe. Shape: ONE skinny (dim, x) aggregate
+    * per half over posexploded rows — embeddings never shuffle
+    * whole; d-row join; row-local flagging. */
+  val embeddingDrift: QueryDef = QueryDef.sql(
+    """WITH m AS (SELECT max(vec_id) // 2 AS mid FROM embeddings),
+       v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                 AS dim
+             FROM embeddings),
+       o AS (SELECT dim, avg(x) AS mean_old, stddev_samp(x) AS sd_old
+             FROM v, m WHERE vec_id < mid GROUP BY 1),
+       n AS (SELECT dim, avg(x) AS mean_new
+             FROM v, m WHERE vec_id >= mid GROUP BY 1)
+       SELECT o.dim,
+         floor((o.mean_old) * 1000000 + 0.5) / 1000000 AS mean_old,
+         floor((n.mean_new) * 1000000 + 0.5) / 1000000 AS mean_new,
+         floor((abs(n.mean_new - o.mean_old) / o.sd_old) * 1000000 + 0.5)
+           / 1000000 AS std_shift,
+         floor((abs(n.mean_new - o.mean_old) / o.sd_old) * 1000000 + 0.5)
+           / 1000000 > 0.2 AS drifted
+       FROM o JOIN n USING (dim) ORDER BY o.dim""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val mid = emb.agg((max(col("vec_id")) / 2).cast("long"))
+      .collect()(0).getLong(0) // bounded driver scalar (q120 pattern)
+    val v = emb.select(col("vec_id"),
+      posexplode(graft.vector.VectorOps.toDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+    val o = v.filter(col("vec_id") < mid).groupBy(col("dim"))
+      .agg(avg(col("x")).as("mean_old"), stddev_samp(col("x")).as("sd_old"))
+    val n = v.filter(col("vec_id") >= mid).groupBy(col("dim"))
+      .agg(avg(col("x")).as("mean_new"))
+    o.join(n, "dim")
+      .select(col("dim"),
+        r6(col("mean_old")).as("mean_old"),
+        r6(col("mean_new")).as("mean_new"),
+        r6(abs(col("mean_new") - col("mean_old")) / col("sd_old"))
+          .as("std_shift"),
+        // flag compares the ROUNDED shift so both engines test the
+        // same 6-decimal constant — an unrounded ratio straddling
+        // the threshold by an ulp would flip only one side
+        (r6(abs(col("mean_new") - col("mean_old")) / col("sd_old")) > 0.2)
+          .as("drifted"))
+      .orderBy(col("dim"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -2472,6 +2561,8 @@ object Pipeline {
     "q128_jsonl_roundtrip" -> jsonlRoundtrip,
     "q130_pq_search_amortized" -> pqSearchAmortized,
     "q131_bloom_contamination" -> bloomContamination,
+    "q134_pq_index_incremental" -> pqIndexIncremental,
+    "q135_embedding_drift" -> embeddingDrift,
     "q132_negative_sampling" -> negativeSampling,
     "q133_temperature_sampling" -> temperatureSampling,
     "q55_quality_repetition" -> qualityRepetition,

@@ -89,6 +89,32 @@ class PqSpec extends AnyFunSuite {
     Caching.releaseAll()
   }
 
+  test("q134 incremental index equals batch re-encode with the same " +
+      "codebook bit-for-bit") {
+    // the incremental claim: appending delta codes encoded with the
+    // stale codebook == re-encoding the FULL corpus with that same
+    // codebook (encode is row-local deterministic given the
+    // codebook). Any drift means the persisted index diverges from
+    // what a rebuild would produce.
+    val emb = Tables.embeddings(spark, dir)
+    val mid = emb.agg((max(col("vec_id")) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val cb = VectorOps.pqTrain(
+      VectorOps.normalize(emb.filter(col("vec_id") < mid)), 16, 16, 4,
+      iters = 1)
+    val reference = VectorOps.pqAdcTopKFromCodes(
+        VectorOps.pqCodes(emb, cb, 16, 4), emb,
+        emb.filter(col("vec_id") < 10), 3, cb, 16, 4)
+      .orderBy(col("q_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val incremental =
+      SparkEntry.queries("q134_pq_index_incremental")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(reference.toSeq == incremental.toSeq)
+    Caching.releaseAll()
+  }
+
   test("pqAdcTopK recall@3 vs bruteForceTopK on sf0.001") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
