@@ -207,8 +207,13 @@ object Dedup {
       .select(col("__p.a.__id").as("a_id"), col("__p.b.__id").as("b_id"),
         bit_count(col("__p.a.__sim").bitwiseXOR(col("__p.b.__sim")))
           .as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: hamming is row-local and functionally
+      // determined by the pair, so filtering first is semantically
+      // identical while the distinct's shuffle carries only the
+      // (rare) passing pairs instead of every bucket collision —
+      // the same verify-then-dedup rationale as cpRawMatches
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Near-dup candidate pairs by winnowing fingerprints (rolling
@@ -369,10 +374,18 @@ object Dedup {
   }
 
   /** Keep-first dedup by arbitrary key: survivor = lowest id per key
-    * (row_number window — one shuffle on the key). */
+    * (row_number window — one shuffle on the key).
+    *
+    * `tieCols` break exact `orderCol` ties; WITHOUT a unique
+    * (orderCol ++ tieCols) prefix the survivor among tied rows is
+    * whatever order the shuffle delivered — a different row per run
+    * or layout. Callers passing a unique orderCol (ids) need
+    * nothing; callers ordering by a non-unique column (timestamps)
+    * must name a disambiguator. */
   def keepFirstByKey(df: DataFrame, keyCols: Seq[String],
-      orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      orderCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

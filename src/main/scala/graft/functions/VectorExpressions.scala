@@ -46,6 +46,9 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on dimension mismatch (below), even for non-null inputs
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
       right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -58,11 +61,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    // mismatched dimensions → NULL, matching the interpreted
+    // zip_with reference (whose NULL pad makes the fold NULL): a
+    // truncated/corrupt embedding must surface as a null score that
+    // falls out of rankings, not as a plausible partial sum that
+    // mis-ranks silently
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -76,12 +87,16 @@ case class DotProduct(left: Expression, right: Expression)
     val s = ctx.freshName("dotSum")
     val i = ctx.freshName("dotI")
     nullSafeCodeGen(ctx, ev, (x, y) => s"""
-      |int $n = Math.min($x.numElements(), $y.numElements());
-      |double $s = 0.0;
-      |for (int $i = 0; $i < $n; $i++) {
-      |  $s += $x.getDouble($i) * $y.getDouble($i);
+      |if ($x.numElements() != $y.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  int $n = $x.numElements();
+      |  double $s = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    $s += $x.getDouble($i) * $y.getDouble($i);
+      |  }
+      |  ${ev.value} = $s;
       |}
-      |${ev.value} = $s;
       |""".stripMargin)
   }
 

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * Contract: right rows must be unique per (key, rightTs) — dedupe
   * first (e.g. max_by) or the carried payload among ties is
   * order-dependent.
+  *
+  * The payload travels as ONE struct per right row (NULL on left
+  * rows), and `last(ignoreNulls)` carries the whole struct: every
+  * left row receives ALL payload fields from the SAME latest right
+  * row — including that row's own NULL fields. Carrying each payload
+  * column independently would skip a NULL in the latest row back to
+  * an older row's value and could stitch together a combination
+  * existing in no right row (ASOF-join semantic drift).
   */
 object AsOf {
 
@@ -30,24 +38,27 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // align schemas: left rows carry null payload; right rows carry
-    // null left columns
-    val l = payload.foldLeft(
-      left.withColumn("__t", col(leftTs)).withColumn("__tag", lit(1))) {
-      (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
+    // align schemas: left rows carry a null payload struct; right
+    // rows carry null left columns
+    val l = left.withColumn("__t", col(leftTs)).withColumn("__tag", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
     val r = leftCols.filterNot(_ == keyCol).foldLeft(
       right.select((keyCol +: rightTs +: payload).distinct.map(col): _*)
         .withColumn("__t", col(rightTs)).withColumn("__tag", lit(0))
-        .drop(rightTs)) { (df, c) =>
+        .withColumn("__p", struct(payload.map(col): _*))
+        .drop(rightTs +: payload: _*)) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = payload.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    merged.filter(col("__tag") === 1).drop("__t", "__tag")
+    val merged = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    payload.foldLeft(merged.filter(col("__tag") === 1)) { (df, p) =>
+        df.withColumn(p, col("__p").getField(p))
+      }
+      .drop("__t", "__tag", "__p")
   }
 }

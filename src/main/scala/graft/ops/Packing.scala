@@ -22,9 +22,17 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Add `offset` = total of `lenCol` over all rows strictly before
-    * each row in `orderCol` order. One range shuffle + one scan. */
+    * each row in `orderCol` order. One range shuffle + one scan.
+    *
+    * `tieCols` complete the order when `orderCol` is not unique:
+    * range partitioning co-locates equal keys, but the
+    * partition-local window's tied rows would otherwise take
+    * whatever intra-partition order the shuffle produced — offsets
+    * (and packWindows' bin/straddle flags) would differ run to run.
+    * Callers with a unique orderCol (ids, distinct values) need
+    * nothing. */
   def withGlobalOffsets(df: DataFrame, orderCol: String, lenCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val nParts = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
@@ -46,7 +54,8 @@ object Packing {
       (acc, pid) => acc + totals.getOrElse(pid, 0L)
     }
     val baseFor = typedLit(bases.dropRight(1))
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy((orderCol +: tieCols).map(col): _*)
     ranged.withColumn("offset",
       element_at(baseFor, col("__pid") + 1) +
         coalesce(sum(col(lenCol))

@@ -1959,8 +1959,11 @@ object Pipeline {
          floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
        FROM events WHERE value > 100
        GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    // pid-suffixed like q128: the layout is rewritten every call, so
+    // concurrent JVMs on the same sfDir must not share the dir
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q82_" +
-      Integer.toHexString(d.hashCode)
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").orc(dir)

@@ -139,8 +139,15 @@ object StreamOps {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
+                // rows sort only WITHIN a batch; a later batch can
+                // deliver an event older than the session's last (or
+                // even start). Fold such a late row into the open
+                // session with min/max bounds — never move `last`
+                // backward, which would emit negative durations and
+                // (worse) set a timeout behind the watermark, an
+                // IllegalArgumentException that kills the query.
                 case Some((start, last, n)) if t - last <= gapMs =>
-                  cur = Some((start, t, n + 1))
+                  cur = Some((math.min(start, t), math.max(last, t), n + 1))
                 case Some((start, last, n)) =>
                   closed ::= ((user, n, start, (last - start) / 60000.0))
                   cur = Some((t, t, 1L))
@@ -150,7 +157,11 @@ object StreamOps {
             }
             cur.foreach { c =>
               state.update(c)
-              state.setTimeoutTimestamp(c._2 + gapMs)
+              // timeout must never be at/behind the current watermark
+              // (Spark rejects it); a session whose gap already
+              // elapsed in event time flushes on the next tick instead
+              state.setTimeoutTimestamp(math.max(c._2 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

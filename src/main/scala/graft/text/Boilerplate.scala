@@ -50,14 +50,30 @@ object Boilerplate {
     val chunks = toks.select(col("doc_id"),
         posexplode(chunkStrings(col("toks"), chunkTokens))
           .as(Seq("chunk_idx", "chunk")))
-    // one shuffle: duplicate counts and the sole survivor per unique
-    // chunk out of the same constant-state aggregate
-    val kept = chunks.groupBy(col("chunk"))
-      .agg(count(lit(1)).as("cnt"),
-        max(struct(col("doc_id"), col("chunk_idx"))).as("occ"))
-      .filter(col("cnt") < minCount)
-      .select(col("occ.doc_id").as("doc_id"),
-        col("occ.chunk_idx").as("chunk_idx"), col("chunk"))
+    // minCount == 2 (the C4 default): one shuffle — duplicate counts
+    // and the sole survivor per unique chunk out of the same
+    // constant-state aggregate ("the max IS the unique occurrence"
+    // holds because every surviving chunk has cnt == 1).
+    // minCount > 2: that invariant BREAKS — a chunk with
+    // 1 < cnt < minCount is not boilerplate and ALL its occurrences
+    // must survive, so the general path anti-joins the occurrence
+    // stream against the boilerplate chunk set (second shuffle, the
+    // honest cost of the looser threshold).
+    val kept = if (minCount <= 2) {
+      chunks.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("cnt"),
+          max(struct(col("doc_id"), col("chunk_idx"))).as("occ"))
+        .filter(col("cnt") < minCount)
+        .select(col("occ.doc_id").as("doc_id"),
+          col("occ.chunk_idx").as("chunk_idx"), col("chunk"))
+    } else {
+      val boiler = chunks.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .select(col("chunk"))
+      chunks.join(boiler, Seq("chunk"), "left_anti")
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    }
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_chunks"),
         array_join(transform(

@@ -57,12 +57,19 @@ object HeavyHitters {
   }
 
   /** Exact heavy hitters over a one-column (`tok`) relation: tokens
-    * with count·(k+1) > n. Output (tok, cnt), exact. */
+    * with count·(k+1) > n. Output (tok, cnt), exact.
+    *
+    * The input feeds THREE jobs (MG candidate pass, the n count, the
+    * recount join), so it is persisted for the duration — unpersisted,
+    * the upstream tokenize/explode chain re-executes per consumer
+    * (the same 3× redundancy minhashNearDupPairs measured and
+    * persists against). */
   def heavyHitters(toks: DataFrame, k: Int): DataFrame = {
-    val candidates = partitionCandidates(toks, k)
+    val t = graft.Caching.retain(toks.persist())
+    val candidates = partitionCandidates(t, k)
       .select(col("tok")).distinct()
-    val n = toks.count()
-    toks.join(broadcast(candidates), "tok")
+    val n = t.count()
+    t.join(broadcast(candidates), "tok")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > n)
   }

@@ -440,12 +440,17 @@ object VectorOps {
       .select(col("q_id").cast("long"), col("n_id").cast("long"),
         col("codes"))
       .as[(Long, Long, Seq[Int])]
-      .mapPartitions(_.map { case (qid, nid, cs) =>
-        val lut = luts(qid)
-        val c = cs.toArray
-        var adc = 0.0; var s = 0
-        while (s < m) { adc += lut(s)(c(s)); s += 1 }
-        (qid, nid, adc)
+      // luts come from normalize(queries), which DROPS zero-norm
+      // queries; the probe relation (withNorm) still carries them, so
+      // the lookup must be total — a missing LUT means "query fell
+      // out of the rankings", not NoSuchElementException
+      .mapPartitions(_.flatMap { case (qid, nid, cs) =>
+        luts.get(qid).map { lut =>
+          val c = cs.toArray
+          var adc = 0.0; var s = 0
+          while (s < m) { adc += lut(s)(c(s)); s += 1 }
+          (qid, nid, adc)
+        }
       })
       .toDF("q_id", "n_id", "adc")
     adcShortlistRerank(scored, corpus, queries, k, rerank, idCol, vecCol)

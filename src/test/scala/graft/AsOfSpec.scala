@@ -29,4 +29,22 @@ class AsOfSpec extends AnyFunSuite {
       ("l4", None), // right exists only later
       ("l5", None))) // no rights for the key
   }
+
+  test("NULL payload in the latest right row is carried as NULL, and " +
+      "multi-column payloads never mix rows") {
+    // ASOF semantics: the match is the latest right ROW — its own
+    // NULL fields included. Carrying columns independently would
+    // skip the NULL back to an older row's value (and stitch field
+    // combinations existing in no right row).
+    val lefts = Seq((1L, 300L, "l1")).toDF("k", "lts", "lname")
+    val rights = Seq(
+      (1L, 100L, Some(10.0), Some(2.0)),
+      (1L, 200L, None: Option[Double], Some(9.0))
+    ).toDF("k", "rts", "x", "y")
+    val got = AsOf.asofJoin(lefts, rights, "k", "lts", "rts",
+        Seq("x", "y")).collect()(0)
+    assert(Option(got.getAs[java.lang.Double]("x")).isEmpty,
+      "latest row's NULL x must stay NULL, not revert to 10.0")
+    assert(got.getAs[java.lang.Double]("y") == 9.0)
+  }
 }

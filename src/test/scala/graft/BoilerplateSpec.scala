@@ -36,6 +36,25 @@ class BoilerplateSpec extends AnyFunSuite {
       got(3).getString(3) == "lone wolf text with no footer at all here")
   }
 
+  test("minCount > 2 keeps EVERY occurrence of sub-threshold chunks") {
+    // a chunk appearing twice is NOT boilerplate at minCount=3: both
+    // occurrences must survive (the single-aggregate fast path's
+    // "max is the unique occurrence" invariant only holds at the
+    // default threshold — the general path anti-joins instead)
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 $shared"),
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 b8 $shared")
+    ).toDF("doc_id", "text")
+    val got = Boilerplate
+      .removeDuplicatedChunks(docs, "doc_id", "text", minCount = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(2) == 2 &&
+      got(0).getString(3) == s"a1 a2 a3 a4 a5 a6 a7 a8 $shared")
+    assert(got(1).getLong(2) == 2 &&
+      got(1).getString(3) == s"b1 b2 b3 b4 b5 b6 b7 b8 $shared")
+  }
+
   test("within-doc repetition counts toward the corpus threshold; " +
       "fully-boilerplate doc rebuilds to empty") {
     val rep = "spam spam spam spam spam spam spam spam"

@@ -41,6 +41,23 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dot: mismatched dimensions yield NULL (codegen, eval, " +
+      "and the interpreted reference agree)") {
+    // a truncated/corrupt embedding must surface as NULL (falls out
+    // of rankings) — a partial sum would mis-rank silently
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val got = df.select(
+        GraftFunctions.dot(col("a"), col("b")).as("cg"),
+        VectorOps.dotInterpreted(col("a"), col("b")).as("fold"))
+      .collect()(0)
+    assert(got.isNullAt(0), "codegen path must be NULL on mismatch")
+    assert(got.isNullAt(1), "interpreted fold must agree (NULL)")
+    val direct = DotProduct(
+      Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType)),
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))).eval()
+    assert(direct == null, "direct eval must be NULL on mismatch")
+  }
+
   test("graft_minhash: df path == direct eval, element-wise min law") {
     val hashes = Seq.fill(50)(rnd.nextLong())
     val df = Seq(Tuple1(hashes)).toDF("h")

@@ -54,6 +54,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(zq.isEmpty)
   }
 
+  test("ivfPqTopK: a zero-norm query drops out instead of crashing " +
+      "the LUT lookup") {
+    // normalize() drops zero-norm queries from the LUT map while the
+    // probe relation still carries them — the scorer's lookup must be
+    // total (flatMap over luts.get), not luts(qid)
+    val corpus = (0L to 19L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i + j) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (0L, Seq.tabulate(8)(j => (j % 5 - 2).toFloat)),
+      (99L, Seq.fill(8)(0f)) // zero-norm query
+    ).toDF("vec_id", "embedding")
+    val cb = VectorOps.pqTrain(VectorOps.normalize(corpus), 4, 4, 2,
+      iters = 1)
+    val got = VectorOps.ivfPqTopK(corpus, queries, 2, cb, 4, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(99L), "zero-norm query must have no results")
+    assert(got.contains(0L), "the valid query must still rank")
+  }
+
   test("lshSignature is deterministic across evaluations") {
     val df = Seq((0L, Seq(0.5f, -0.25f, 1f)), (1L, Seq(0.5f, -0.25f, 1f)))
       .toDF("vec_id", "embedding")
