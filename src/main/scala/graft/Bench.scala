@@ -109,8 +109,14 @@ object Bench {
     // totals alone still carry the headline number.
     def r3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // 2 decimals in the per-query map (10 ms resolution — the detail
+    // line above keeps ns): at 137 queries the 3-decimal form crossed
+    // the 1800-char guard and dropped the map entirely, which is a
+    // worse artifact than coarser per-query numbers
+    def r2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val qsShort = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+        "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     def contract(qs: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":${r3(batchTotal)},"streaming_total":${r3(streamingTotal)}$onlyField}"""

@@ -2523,6 +2523,90 @@ object Pipeline {
       .orderBy(col("dim"))
   }
 
+  /** Semantic benchmark contamination — the embedding-space
+    * complement of q56/q131's n-gram screens (SemDeDup/decontam
+    * practice: paraphrased benchmark leakage that shares no 3-gram
+    * still sits close in embedding space): every corpus vector's max
+    * cosine against the benchmark set, flagged at a threshold on the
+    * ROUNDED score (both engines compare the same 6-decimal value).
+    * Exact brute-force form — oracle-checkable bit-for-bit (per-pair
+    * r6 before the order-independent max) — and honest about scale:
+    * the benchmark side is tiny and BROADCASTS (one corpus scan, no
+    * shuffle of embeddings); at 100 TB the corpus side would go
+    * through the q38 LSH prefilter with this as the verify stage. */
+  val semanticContamination: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       b AS (SELECT vec_id AS b_id, v AS b_v FROM e
+             WHERE vec_id % 20 = 0),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+       p AS (SELECT c.vec_id,
+               floor((list_dot_product(c.v, b.b_v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(b.b_v, b.b_v))))
+                 * 1000000 + 0.5) / 1000000 AS cos
+             FROM c CROSS JOIN b)
+       SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.3 AS contaminated
+       FROM p GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.vector.VectorOps.toDouble(col("embedding")).as("v"))
+    val bench = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    e.filter(col("vec_id") % 20 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        r6(graft.vector.VectorOps.cosine(col("v"), col("b_v"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= 0.3).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Deterministic dataset interleaving — the order-construction
+    * step of corpus mixing (round-robin across sources, each
+    * source's internal order a reproducible md5 shuffle): global
+    * position = (within-source rank − 1) · n_sources + source_index.
+    * Complement of q133 (which decides HOW MUCH of each source) and
+    * q121 (epoch order over one stream): together they make a mixed
+    * training stream replayable from any step. Shapes: one keyed
+    * shuffle for the per-source ranking (q121's hash-order window),
+    * a ~|sources| index relation broadcast back; at 100 TB the
+    * per-source rank degrades to bucketed order exactly like q121. */
+  val datasetInterleave: QueryDef = QueryDef.sql(
+    """WITH idx AS (SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+               AS source_index,
+             CAST(count(*) OVER () AS BIGINT) AS n_sources
+           FROM (SELECT DISTINCT source FROM documents)),
+       r AS (SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS rk
+             FROM documents)
+       SELECT r.doc_id, r.source,
+         (r.rk - 1) * idx.n_sources + idx.source_index AS pos
+       FROM r JOIN idx USING (source) ORDER BY r.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sources = docs.select(col("source")).distinct()
+    val wIdx = Window.orderBy(col("source")) // ~|sources| rows only
+    val idx = sources
+      .select(col("source"),
+        (row_number().over(wIdx) - 1).cast("long").as("source_index"))
+      .crossJoin(sources.agg(count(lit(1)).as("n_sources")))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(wRank).cast("long").as("rk"))
+      .join(broadcast(idx), "source")
+      .select(col("doc_id"), col("source"),
+        ((col("rk") - 1) * col("n_sources") + col("source_index"))
+          .as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -2566,6 +2650,8 @@ object Pipeline {
     "q131_bloom_contamination" -> bloomContamination,
     "q134_pq_index_incremental" -> pqIndexIncremental,
     "q135_embedding_drift" -> embeddingDrift,
+    "q136_semantic_contamination" -> semanticContamination,
+    "q137_dataset_interleave" -> datasetInterleave,
     "q132_negative_sampling" -> negativeSampling,
     "q133_temperature_sampling" -> temperatureSampling,
     "q55_quality_repetition" -> qualityRepetition,
