@@ -137,7 +137,8 @@ object Profile {
       }
       for (name <- Seq("q125_bpe_pair_counts", "q126_winsorize_embeddings",
           "q127_length_batching", "q128_jsonl_roundtrip",
-          "q130_pq_search_amortized"))
+          "q130_pq_search_amortized", "q134_pq_index_incremental",
+          "q136_semantic_contamination", "q137_dataset_interleave"))
         timeCount(name)(SparkEntry.queries(name)(spark, dir))
       Caching.releaseAll()
       spark.stop()
