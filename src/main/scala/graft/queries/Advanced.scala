@@ -1079,6 +1079,83 @@ object Advanced {
       r6(corr(col("y"), col("x"))).as("correlation"))
   }
 
+  /** Key-skew audit — the diagnostic that DRIVES the q63 salting
+    * decision: per-key count distribution of the join/agg key
+    * (max/mean skew ratio, the hot-top-10's share of all rows), as
+    * one summary row. The top-10 share rides the bounded-heap TopK
+    * aggregate (k rows per task cross the shuffle, never the key
+    * histogram); everything else is one partial-agg pass over
+    * per-key counts. At 100 TB this is the cheap pre-flight that
+    * decides between a plain, salted, or broadcast join. */
+  val skewAudit: QueryDef = QueryDef.sql(
+    """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+       r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id)
+               AS rk
+             FROM c)
+       SELECT (SELECT count(*) FROM c) AS n_keys,
+         (SELECT max(n) FROM c) AS max_n,
+         floor(((SELECT max(n) FROM c) / ((SELECT sum(n) FROM c)
+                / (SELECT count(*) FROM c))) * 1000000 + 0.5) / 1000000
+           AS skew_ratio,
+         floor(((SELECT sum(n) FROM r WHERE rk <= 10)
+                / CAST((SELECT sum(n) FROM c) AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 AS top10_share""") { (s, d) =>
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val topk = graft.ops.TopK.topk(10)
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        sum(col("n")).as("__total"),
+        topk(col("n").cast("double"), col("user_id")).as("__top"))
+      .select(col("n_keys"), col("max_n"),
+        r6(col("max_n") / (col("__total") / col("n_keys")))
+          .as("skew_ratio"),
+        r6(aggregate(transform(col("__top"), s_ => s_.getField("ord")),
+            lit(0.0), (acc, x) => acc + x) / col("__total").cast("double"))
+          .as("top10_share"))
+  }
+
+  /** Row-level CDC apply — the lakehouse MERGE step: state₁ is the
+    * latest event per user in the first half of the month, the delta
+    * is everything after, and applying the delta means re-taking the
+    * latest per user over (state₁ ∪ delta), then dropping users
+    * whose final event is a tombstone (event_type = 'error' here).
+    * The oracle computes the same state DIRECTLY from the full
+    * table, so the hash compare asserts the CDC identity:
+    * incremental apply == batch recompute — q103's
+    * snapshot+increment algebra at row granularity (and q77's diff,
+    * applied). One keyed shuffle over skinny (user, ts, …) rows;
+    * state₁ never rescans the old half at apply time. */
+  val cdcApply: QueryDef = QueryDef.sql(
+    """WITH latest AS (
+         SELECT user_id, value, ts, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rk
+         FROM events)
+       SELECT user_id,
+         floor((value) * 1000000 + 0.5) / 1000000 AS last_value,
+         ts AS last_ts
+       FROM latest WHERE rk = 1 AND event_type <> 'error'
+       ORDER BY user_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("value"), col("ts"), col("event_type"),
+        col("event_id"), dayofmonth(col("ts")).as("dom"))
+    def latest(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk", "dom")
+    }
+    val state1 = latest(ev.filter(col("dom") <= 14))
+    val delta = ev.filter(col("dom") > 14).drop("dom")
+    latest(state1.unionByName(delta).withColumn("dom", lit(0)))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), r6(col("value")).as("last_value"),
+        col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
     "q88_funnel_stages" -> funnelStages,
@@ -1109,5 +1186,7 @@ object Advanced {
     "q113_nested_shred" -> nestedShred,
     "q114_new_users_cumulative" -> newUsersCumulative,
     "q115_zipf_slope" -> zipfSlope,
+    "q138_skew_audit" -> skewAudit,
+    "q139_cdc_apply" -> cdcApply,
   )
 }
