@@ -2607,6 +2607,77 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic fixed-SIZE global sample — eval-set / human-review
+    * batch construction (q58 samples fixed FRACTIONS per stratum;
+    * this draws exactly k rows corpus-wide): the k smallest
+    * md5(doc_id) hashes, reproducible on any engine and unchanged by
+    * appends that don't displace a winner. Ranking rides the
+    * bounded-heap TopK aggregate — k rows per task cross the
+    * shuffle, no global sort of the corpus (TakeOrdered-equivalent
+    * but keyed by a content-independent hash). */
+  val reservoirSample: QueryDef = QueryDef.sql(
+    """WITH h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+           FROM documents),
+       r AS (SELECT doc_id, hv,
+               row_number() OVER (ORDER BY hv, doc_id) AS rk
+             FROM h)
+       SELECT CAST(rk AS INTEGER) AS rank, doc_id
+       FROM r WHERE rk <= 100 ORDER BY rank""") { (s, d) =>
+    val topk = graft.ops.TopK.topk(100)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv")) // 52 bits: exactly double-representable
+      .agg(topk((-col("hv")).cast("double"), col("doc_id")).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select((col("__i") + 1).cast("int").as("rank"),
+        col("__s").getField("id").as("doc_id"))
+      .orderBy(col("rank"))
+  }
+
+  /** N-gram novelty curve — per-document fraction of 3-grams whose
+    * FIRST corpus occurrence (by doc_id order) is this document: the
+    * diversity/staleness metric curation teams track as a corpus
+    * grows (novelty collapsing toward 0 signals the crawl is
+    * re-reading itself). First occurrence is one `min(doc_id)` per
+    * distinct gram (vocabulary-bounded aggregate, the q50 shape) —
+    * never a self-join; the per-doc fold is a broadcast-free
+    * re-aggregation of the same skinny (gram, doc) stream. */
+  val ngramNovelty: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                 AS g
+             FROM t WHERE len(toks) >= 3),
+       f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       SELECT g.doc_id, count(*) AS n_grams,
+         CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+              AS BIGINT) AS n_novel,
+         floor((count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           AS novelty
+       FROM g JOIN f USING (g) GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("toks"), 3)).as("g"))
+    val first = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long"))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r6(col("n_novel") / col("n_grams").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -2652,6 +2723,8 @@ object Pipeline {
     "q135_embedding_drift" -> embeddingDrift,
     "q136_semantic_contamination" -> semanticContamination,
     "q137_dataset_interleave" -> datasetInterleave,
+    "q140_reservoir_sample" -> reservoirSample,
+    "q141_ngram_novelty" -> ngramNovelty,
     "q132_negative_sampling" -> negativeSampling,
     "q133_temperature_sampling" -> temperatureSampling,
     "q55_quality_repetition" -> qualityRepetition,
