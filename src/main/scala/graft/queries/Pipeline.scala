@@ -1593,10 +1593,15 @@ object Pipeline {
   /** Bigram LM quality scoring — per-doc mean ln P(w_i | w_{i-1})
     * under the corpus's own add-α-smoothed bigram model (α = 0.5):
     * the KenLM-shaped upgrade of q68's unigram signal, still with no
-    * external model. Counts are vocabulary-bounded aggregates
-    * broadcast back into a row-local scoring pass; at web scale the
-    * bigram table outgrows a broadcast and the first join flips to a
-    * shuffle join on the bigram key — same plan otherwise. */
+    * external model. The count relations grow with corpus
+    * vocabulary(²), so neither join carries a broadcast hint: AQE
+    * picks broadcast-hash while the measured side is small and flips
+    * to a shuffle join on the bigram/unigram key once it isn't —
+    * the r5 verdict's 100 TB scale-killer (a pinned broadcast of a
+    * vocabulary-sized relation) cannot recur. The vocabulary-size
+    * scalar V rides IN-PLAN as a one-row broadcast (q03's pattern,
+    * `ops/Anomaly.percentileFilter`), so query construction runs no
+    * driver job (gated by `PlanAuditSpec`). */
   val bigramLogprob: QueryDef = QueryDef.sql(
     """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                   FROM documents),
@@ -1621,15 +1626,16 @@ object Pipeline {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val uni = docs.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.count().toDouble
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
     val bi = docs.select(col("doc_id"),
       explode(TextOps.wordGrams(col("toks"), 2)).as("bg"))
     val bfreq = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    bi.join(broadcast(bfreq), "bg")
+    bi.join(bfreq, "bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(broadcast(uni), col("w1") === col("tok"))
+      .join(uni, col("w1") === col("tok"))
+      .join(broadcast(vocab))
       .withColumn("lp",
-        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * vocab)))
+        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("__v"))))
       .groupBy(col("doc_id"))
       .agg(r6(avg(col("lp"))).as("mean_logprob"),
         count(lit(1)).as("n_bigrams"))

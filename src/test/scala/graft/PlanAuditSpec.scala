@@ -125,16 +125,28 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("session-3 tier plan shapes: q74/q78 broadcast, q77 no BNLJ, " +
       "q79 broadcasts the dup-gram set") {
-    // q74: bigram + unigram count tables broadcast into row-local
-    // scoring; q78: the single stats row broadcasts; q79: the
+    // q78: the single stats row broadcasts; q79: the
     // duplicated-gram set broadcasts back onto the gram stream
-    for (q <- Seq("q74_bigram_logprob", "q78_bm25_score",
-        "q79_dup_spans")) {
+    for (q <- Seq("q78_bm25_score", "q79_dup_spans")) {
       val plan = executedPlan(q)
       assert(plan.contains("BroadcastHashJoin") ||
         plan.contains("BroadcastNestedLoopJoin"), s"$q lost its broadcast")
       assert(!plan.contains("SortMergeJoin"), s"$q plans SMJ")
     }
+    // q74: the bigram/unigram count relations grow with corpus
+    // vocabulary, so their joins must carry NO pinned broadcast hint
+    // (the r5 verdict's scale-killer). Evidence both ways: the
+    // initial (pre-AQE, stats-blind) plan shows shuffle joins, and
+    // AQE flips them to broadcast at this sf because the measured
+    // sides are small — i.e. the choice is size-based, not pinned.
+    val p74full = executedPlan("q74_bigram_logprob")
+    val p74final = p74full.split("== Initial Plan ==").head
+    assert(p74final.contains("BroadcastHashJoin"),
+      "q74 final plan: AQE should broadcast the small count sides here")
+    val p74init = p74full.split("== Initial Plan ==").last
+    assert(p74init.contains("SortMergeJoin"),
+      "q74's count-table joins must be unhinted (AQE-decided): " +
+        s"expected SMJ in the initial plan\n$p74full")
     // q77 full-outer diff: co-partitioned SMJ is the declared shape —
     // what must NOT appear is a nested-loop or cross product
     val p77 = executedPlan("q77_snapshot_diff")
@@ -201,6 +213,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q03 <= scanOnly,
       s"q03 construction ran $q03 job(s) vs $scanOnly for a plain scan " +
         "— a driver-side quantile action would show up here")
+    // q74's vocabulary scalar must ride in-plan the same way: its
+    // r5 form ran uni.count() at composition time (a full scan+agg
+    // job before the query even executed)
+    val q74 = jobsDuring(
+      SparkEntry.queries("q74_bigram_logprob")(spark, dir))
+    assert(q74 <= scanOnly,
+      s"q74 construction ran $q74 job(s) vs $scanOnly for a plain scan " +
+        "— the vocab count must stay in-plan")
   }
 
   test("filter pushdown reaches the parquet scan in q03 and q09") {
