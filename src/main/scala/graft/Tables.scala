@@ -34,20 +34,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Sessions built via `GraftSession`
-    * read nanos as Long (`spark.sql.legacy.parquet.nanosAsLong` set
-    * at session build — not here, so reads stay order-independent);
-    * this loader rebuilds a microsecond timestamp with integral
-    * division — exact (no double round-trip; 2024 epoch-nanos ≈
-    * 1.7e18 exceeds double's 53-bit mantissa) and identical to
-    * DuckDB's ns→µs truncation. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  /** Normalize an events relation's `ts` to a session-zoned
+    * TimestampType, ADAPTIVELY on the dtype the scan actually
+    * produced — a 100 TB lake holds files written by different
+    * engines over years, so the loader must not assume one physical
+    * encoding:
+    *  - `LongType`: parquet TIMESTAMP(NANOS) read via `nanosAsLong`
+    *    (set at `GraftSession` build; Spark 4 otherwise rejects nanos
+    *    with [PARQUET_TYPE_ILLEGAL]). Rebuilt with integral division
+    *    — exact (no double round-trip; 2024 epoch-nanos ≈ 1.7e18
+    *    exceeds double's 53-bit mantissa), identical to DuckDB's
+    *    ns→µs truncation.
+    *  - `TimestampNTZType`: parquet timestamp[us]/[ms] without UTC
+    *    adjustment. Cast to TimestampType — identical wall-clock
+    *    under the pinned-UTC session.
+    *  - `TimestampType`: already an instant; pass through. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical read type $other " +
+          "(expected epoch-nanos LongType, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -33,7 +33,13 @@ object Verify {
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
+        // a failed query must be a RED ROW in the round artifact, not
+        // a missing key (VERDICT r7 #3: 39 queries vanished without a
+        // trace): drop a marker file the driver can surface as an err
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try Files.writeString(Paths.get(s"$outDir/$name._ERROR"),
+          s"$name: ${e.toString.take(2000)}\n")
+        catch { case _: Throwable => () }
       }
       // the write above consumed the plan; drop any intermediates the
       // query persisted so 45 queries don't accumulate dead caches

@@ -18,29 +18,29 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema for streaming reads (ts as epoch-nanos long —
-    * matches the raw parquet physical type; see Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Open the events table as a file stream (one-file-per-trigger
-    * friendly); converts raw nanos to a proper event-time column.
-    * Requires a GraftSession-built session (`nanosAsLong` is set at
-    * session construction — not mutated here, keeping reads
-    * order-independent per the same fix as Tables.events). */
+    * friendly) and normalize `ts` to a proper event-time column.
+    *
+    * File streams require a user-supplied schema, and a hardcoded one
+    * silently corrupts data when the lake's physical encoding differs
+    * (an INT64-micros file read as LongType then re-divided lands in
+    * 1970 — a wrong ANSWER, not an error). So the schema comes from
+    * the table's own parquet footer (one batch-planning read at
+    * stream construction — driver-side, O(footer), never a data
+    * scan), and ts normalization is the SAME dtype-adaptive rule as
+    * the batch path ([[graft.Tables.normalizeEventTs]]) — streaming
+    * and batch cannot drift apart again. Requires a GraftSession-
+    * built session (`nanosAsLong` set at construction, so a
+    * TIMESTAMP(NANOS) footer infers as LongType here too). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // the file-stream source only accepts directories; point it at
     // the sf dir and glob-filter to the events table
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val footerSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(footerSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** documents schema for streaming reads (matches the fixture
