@@ -216,6 +216,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct doc pairs sharing at least one verbatim run of
+    * `runLen` consecutive tokens — EXACT and portable (re-expressible
+    * in ANSI SQL), unlike the hash-family-dependent candidate sets.
+    * With runLen = window + ngram - 1 this is precisely the
+    * precondition of the winnowing guarantee (Schleimer SIGMOD'03:
+    * any match at least that long shares a selected fingerprint), so
+    * [[winnowNearDupPairs]] with minShared=1 must contain every pair
+    * this emits — the driver-checked containment row set for q41.
+    * Same bucketed groupBy shape as the other pair generators (gram
+    * explode → groupBy(gram) → bucket pairs), never a self-join. */
+  def sharedRunPairs(df: DataFrame, idCol: String, textCol: String,
+      runLen: Int): DataFrame = {
+    val grams = spread(df)
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= runLen)
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - (runLen - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(runLen)))))).as("__g"))
+    grams.groupBy(col("__g"))
+      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(bucketPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
+      .distinct()
+  }
+
   /** Near-dup candidate pairs by winnowing fingerprints (rolling
     * n-gram hashes → window minima, Schleimer SIGMOD'03): documents
     * sharing >= `minShared` fingerprints. Same bucketed structure as

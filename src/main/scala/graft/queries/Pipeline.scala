@@ -334,13 +334,41 @@ object Pipeline {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit chunk banding,
-    * the Manku WWW'07 configuration — recall 1 by pigeonhole: <= 3
-    * differing bits cannot touch all 4 chunks). Hash-family-dependent
-    * → rows-only check; DedupSpec gates it against exact duplicates
-    * and MinHash high-Jaccard pairs. */
-  val dedupSimhash: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text")
+  /** SimHash near-dup detection (hamming <= 3 via 4×16-bit chunk
+    * banding, the Manku WWW'07 configuration — recall 1 by
+    * pigeonhole: <= 3 differing bits cannot touch all 4 chunks),
+    * DRIVER-CHECKED via containment (the q43/q64 pattern): identical
+    * documents have identical signatures, so every exact-dup pair
+    * MUST surface as a simhash candidate at hamming 0. The fixture
+    * has no exact dups, so the corpus is doubled with offset ids
+    * (q29's construction); the output is the deterministic exact-dup
+    * pair set and `ok` asserts IN-PLAN that the banding emitted the
+    * pair — a broken chunk explode / bucket join / signature
+    * hash-mismatches in the driver compare. Hash-family-specific
+    * EXTRA near-dup candidates are excluded by construction;
+    * DedupSpec keeps the near-dup overlap gates. */
+  val dedupSimhash: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000, text FROM documents),
+       k AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM u),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+       SELECT a_id, b_id, TRUE AS ok FROM p ORDER BY 1, 2""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val sim = Dedup.simhashNearDupPairs(doubled, "doc_id", "text")
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    val keyed = doubled.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("__fp"))
+    val truth = keyed.as("ka").join(keyed.as("kb"),
+        col("ka.__fp") === col("kb.__fp") &&
+          col("ka.doc_id") < col("kb.doc_id"))
+      .select(col("ka.doc_id").as("a_id"), col("kb.doc_id").as("b_id"))
+    truth.join(sim, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("hamming") === 0, lit(false)).as("ok"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -392,13 +420,37 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Winnowing-fingerprint near-dup candidates (rolling-hash
-    * document fingerprinting — catches shared verbatim passages).
-    * Hash-family-dependent → rows-only; DedupSpec gates the
-    * winnowing guarantee and agreement with the other dedup
-    * operators. */
-  val winnowPairs: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    Dedup.winnowNearDupPairs(Tables.documents(s, d), "doc_id", "text")
+  /** Winnowing-fingerprint near-dup detection (rolling n-gram hashes
+    * → window minima, Schleimer SIGMOD'03 — catches shared verbatim
+    * passages), DRIVER-CHECKED via containment: the winnowing
+    * GUARANTEE says any shared token run of length >= window + ngram
+    * - 1 (= 6 at the defaults) yields a shared selected fingerprint,
+    * and "pairs sharing a 6-token verbatim run" is exact and
+    * SQL-portable. That ground-truth pair set rides the output and
+    * `ok` asserts IN-PLAN that winnowing surfaced the pair — a
+    * selection-logic bug that drops a guaranteed fingerprint
+    * hash-mismatches. Hash-family-specific EXTRA candidates are
+    * excluded; DedupSpec keeps the passage-detection gates. */
+  val winnowPairs: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 5),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                    || toks[i+5]))) AS gram
+             FROM t WHERE len(toks) >= 6),
+       p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+       SELECT a_id, b_id, TRUE AS ok FROM p ORDER BY 1, 2""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val truth = Dedup.sharedRunPairs(docs, "doc_id", "text", 6)
+    val found = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+        minShared = 1)
+      .select(col("a_id"), col("b_id"), lit(true).as("__found"))
+    truth.join(found, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("__found"), lit(false)).as("ok"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -2571,6 +2623,39 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic contamination behind the cross-polytope PREFILTER
+    * (VERDICT r6 #3 / r7 #7): q136's brute-force verdicts are the
+    * small-scale shape; at 100 TB the corpus must never cross-join
+    * the benchmark, so candidates come from the q38 LSH banding and
+    * only candidates pay the exact cosine verify. tau = 0.45 (the
+    * q38 near-dup threshold — "contaminated" = the document IS
+    * semantically a benchmark item, not merely correlated like
+    * q136's 0.3 screen). Oracle = the exact pair set: banding at
+    * this margin captures every fixture pair at all three SFs
+    * (gated in AnnRecallSpec so drift is caught locally before a
+    * driver red row); PlanAuditSpec gates that the executed plan
+    * keeps the key-join prefilter and plans no cartesian/BNLJ. */
+  val contaminationLsh: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       b AS (SELECT vec_id AS b_id, v AS b_v FROM e
+             WHERE vec_id % 20 = 0),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+       p AS (SELECT c.vec_id, b.b_id,
+               floor((list_dot_product(c.v, b.b_v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(b.b_v, b.b_v))))
+                 * 1000000 + 0.5) / 1000000 AS cos
+             FROM c CROSS JOIN b)
+       SELECT vec_id, b_id, cos FROM p WHERE cos >= 0.45
+       ORDER BY 1, 2""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    graft.vector.VectorOps.contaminationPairsLsh(
+        e.filter(col("vec_id") % 20 =!= 0),
+        e.filter(col("vec_id") % 20 === 0), 0.45)
+      .orderBy(col("vec_id"), col("b_id"))
+  }
+
   /** Deterministic dataset interleaving — the order-construction
     * step of corpus mixing (round-robin across sources, each
     * source's internal order a reproducible md5 shuffle): global
@@ -2728,6 +2813,7 @@ object Pipeline {
     "q134_pq_index_incremental" -> pqIndexIncremental,
     "q135_embedding_drift" -> embeddingDrift,
     "q136_semantic_contamination" -> semanticContamination,
+    "q142_contamination_lsh" -> contaminationLsh,
     "q137_dataset_interleave" -> datasetInterleave,
     "q140_reservoir_sample" -> reservoirSample,
     "q141_ngram_novelty" -> ngramNovelty,

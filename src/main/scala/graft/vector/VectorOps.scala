@@ -507,6 +507,59 @@ object VectorOps {
       .distinct()
   }
 
+  /** Benchmark-contamination pairs behind the cross-polytope
+    * prefilter — the 100 TB decontamination shape (q136 computes the
+    * same semantics by brute force; this is what actually runs when
+    * the corpus is 10^10 documents and the benchmark suite 10^6
+    * vectors). Bipartite: corpus band keys join the BROADCAST
+    * benchmark probe keys (benchmark is orders smaller by
+    * construction — it's the eval suite), candidates get an exact
+    * cosine verify at `tau`, so the prefilter affects only recall,
+    * never a reported score, and the corpus is never crossed with
+    * the benchmark. Defaults measured on sf0.1 (Tune142 sweep):
+    * bands=256 is the cheapest full-recall configuration — 10/10
+    * exact pairs at candidate ratio 0.087 (q38's 128 bands measure
+    * 8/10; cpHashes=1 reaches recall 1 only by admitting 72% of all
+    * pairs, i.e. no prefilter at all). */
+  def contaminationPairsLsh(corpus: DataFrame, bench: DataFrame,
+      tau: Double, cpHashes: Int = 2, bands: Int = 256, probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = withNorm(spread(corpus), idCol, vecCol, "a")
+    val b = withNorm(bench, idCol, vecCol, "b")
+    val cKeys = c.select(col("a_id"),
+      explode(GraftFunctions.cpKeys(col("a_v"), cpHashes, bands, 1))
+        .as("key"))
+    val bKeys = b.select(col("b_id"),
+      explode(GraftFunctions.cpKeys(col("b_v"), cpHashes, bands, probes))
+        .as("key"))
+    cKeys.join(broadcast(bKeys), "key")
+      .select(col("a_id"), col("b_id")).distinct()
+      .join(c, "a_id")
+      .join(broadcast(b), "b_id")
+      .withColumn("cos", graft.Rounding.r6(try_divide(
+        dot(col("a_v"), col("b_v")), col("a_norm") * col("b_norm"))))
+      .filter(col("cos") >= tau)
+      .select(col("a_id").as("vec_id"), col("b_id"), col("cos"))
+  }
+
+  /** Distinct candidate-pair count of [[contaminationPairsLsh]]'s
+    * prefilter — public so AnnRecallSpec/tuning can gate the
+    * candidate RATIO (the sub-quadratic property) alongside recall. */
+  def contaminationCandidates(corpus: DataFrame, bench: DataFrame,
+      cpHashes: Int = 2, bands: Int = 256, probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cKeys = corpus.select(col(idCol).as("a_id"),
+      explode(GraftFunctions.cpKeys(toDouble(col(vecCol)), cpHashes, bands,
+        1)).as("key"))
+    val bKeys = bench.select(col(idCol).as("b_id"),
+      explode(GraftFunctions.cpKeys(toDouble(col(vecCol)), cpHashes, bands,
+        probes)).as("key"))
+    cKeys.join(broadcast(bKeys), "key")
+      .select(col("a_id"), col("b_id")).distinct().count()
+  }
+
   /** Per-vector symmetric int8 scalar quantization: scale =
     * max|x_i| / 127, codes = round(x_i / scale) — 4× smaller than
     * float32 (the first memory lever real vector stores pull at

@@ -75,6 +75,38 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationPairsLsh catches every exact pair at q142's tau " +
+      "(oracle-parity gate, sf0.01 + sf0.1)") {
+    // q142 carries a DuckDB oracle (the exact pair set), so the
+    // prefilter must measure recall 1.0 on the fixtures — this gate
+    // catches banding drift locally before it becomes a red driver
+    // row. Runs at both SFs the driver uses (2 resp. 10 true pairs).
+    for (d <- Seq("/root/testdata/sf0.01", dirBig)) {
+      val emb = Tables.embeddings(spark, d)
+      val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+      val bench = emb.filter(col("vec_id") % 20 === 0)
+      val lsh = pairs(VectorOps.contaminationPairsLsh(corpus, bench, 0.45))
+      val exact = pairs(corpus
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(bench.select(col("vec_id").as("b_id"),
+          VectorOps.toDouble(col("embedding")).as("b_v"))))
+        .filter(Rounding.r6(VectorOps.cosine(col("v"), col("b_v"))) >= 0.45)
+        .select(col("vec_id"), col("b_id")))
+      assert(lsh.subsetOf(exact), "verify stage must make LSH ⊆ exact")
+      assert(lsh == exact,
+        s"$d: q142 prefilter missed ${exact -- lsh} — oracle would go red")
+      // recall 1.0 must not come from admitting everything (the
+      // vacuous-recall failure this suite exists to catch): measured
+      // 0.087 at sf0.1 with the default banding, 0.15 gives headroom
+      val ratio = VectorOps.contaminationCandidates(corpus, bench)
+        .toDouble / (corpus.count() * bench.count())
+      info(f"$d: ${lsh.size}/${exact.size} pairs, candidate ratio " +
+        f"$ratio%.4f")
+      assert(ratio <= 0.15, f"$d: candidate ratio $ratio%.4f above 0.15")
+      Caching.releaseAll()
+    }
+  }
+
   test("ivfTopK recall@3 vs bruteForceTopK >= 0.7 on sf0.001") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
