@@ -37,6 +37,16 @@ object GraftSession {
       // sized to fit in executor memory, so a large hash map is fine.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4000000")
+      // cached-relation batches default to 10k ROWS with no byte
+      // bound; rows carrying multi-KB array columns (the persisted
+      // LSH key relations — L×combos band keys/row) then build
+      // ~260 MB contiguous batches per task, and 32 concurrent
+      // builders GC-thrash the executor (measured: the n=200k
+      // bandsweep probe died in GCLocker retries). 512 rows keeps
+      // batch build ≤ ~100 MB even at the widest key config while
+      // costing nothing measurable on fixture-width rows.
+      .config("spark.sql.inMemoryColumnarStorage.batchSize",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "512"))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     GraftFunctions.register(s)

@@ -145,6 +145,100 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "scale-r8") {
+      // 100× probe (VERDICT r7 #9): text dedup at 500k docs (100
+      // token-renamed shards of sf0.1) — timing + the structural
+      // exactness check (zero cross-shard pairs, uniform per-shard
+      // recovery). ANN numbers for the same corpus come from
+      // `bandsweep /tmp/sf10` (recall + candidate ratio + time).
+      val dir = args(1)
+      val bigDocs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = bigDocs.count()
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          math.max(32L, nDocs / 1500L).toString))
+      def timeCount(name: String)(df: => org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val runs = (1 to 2).map { _ =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = df.count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[scale] $name%-42s rows=${runs.head._1}%9d " +
+          f"${runs.map(_._2).min}%8.2f s")
+      }
+      if (args.length > 2 && args(2) == "ann") {
+        // clean min-of-2 per-operator timings at n=200k (the
+        // bandsweep's `sec` is a compound of count+pairs+collect)
+        import graft.vector.{VectorOps => V}
+        val bigEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+        timeCount(s"neardup_lsh auto (k=3 L=640) n=${bigEmb.count()}")(
+          V.nearDupPairsLshAuto(bigEmb, 0.45))
+        timeCount("neardup_exact broadcast baseline")(
+          V.nearDupPairs(bigEmb, 0.45))
+      }
+      timeCount(s"minhash_neardup docs n=$nDocs")(
+        graft.dedup.Dedup.minhashNearDupPairs(bigDocs, "doc_id", "text",
+          0.6))
+      import org.apache.spark.sql.functions.{col, lit, floor => ffloor}
+      val blocks = graft.dedup.Dedup
+        .minhashNearDupPairs(bigDocs, "doc_id", "text", 0.6)
+        .groupBy(ffloor(col("a_id") / lit(1000000))
+          .cast("long").as("a_shard"),
+          ffloor(col("b_id") / lit(1000000)).cast("long").as("b_shard"))
+        .count().collect()
+      val cross = blocks.filter(r => r.getLong(0) != r.getLong(1))
+      val per = blocks.filter(r => r.getLong(0) == r.getLong(1))
+        .map(_.getLong(2)).toSeq
+      println(s"[scale] shards=${per.size} cross_shard_pairs=" +
+        s"${cross.map(_.getLong(2)).sum} per_shard_min=${per.min} " +
+        s"per_shard_max=${per.max}")
+      Caching.releaseAll()
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "bandsweep") {
+      // auto-banding tuning (VERDICT r7 #8): for each (k, L, probes)
+      // config, measure recall vs the exact pair set and the
+      // candidate ratio on the given corpus — the two quantities the
+      // AnnRecallSpec auto-banding gate asserts. Usage:
+      //   bandsweep <dir> k:L:probes [k:L:probes ...]
+      val dir = args(1)
+      val bigEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = bigEmb.count()
+      // shuffle parallelism scales with the corpus, as on a real
+      // cluster: the fixture default (32) leaves ~35M exploded key
+      // rows per task at n=200k — GC-bound. ~1k rows/partition of
+      // corpus keeps task inputs fixture-sized at any n.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n / 1000L).toString)
+      val allPairs = n.toDouble * (n - 1) / 2.0
+      import graft.vector.{VectorOps => V}
+      val exact = V.nearDupPairs(bigEmb, 0.45)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caching.releaseAll(); spark.catalog.clearCache()
+      println(s"[sweep] n=$n exact pairs=${exact.size}")
+      for (cfg <- args.drop(2)) {
+        val Array(k, l, p) = cfg.split(":").map(_.toInt)
+        val t0 = System.nanoTime()
+        val cand = V.cpCandidatePairs(bigEmb, k, l, p).count()
+        val got = V.nearDupPairsLsh(bigEmb, 0.45, k, l, p)
+          .select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        Caching.releaseAll(); spark.catalog.clearCache()
+        println(f"[sweep] k=$k L=$l probes=$p recall=${
+          (got & exact).size.toDouble / exact.size}%.3f ratio=${
+          cand / allPairs}%.4f cand=$cand%d sec=$sec%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "scale") {
       // scale-evidence mode (tools/make_scale_data.py generates the
       // 10x corpus): times each operator twice cache-cold, prints

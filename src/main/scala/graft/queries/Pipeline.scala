@@ -494,11 +494,15 @@ object Pipeline {
   /** LSH-prefiltered embedding near-dup at 0.45 — the 100 TB path
     * for q34's semantics (cross-polytope candidates + exact verify,
     * never all-pairs: measured candidate ratio 0.077, recall 0.97 at
-    * sf0.1). Hash-family-dependent recall → rows-only check;
-    * AnnRecallSpec gates measured recall against the exact q34
-    * output AND the candidate ratio that keeps this sub-quadratic. */
+    * sf0.1). Banding is corpus-size-adaptive
+    * ([[VectorOps.autoBanding]], VERDICT r7 #8): fixture SFs keep
+    * the measured (2,128,2) default, larger corpora lengthen the
+    * band key so the candidate ratio stays sub-quadratic.
+    * Hash-family-dependent recall → rows-only check; AnnRecallSpec
+    * gates measured recall against the exact q34 output AND the
+    * candidate ratio, at fixture scale and at the 10× tier. */
   val embeddingNearDupLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    VectorOps.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)
+    VectorOps.nearDupPairsLshAuto(Tables.embeddings(s, d), 0.45)
       .orderBy(col("a_id"), col("b_id"))
   }
 

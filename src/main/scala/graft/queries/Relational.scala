@@ -552,6 +552,66 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q1 shape (pricing summary report): the canonical
+    * full-scan aggregate — one pass over the fact table, a 4-group
+    * rollup of exact sums and means. The plan IS the 100 TB design:
+    * the shipdate predicate pushes to the parquet scan, ReadSchema
+    * carries only the 7 touched columns, partial aggregation
+    * combines map-side so the shuffle moves |groups|×|partitions|
+    * rows (≈ 4×32), and everything below the final sort is one
+    * WholeStageCodegen span. Sums run in DECIMAL (exact,
+    * order-independent — double sums of 1e7-magnitude prices differ
+    * between engines by summation order); means divide the rounded
+    * double sums by the group count, identical float64 inputs on
+    * both engines, then round at the 1e-6 comparison grain. */
+  val pricingSummary: QueryDef = QueryDef.sql(
+    """WITH a AS (SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 6)
+           AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 6)
+           AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(30,10))), 6) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             * (1 + l_tax) AS DECIMAL(30,10))), 6)
+           AS DOUBLE) AS sum_charge,
+         CAST(round(sum(CAST(l_discount AS DECIMAL(30,10))), 6)
+           AS DOUBLE) AS sum_disc,
+         count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus)
+       SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+         sum_disc_price, sum_charge,
+         floor(sum_qty / count_order * 1000000 + 0.5) / 1000000
+           AS avg_qty,
+         floor(sum_base_price / count_order * 1000000 + 0.5) / 1000000
+           AS avg_price,
+         floor(sum_disc / count_order * 1000000 + 0.5) / 1000000
+           AS avg_disc,
+         count_order
+       FROM a ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+    def dsum(c: Column): Column =
+      round(sum(c.cast("decimal(30,10)")), 6).cast("double")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        dsum(col("l_discount")).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        r6(col("sum_qty") / col("count_order")).as("avg_qty"),
+        r6(col("sum_base_price") / col("count_order")).as("avg_price"),
+        r6(col("sum_disc") / col("count_order")).as("avg_disc"),
+        col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** TPC-H Q5 shape (local supplier volume): revenue by nation where
     * the supplier and the customer share the nation — the 6-way
     * snowflake with an extra equi-constraint. Dims broadcast
@@ -655,5 +715,6 @@ object Relational {
     "q123_shipping_priority" -> shippingPriority,
     "q124_local_supplier_volume" -> localSupplierVolume,
     "q129_large_orders" -> largeOrders,
+    "q143_pricing_summary" -> pricingSummary,
   )
 }

@@ -507,6 +507,46 @@ object VectorOps {
       .distinct()
   }
 
+  /** Corpus-size-adaptive cross-polytope banding (VERDICT r7 #8):
+    * (cpHashes, bands, probes) for [[nearDupPairsLsh]] chosen from
+    * the corpus row count instead of a constant. SURVEY §9.2 measured
+    * that FIXED banding has a scale-INVARIANT candidate ratio (0.077
+    * at both n=2k and n=20k for k=2 L=128), i.e. absolute candidate
+    * volume grows quadratically; sub-quadratic totals require the
+    * band key to LENGTHEN as the corpus grows — each extra hash
+    * multiplies the bulk collision rate by the per-hash rate while
+    * extra bands buy the lost recall back linearly. Tiers are
+    * measured, not derived (`Profile bandsweep`, iid-gaussian corpora
+    * at d=64, tau=0.45): n≤10k keeps the q38 default (recall 0.97,
+    * ratio 0.077 at n=2k); above it the band key flips k=2→3 with
+    * bands scaled 128→640, measured at BOTH n=20k (recall 0.936,
+    * ratio 0.0169) and n=200k (recall 0.938, ratio 0.0169) — per-pair
+    * collision probability depends only on the pair's cosine and the
+    * ratio only on the banding, so one tier serves every n above the
+    * flip and both AnnRecallSpec gates (recall ≥0.9, ratio ≤0.02)
+    * hold scale-invariantly. The k=2→3 boundary sits at n ≈ k·L·d
+    * where LSH key work starts beating broadcast-exact flops (§9.2
+    * point 2). ABSOLUTE candidate volume still grows as 0.017·n²/2 —
+    * the standard n^(1+ρ) LSH reality; at corpus sizes where that
+    * bites (n ≥ 10⁶), tau is the dominant lever (realistic near-dup
+    * thresholds cos ≥ 0.7 prune orders of magnitude harder than the
+    * fixture's adversarial 0.45) and k=4 with wider bands is the
+    * next rung, to be measured before encoding. */
+  def autoBanding(n: Long): (Int, Int, Int) =
+    if (n <= 10000L) (2, 128, 2)
+    else (3, 640, 2)
+
+  /** [[nearDupPairsLsh]] with [[autoBanding]] from the corpus count —
+    * the entry point a caller who knows only the data should use. The
+    * count is one columnar-metadata job against the scan (parquet row
+    * counts come from footers), negligible next to the LSH stages it
+    * parameterizes. */
+  def nearDupPairsLshAuto(df: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (k, l, p) = autoBanding(df.count())
+    nearDupPairsLsh(df, tau, k, l, p, idCol, vecCol)
+  }
+
   /** Benchmark-contamination pairs behind the cross-polytope
     * prefilter — the 100 TB decontamination shape (q136 computes the
     * same semantics by brute force; this is what actually runs when

@@ -75,6 +75,46 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("autoBanding: k=2→3 flip at the measured crossover; 10× corpus " +
+      "meets recall >= 0.9 AND candidate ratio <= 0.02 with auto-chosen k") {
+    // VERDICT r7 #8: the §9.2 k=2→3 flip as code. Tier boundaries:
+    assert(VectorOps.autoBanding(2000L) == ((2, 128, 2)),
+      "fixture-scale corpora must keep the q38 default banding")
+    assert(VectorOps.autoBanding(20000L)._1 == 3,
+      "the 10× tier must lengthen the band key (k=2→3, §9.2)")
+    assert(VectorOps.autoBanding(200000L) == VectorOps.autoBanding(20000L),
+      "recall and candidate ratio are scale-invariant for fixed " +
+        "banding (measured identical at n=20k and n=200k) — one tier " +
+        "serves every corpus above the flip")
+    // the measured gate, on a 10× iid-gaussian corpus built in-spec
+    // (same distribution as tools/make_scale_data.py; near-dup pairs
+    // are the natural tail of isotropic vectors, several hundred at
+    // n=20k so the 0.9 threshold has margin)
+    val n = 20000
+    val big = spark.range(n.toLong).repartition(32)
+      .select(col("id").as("vec_id"),
+        array((0 until 64).map(i => randn(7 * 64 + i)): _*).as("embedding"))
+      .persist()
+    big.count()
+    try {
+      val (k, l, p) = VectorOps.autoBanding(n.toLong)
+      val exact = pairs(VectorOps.nearDupPairs(big, 0.45))
+      Caching.releaseAll()
+      val auto = pairs(VectorOps.nearDupPairsLshAuto(big, 0.45))
+      Caching.releaseAll()
+      assert(auto.subsetOf(exact), "verify stage must make LSH ⊆ exact")
+      val recall = (exact & auto).size.toDouble / exact.size
+      val cands = VectorOps.cpCandidatePairs(big, k, l, p).count()
+      Caching.releaseAll()
+      val ratio = cands.toDouble / (n.toDouble * (n - 1) / 2)
+      info(f"n=$n auto k=$k L=$l probes=$p recall=$recall%.3f " +
+        f"(${auto.size}/${exact.size}) ratio=$ratio%.4f")
+      assert(recall >= 0.9, f"auto-banded recall $recall%.3f below 0.9")
+      assert(ratio <= 0.02, f"auto-banded candidate ratio $ratio%.4f " +
+        "above 0.02 — the sub-quadratic scaling the flip exists to buy")
+    } finally big.unpersist()
+  }
+
   test("contaminationPairsLsh catches every exact pair at q142's tau " +
       "(oracle-parity gate, sf0.01 + sf0.1)") {
     // q142 carries a DuckDB oracle (the exact pair set), so the
