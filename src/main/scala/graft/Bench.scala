@@ -60,7 +60,8 @@ object Bench {
       // family's first-run codegen landing in its timed pass)
     )
     warmups.filter(w => only.isEmpty || only(w)).foreach(runNoop)
-    val streamingLane = Set("q47_stream_tumbling", "q120_stream_static_dedup")
+    val streamingLane = Set("q47_stream_tumbling", "q120_stream_static_dedup",
+      "q144_stream_contamination")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     def timedPass(name: String): Double = {

@@ -680,6 +680,59 @@ object Pipeline {
       .orderBy(col("fingerprint"))
   }
 
+  /** Streaming benchmark-decontamination guard — q56's semantics
+    * under Structured Streaming, the shape a LIVE ingest pipeline
+    * runs: documents arrive as a file stream, each micro-batch's
+    * 3-grams join the STATIC broadcast benchmark gram set
+    * (stream-static joins buffer no state; the tiny benchmark side
+    * re-plans per batch), and per-doc shared-gram counts fold into a
+    * complete-mode aggregate so the flag set is deterministic
+    * regardless of arrival order. Output = the contaminated docs
+    * only (the quarantine list a guard emits); oracle = the same
+    * set computed relationally. At scale the per-doc count state is
+    * bounded by the contaminated population (only gram-matching
+    * rows reach the aggregate), and an operational deployment
+    * windows the complete-mode fold per ingest epoch exactly like
+    * q120's restart-after-merge contract. */
+  val streamContamination: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+             FROM t WHERE len(toks) >= 3),
+       bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+       SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bench USING (g)
+       WHERE g.doc_id % 20 <> 0
+       GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val bench = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(TextOps.shingles(col("toks"), 3)).as("g"))
+      .distinct()
+    val sink = "graft_q144_stream_sink"
+    val q = graft.streaming.StreamOps.documentsStream(s, d)
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("toks"), 3)).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .filter(col("n_shared") >= 10)
+      .select(col("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster collapse: MinHash pairs → connected components
     * (iterative min-label propagation) → (doc, cluster id, cluster
     * size). The step after pair generation in a real dedup pipeline —
@@ -2806,6 +2859,7 @@ object Pipeline {
     "q118_chunk_windows" -> chunkWindows,
     "q119_leakage_safe_split" -> leakageSafeSplit,
     "q120_stream_static_dedup" -> streamStaticDedup,
+    "q144_stream_contamination" -> streamContamination,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

@@ -43,21 +43,16 @@ object StreamOps {
         .parquet(dir))
   }
 
-  /** documents schema for streaming reads (matches the fixture
-    * parquet footer exactly). */
-  val documentsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** Open the documents table as a file stream — the ingest shape of
     * a continuously-arriving corpus (one file per trigger ≈ one
-    * upstream drop per micro-batch). */
+    * upstream drop per micro-batch). Schema comes from the table's
+    * own parquet footer, same rationale as [[eventsStream]]: a
+    * hardcoded struct silently diverges from the batch path the day
+    * the lake's integer widths or column order drift (the r7 events
+    * regeneration, applied to the next table). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(documentsSchema)
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 

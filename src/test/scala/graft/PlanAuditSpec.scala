@@ -69,6 +69,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q127's exchange must be fed by the skinny tokenize Project:\n$bp")
   }
 
+  test("q143 TPC-H Q1: shipdate pushes to the scan, aggregation is " +
+      "partial (map-side combine), no join in the plan") {
+    val df = SparkEntry.queries("q143_pricing_summary")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"),
+      s"q143's shipdate predicate must reach the parquet scan:\n$plan")
+    assert("HashAggregate\\(keys=\\[l_returnflag".r
+      .findAllIn(plan).size >= 2,
+      "q143 must plan partial+final hash aggregation — the shuffle " +
+        "moves |groups|×|partitions| rows, not the fact table")
+    assert(!plan.contains("Join"), "q143 is scan+agg only")
+    // the scan must carry only the 7 touched columns, not the scheme
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"q143's scan must prune to the 7 touched columns: $read")
+  }
+
   test("q16 global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = executedPlan("q16_global_topk")
     assert(plan.contains("TakeOrderedAndProject"))

@@ -168,6 +168,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q144 streaming contamination guard equals the batch q56 " +
+      "contaminated subset") {
+    // the streaming guard must flag EXACTLY the docs the batch
+    // decontamination pass flags (n_shared >= 10) — the equivalence
+    // that makes the live-ingest shape trustworthy
+    val streamed = SparkEntry.queries("q144_stream_contamination")(
+        spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("q56_contamination_check")(spark, dir)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), col("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streaming flags ${streamed.size} docs, batch ${batch.size}")
+    assert(batch.nonEmpty, "fixture must exercise the contaminated path")
+  }
+
   test("runningUserCounts: stateful counts accumulate per user") {
     val stream = StreamOps.eventsStream(spark, dir)
     val q = StreamOps.runToMemory(
