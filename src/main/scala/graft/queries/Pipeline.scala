@@ -2116,12 +2116,20 @@ object Pipeline {
   /** Random-projection dimensionality reduction (Achlioptas/JL):
     * embeddings 64 → 16 dims through the deterministic Rademacher
     * codegen expression — the feature-engineering front-end for
-    * clustering/IVF when d is large. splitmix64 is not expressible
-    * in overflow-checked DuckDB SQL, so this row is rows-only; the
-    * measured gates live in RandomProjectionSpec (norm preservation
-    * ≈1 in expectation, pairwise-distance correlation, and
-    * sign-consistency with graft_hyperplane_bits, which is exactly
-    * this matrix sign-quantized).
+    * clustering/IVF when d is large. ORACLE-CHECKED since r8: the
+    * splitmix64 sign matrix IS expressible in DuckDB after all —
+    * u64 wrap-around arithmetic emulated in HUGEINT ([0,2^64) domain,
+    * `>>>` as `// 2^s`, and the two wrap-multiplies split at 32 bits
+    * so the int128 product never overflows); the oracle's per-(p,i)
+    * sign reproduces `ExprUtil.splitmix64` bit-exactly (validated
+    * 8000/8000 cells vs the Scala loop at sf0.001). The summation
+    * runs as `list_sum(list(term ORDER BY i))` so FP addition order
+    * matches the Scala ascending-i loop — double addition is not
+    * associative and a GROUP BY sum would round differently at the
+    * r6 boundary. RandomProjectionSpec keeps the JL property gates
+    * (norm preservation, distance correlation, sign-consistency with
+    * graft_hyperplane_bits, which is exactly this matrix
+    * sign-quantized).
     *
     * Output is the projected matrix SHREDDED to (vec_id, dim, value)
     * scalar rows — the harness comparator canonicalizes by
@@ -2129,7 +2137,41 @@ object Pipeline {
     * (VERDICT r3 #2); the shredded relation carries identical
     * information and is the same convention q53 (one code per
     * (vec_id, sub)) already uses. */
-  val randomProjectionQ: QueryDef = QueryDef.rowsOnly { (s, d) =>
+  val randomProjectionQ: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             len(embedding) AS d FROM embeddings),
+       iidx AS (SELECT DISTINCT generate_subscripts(v, 1) - 1 AS i FROM e),
+       idx AS (SELECT p.range AS p, i FROM range(0, 16) p CROSS JOIN iidx),
+       s0 AS (SELECT p, i, (p*1000003 + i)::HUGEINT AS x FROM idx),
+       s1 AS (SELECT p, i,
+                (x + 11400714819323198485) % 18446744073709551616 AS z0
+              FROM s0),
+       s2 AS (SELECT p, i, xor(z0, z0 // 1073741824) AS a1 FROM s1),
+       s3 AS (SELECT p, i,
+                ((((a1 // 4294967296) * 13787848793156543929) % 4294967296)
+                   * 4294967296
+                 + (a1 % 4294967296) * 13787848793156543929)
+                  % 18446744073709551616 AS z1
+              FROM s2),
+       s4 AS (SELECT p, i, xor(z1, z1 // 134217728) AS a2 FROM s3),
+       s5 AS (SELECT p, i,
+                ((((a2 // 4294967296) * 10723151780598845931) % 4294967296)
+                   * 4294967296
+                 + (a2 % 4294967296) * 10723151780598845931)
+                  % 18446744073709551616 AS z2
+              FROM s4),
+       sgn AS (SELECT p, i,
+                 CASE WHEN xor(z2, z2 // 2147483648) % 2 = 1
+                      THEN 1.0 ELSE -1.0 END AS sign
+               FROM s5),
+       terms AS (SELECT e.vec_id, sgn.p AS dim, sgn.i,
+                   e.v[sgn.i + 1] * sgn.sign AS term
+                 FROM e JOIN sgn ON sgn.i < e.d),
+       proj AS (SELECT vec_id, dim, list_sum(list(term ORDER BY i)) AS s
+                FROM terms GROUP BY vec_id, dim)
+       SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         floor((s / sqrt(16.0)) * 1000000 + 0.5) / 1000000 AS value
+       FROM proj ORDER BY vec_id, dim""") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
