@@ -689,6 +689,149 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q7 shape (volume shipping between nations): the
+    * double-dimension star — lineitem reaches nation twice, once
+    * through supplier (who shipped) and once through orders→customer
+    * (who bought). Both dimension chains broadcast (supplier 1k /
+    * customer 15k / nation 25 rows — orders of magnitude under the
+    * fact at any scale), the nation-name predicates push INTO the
+    * broadcast sides so non-qualifying dimension rows never enter
+    * the hash tables, and the one honest fact-fact join
+    * (lineitem ⋈ orders) shuffles on orderkey once. Output is
+    * bounded by |nation pairs| × |years| regardless of data size. */
+  val nationTradeFlow: QueryDef = QueryDef.sql(
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,10))), 6) AS DOUBLE) AS volume
+       FROM lineitem
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation sn ON sn.n_nationkey = s_nationkey
+       JOIN nation cn ON cn.n_nationkey = c_nationkey
+       WHERE sn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2',
+                           'NATION_3', 'NATION_4')
+         AND cn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2',
+                           'NATION_3', 'NATION_4')
+         AND sn.n_name <> cn.n_name
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1999-01-01'
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") { (s, d) =>
+    val pair = Seq("NATION_0", "NATION_1", "NATION_2",
+      "NATION_3", "NATION_4")
+    val suppN = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val custN = broadcast(Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")), 6).cast("double").as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): a conditional aggregate
+    * ratio over one join — what fraction of a quarter's revenue came
+    * from PROMO parts. The part side prunes to (p_partkey, p_type)
+    * and broadcasts; the shipdate predicate pushes to the fact scan;
+    * the CASE folds map-side into two decimal partial sums, so the
+    * shuffle carries 2 numbers per partition. Both engines divide
+    * the same rounded doubles — identical float64 inputs, then the
+    * 1e-6 comparison grain. */
+  val promoRevenue: QueryDef = QueryDef.sql(
+    """WITH a AS (SELECT
+         CAST(round(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(30,10))
+             ELSE CAST(0 AS DECIMAL(30,10)) END), 6) AS DOUBLE)
+           AS promo_rev,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,10))), 6) AS DOUBLE)
+           AS total_rev
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1997-04-01')
+       SELECT promo_rev, total_rev,
+         floor(100.0 * promo_rev / total_rev * 1000000 + 0.5) / 1000000
+           AS promo_pct
+       FROM a""") { (s, d) =>
+    val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(30,10)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(0).cast("decimal(30,10)"))), 6)
+          .cast("double").as("promo_rev"),
+        round(sum(disc), 6).cast("double").as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        r6(lit(100.0) * col("promo_rev") / col("total_rev"))
+          .as("promo_pct"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): which customers
+    * returned the most revenue in a quarter. The returnflag
+    * predicate pushes to the lineitem scan, the orderdate predicate
+    * to the orders scan; their join shuffles on orderkey (both fact
+    * sides pre-filtered), then customer (15k) and nation (25)
+    * broadcast onto the aggregate's output. Top-20 rides
+    * TakeOrderedAndProject on (revenue desc, c_custkey) — exact
+    * decimal revenue makes the cut deterministic across engines. */
+  val returnedRevenue: QueryDef = QueryDef.sql(
+    """SELECT c_custkey, c_name,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
+         c_acctbal, n_name
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON n_nationkey = c_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-04-01'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")), 6).cast("double").as("revenue"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -716,5 +859,8 @@ object Relational {
     "q124_local_supplier_volume" -> localSupplierVolume,
     "q129_large_orders" -> largeOrders,
     "q143_pricing_summary" -> pricingSummary,
+    "q145_nation_trade_flow" -> nationTradeFlow,
+    "q146_promo_revenue" -> promoRevenue,
+    "q147_returned_revenue" -> returnedRevenue,
   )
 }

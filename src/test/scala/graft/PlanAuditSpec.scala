@@ -45,6 +45,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q18.contains("CartesianProduct"))
   }
 
+  test("q145/q146/q147 TPC-H shapes: dims broadcast, one fact-fact " +
+      "shuffle at most, predicates pushed, top-k heaped") {
+    val q7 = executedPlan("q145_nation_trade_flow")
+    assert(q7.contains("BroadcastHashJoin"),
+      "q145's supplier/customer/nation dim chains must broadcast")
+    assert(!q7.contains("BroadcastNestedLoopJoin"))
+    assert(!q7.contains("CartesianProduct"))
+    assert(q7.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+        "GreaterThanOrEqual(l_shipdate") ||
+        q7.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q145's shipdate window must reach the lineitem scan:\n$q7")
+    val q14 = executedPlan("q146_promo_revenue")
+    assert(q14.contains("BroadcastHashJoin"),
+      "q146's (p_partkey, p_type) projection must broadcast")
+    assert(!q14.contains("SortMergeJoin"),
+      "q146 must not shuffle the fact side for the part join")
+    val q14Read = q14.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("part."))
+    assert(q14Read.exists(l => !l.contains("p_retailprice")
+        && !l.contains("p_brand")),
+      s"q146's part scan must prune to (p_partkey, p_type): $q14Read")
+    val q10r = executedPlan("q147_returned_revenue")
+    assert(q10r.contains("TakeOrderedAndProject"),
+      "q147's LIMIT 20 must ride per-partition heaps")
+    assert(q10r.contains("BroadcastHashJoin"),
+      "q147's customer/nation dims must broadcast")
+    assert(!q10r.contains("BroadcastNestedLoopJoin"))
+    assert(!q10r.contains("CartesianProduct"))
+    assert(q10r.contains("EqualTo(l_returnflag,R)"),
+      s"q147's returnflag predicate must reach the lineitem scan:\n$q10r")
+  }
+
   test("round-5 tier shapes: q125 heaped top-k over a bounded key " +
       "space, q126 broadcasts the bounds relation, q127 sorts only " +
       "skinny rows") {
