@@ -77,6 +77,57 @@ object Multimodal {
     buf.array() // pixel area left zeroed
   }
 
+  /** [[encodeBmp]] with a deterministic grayscale pattern:
+    * L(x,y) = (seed·31 + x·17 + y·29 + x·y·13) mod 256 written to all
+    * three channels (storage row order), optionally inverting pixel
+    * row 0 (the "slightly edited image" used to plant perceptual
+    * near-duplicates — inversion flips every non-tied dHash
+    * comparison of the first sampled row, ≤ 8 bits). All arithmetic
+    * stays far below 2^63, so an oracle can recompute the identical
+    * luminances in plain integer SQL. */
+  def encodeBmpPattern(width: Int, height: Int, seed: Long,
+      invertRow0: Boolean): Array[Byte] = {
+    val bmp = encodeBmp(width, height)
+    val rowSize = ((3 * width + 3) / 4) * 4
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var l = ((seed * 31 + x * 17 + y * 29 + x.toLong * y * 13) % 256).toInt
+        if (invertRow0 && y == 0) l = 255 - l
+        val off = 54 + y * rowSize + x * 3
+        bmp(off) = l.toByte; bmp(off + 1) = l.toByte; bmp(off + 2) = l.toByte
+        x += 1
+      }
+      y += 1
+    }
+    bmp
+  }
+
+  /** Perceptual difference hash (dHash) of a 24-bpp BMP payload: the
+    * REAL image-dedup fingerprint — nearest-neighbor resize to 9×8
+    * via [[resizeBmp]], then bit (y,x) = lum(x+1,y) > lum(x,y) over
+    * the blue channel, packed row-major into 64 bits (first
+    * comparison at bit 63). Visually-close images differ in few
+    * bits, so hamming distance is the near-dup metric. */
+  def dHashBmp(payload: Array[Byte]): Long = {
+    val small = resizeBmp(payload, 9, 8)
+    val rowSize = 28 // ((3*9+3)/4)*4
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l1 = small(54 + y * rowSize + x * 3) & 0xFF
+        val l2 = small(54 + y * rowSize + (x + 1) * 3) & 0xFF
+        bits = (bits << 1) | (if (l2 > l1) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** Minimal canonical PCM WAV header + silent samples. */
   def encodeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
       numFrames: Int): Array[Byte] = {

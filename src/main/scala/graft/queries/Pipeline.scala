@@ -577,6 +577,98 @@ object Pipeline {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Perceptual-hash image near-dup — the multimodal analogue of
+    * MinHash text dedup: every doc id renders to a REAL patterned
+    * BMP, the payload goes through the full decode → NN-resize(9×8)
+    * → dHash pipeline ([[Multimodal.dHashBmp]]) in one mapPartitions
+    * stage, and pairs within hamming ≤ 8 surface via a 9-band LSH
+    * bucket join. Banding is pigeonhole-EXACT, not approximate:
+    * 9 disjoint bands (one 8-bit + eight 7-bit) over a 64-bit hash
+    * means any pair differing in ≤ 8 bits leaves at least one band
+    * untouched — recall 1 by construction, so the exact all-pairs
+    * oracle is valid. The scale shape is the same as q30/q38: bucket
+    * groupBy + in-bucket pair explosion, never an all-pairs join;
+    * the 8-byte hash rides along the shuffle so verification needs
+    * no join-back. The fixture plants a near-dup per 5-doc group
+    * (same image with pixel row 0 inverted → ≤ 8 flipped bits);
+    * the oracle recomputes the hashes analytically from the same
+    * integer pattern the BMP encoder writes, so a wrong header
+    * offset, row padding, resize rounding, or bit order anywhere in
+    * the codec path breaks the hash compare. */
+  val phashNearDup: QueryDef = QueryDef.sql(
+    """WITH p AS (
+         SELECT doc_id,
+                24 + (doc_id // 5) % 13 AS w,
+                24 + (doc_id // 5) % 11 AS h,
+                CASE WHEN doc_id % 5 <= 1 THEN (doc_id // 5) * 7919 + 1
+                     ELSE doc_id * 104729 + 17 END AS seed,
+                (doc_id % 5 = 1) AS inv
+         FROM documents),
+       grid AS (
+         SELECT p.*, y.y, x.x,
+                (y.y * h) // 8 AS sy,
+                (x.x * w) // 9 AS sx1,
+                ((x.x + 1) * w) // 9 AS sx2
+         FROM p, generate_series(0,7) y(y), generate_series(0,7) x(x)),
+       bits AS (
+         SELECT doc_id, y, x,
+           CASE WHEN (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256
+                   ELSE (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256 END)
+               > (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256
+                   ELSE (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256 END)
+           THEN 1 ELSE 0 END AS b
+         FROM grid),
+       hashes AS (
+         SELECT doc_id,
+           sum(CASE WHEN y*8+x < 32
+               THEN b * (1::BIGINT << (31 - (y*8+x))) ELSE 0 END) AS hi,
+           sum(CASE WHEN y*8+x >= 32
+               THEN b * (1::BIGINT << (63 - (y*8+x))) ELSE 0 END) AS lo
+         FROM bits GROUP BY 1)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.hi, b.hi))
+                   + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
+       ORDER BY 1, 2""") { (s, d) =>
+    import s.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val w = (24 + g % 13).toInt
+        val h = (24 + g % 11).toInt
+        val seed = if (id % 5 <= 1) g * 7919 + 1 else id * 104729 + 17
+        val bmp = Multimodal.encodeBmpPattern(w, h, seed, id % 5 == 1)
+        (id, Multimodal.dHashBmp(bmp))
+      }).toDF("doc_id", "phash")
+    // 9 disjoint bands: band 0 = top 8 bits, bands 1-8 = 7 bits each
+    val bandVals = array((0 until 9).map { i =>
+      if (i == 0) shiftrightunsigned(col("phash"), 56).bitwiseAND(lit(255L))
+      else shiftrightunsigned(col("phash"), 56 - 7 * i).bitwiseAND(lit(127L))
+    }: _*)
+    hashes
+      .select(col("doc_id"), col("phash"),
+        posexplode(bandVals).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash")))
+          .cast("int").as("hamming"))
+      // verify BEFORE the dedup shuffle: the hamming test is a
+      // codegen'd row-local filter, so the distinct only moves the
+      // passing pairs (~1% of candidates), not every bucket collision
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Per-user consecutive-event gap in minutes — the reference's
     * trip_minutes expression (unix_timestamp subtraction / 60,
     * yellow_taxi_etl.py:70-74 via Features.minutesBetween) under an
@@ -2902,6 +2994,7 @@ object Pipeline {
     "q119_leakage_safe_split" -> leakageSafeSplit,
     "q120_stream_static_dedup" -> streamStaticDedup,
     "q144_stream_contamination" -> streamContamination,
+    "q148_phash_neardup" -> phashNearDup,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

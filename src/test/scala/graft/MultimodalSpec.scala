@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -97,6 +98,58 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getFloat(2)).toMap
     assert(got(1L) == 0.5f)
     assert(got(2L) == 0f)
+  }
+
+  test("dHash: identical images collide, row-0 inversion flips at " +
+      "most 8 bits, all in the top band") {
+    val a = Multimodal.dHashBmp(Multimodal.encodeBmpPattern(30, 27, 41L,
+      invertRow0 = false))
+    val a2 = Multimodal.dHashBmp(Multimodal.encodeBmpPattern(30, 27, 41L,
+      invertRow0 = false))
+    assert(a == a2, "dHash must be deterministic")
+    val b = Multimodal.dHashBmp(Multimodal.encodeBmpPattern(30, 27, 41L,
+      invertRow0 = true))
+    val ham = java.lang.Long.bitCount(a ^ b)
+    assert(ham > 0 && ham <= 8, s"planted edit must flip 1..8 bits, got $ham")
+    // row 0's comparisons are the TOP 8 bits — the remaining 56 bits
+    // (bands 1-8) must be untouched, which is what makes the 9-band
+    // bucket join recover every planted pair
+    assert(((a ^ b) & 0x00FFFFFFFFFFFFFFL) == 0L,
+      "inversion must only affect the first sampled row's bits")
+    // resize invariance: scaling the same pattern's canvas does not
+    // change which gradient cells the 9x8 NN grid samples into a
+    // radically different hash — a genuinely different seed does
+    val c = Multimodal.dHashBmp(Multimodal.encodeBmpPattern(30, 27, 42L,
+      invertRow0 = false))
+    assert(java.lang.Long.bitCount(a ^ c) > 8,
+      "different content should not sit within the near-dup threshold")
+  }
+
+  test("q148 banded pairs equal brute-force hamming<=8 pairs (recall " +
+      "1 by pigeonhole) on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q148_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same synthesized hashes
+    val hs = Tables.documents(spark, dir).select(col("doc_id"))
+      .as[Long].collect().sorted.map { id =>
+        val g = id / 5
+        val seed = if (id % 5 <= 1) g * 7919 + 1 else id * 104729 + 17
+        id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
+          (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
+      }
+    val expected = (for {
+      i <- hs.indices.iterator; j <- (i + 1) until hs.length
+      h = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if h <= 8
+    } yield (hs(i)._1, hs(j)._1, h)).toSet
+    assert(got == expected,
+      s"banded join must recover exactly the hamming<=8 pair set " +
+        s"(got ${got.size}, expected ${expected.size})")
+    // every planted (5g, 5g+1) pair is present
+    val planted = hs.map(_._1).filter(_ % 5 == 0)
+      .filter(id => hs.exists(_._1 == id + 1))
+    assert(planted.forall(id => got.exists(p => p._1 == id && p._2 == id + 1)),
+      "every planted near-dup pair must be recovered")
   }
 
   test("sampleFrames: stride-2 sampling of 8-byte frames") {
