@@ -530,8 +530,15 @@ object VectorOps {
     * the standard n^(1+ρ) LSH reality; at corpus sizes where that
     * bites (n ≥ 10⁶), tau is the dominant lever (realistic near-dup
     * thresholds cos ≥ 0.7 prune orders of magnitude harder than the
-    * fixture's adversarial 0.45) and k=4 with wider bands is the
-    * next rung, to be measured before encoding. */
+    * fixture's adversarial 0.45). k=4 was MEASURED (n=20k, d=64,
+    * tau=0.45: L=640 → recall 0.354 / ratio 0.0010, L=1280 → 0.571 /
+    * 0.0019, L=2560 → 0.801 / 0.0037; extrapolated recall ≈ 0.93 at
+    * L ≈ 5120, ratio ≈ 0.007) and REJECTED as a tier: the ~2.3×
+    * candidate-ratio gain at matched recall costs ~16× the key
+    * volume (L×probes^k per row), so at every n where key work is
+    * measurable the k=3 tier dominates — the crossover sits beyond
+    * the corpus sizes where tau tightening hasn't already pruned
+    * harder. */
   def autoBanding(n: Long): (Int, Int, Int) =
     if (n <= 10000L) (2, 128, 2)
     else (3, 640, 2)
