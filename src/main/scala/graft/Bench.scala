@@ -61,7 +61,7 @@ object Bench {
     )
     warmups.filter(w => only.isEmpty || only(w)).foreach(runNoop)
     val streamingLane = Set("q47_stream_tumbling", "q120_stream_static_dedup",
-      "q144_stream_contamination")
+      "q144_stream_contamination", "q151_stream_sessionize")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     def timedPass(name: String): Double = {
@@ -110,14 +110,16 @@ object Bench {
     // totals alone still carry the headline number.
     def r3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // 2 decimals in the per-query map (10 ms resolution — the detail
+    // 1 decimal in the per-query map (100 ms resolution — the detail
     // line above keeps ns): at 137 queries the 3-decimal form crossed
-    // the 1800-char guard and dropped the map entirely, which is a
-    // worse artifact than coarser per-query numbers
-    def r2(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    // the 1800-char guard and dropped the map entirely, and at 151
+    // queries the 2-decimal form (1761 chars at 144) crosses it too.
+    // A complete coarse map beats a dropped one — regressions that
+    // matter at this SF are multi-hundred-ms
+    def r1(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     val qsShort = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+        "\"" + k.takeWhile(_ != '_') + "\":" + r1(v) }
       .mkString("{", ",", "}")
     def contract(qs: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":${r3(batchTotal)},"streaming_total":${r3(streamingTotal)}$onlyField}"""

@@ -726,6 +726,66 @@ object Pipeline {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Stateful streaming sessionization under the correctness gate —
+    * flatMapGroupsWithState with event-time timeouts, the flagship
+    * arbitrary-state operator, hash-compared against a relational
+    * oracle. Emission semantics are deterministic for a bounded
+    * replay: every session closed INLINE by a later event emits
+    * exactly the batch q25 row (µs-exact state —
+    * [[graft.streaming.StreamOps.sessionizeStreamExact]]); each
+    * user's final open session emits iff the terminal watermark
+    * (max event time − 2 h, ms-truncated) passes its 30-min gap
+    * timeout — the oracle encodes that rule verbatim in the WHERE
+    * clause. At scale the state store partitions by user and the
+    * watermark bounds open-session memory exactly as in production;
+    * the memory sink + AvailableNow trigger is the harness adapter
+    * (same as q47/q120/q144). */
+  val streamSessionize: QueryDef = QueryDef.sql(
+    """WITH g AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  AS gap
+         FROM events),
+       s AS (
+         SELECT user_id, us,
+                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+         FROM g),
+       agg AS (
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS last_us
+         FROM s GROUP BY 1, 2),
+       wm AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+       lastidx AS (SELECT user_id, max(session_idx) AS last_idx
+                   FROM agg GROUP BY 1)
+       SELECT a.user_id, a.start_us AS session_start_us,
+              a.n_events,
+              floor(((a.last_us - a.start_us) / 60000000.0)
+                    * 1000000 + 0.5) / 1000000 AS duration_min
+       FROM agg a
+       JOIN lastidx l ON a.user_id = l.user_id, wm
+       WHERE a.session_idx < l.last_idx
+          OR (a.last_us + 1800000000) // 1000 < mx // 1000 - 7200000
+       ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "graft_q151_stream_sink"
+    val q = graft.streaming.StreamOps.sessionizeStreamExact(
+        graft.streaming.StreamOps.eventsStream(s, d))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        r6(col("duration_min")).as("duration_min"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** Streaming ingest dedup against a persisted index — q73's
     * nightly-batch shape under Structured Streaming (VERDICT-visible
     * twin of StreamOps.dedupAgainstStaticIndex): the second half of
@@ -2995,6 +3055,7 @@ object Pipeline {
     "q120_stream_static_dedup" -> streamStaticDedup,
     "q144_stream_contamination" -> streamContamination,
     "q148_phash_neardup" -> phashNearDup,
+    "q151_stream_sessionize" -> streamSessionize,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

@@ -832,6 +832,80 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    * quantity sits below half their part's average — the correlated
+    * per-key-threshold pattern. The brand filter broadcasts into a
+    * semi-reduction of the fact FIRST, the per-part averages compute
+    * over that already-reduced relation (one map-side-combined
+    * groupBy on partkey), and the thresholds broadcast back onto the
+    * same reduced relation — the fact table is never shuffled on
+    * partkey. The avg boundary is exact cross-engine: quantities are
+    * integral doubles, so sum and count are exact and avg = an exact
+    * integer division in float64, identical in any summation order. */
+  val smallQtyRevenue: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT l_partkey, avg(l_quantity) AS thr
+                  FROM lineitem GROUP BY 1)
+       SELECT floor(CAST(round(sum(CAST(l_extendedprice
+                AS DECIMAL(30,10))), 6) AS DOUBLE) / 7.0
+                * 1000000 + 0.5) / 1000000 AS avg_yearly,
+              count(*) AS n_small
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN t ON t.l_partkey = lineitem.l_partkey
+       WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * thr""") { (s, d) =>
+    val branded = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val thresholds = branded
+      .groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("thr"))
+    branded
+      .join(broadcast(thresholds), "l_partkey")
+      .filter(col("l_quantity") < lit(0.5) * col("thr"))
+      .agg(
+        r6(round(sum(col("l_extendedprice").cast("decimal(30,10)")), 6)
+          .cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): the quarter's revenue per
+    * supplier, keeping exactly the max-revenue suppliers (ties
+    * included) — the scalar-subquery-equality pattern. The revenue
+    * relation folds lineitem to |suppliers| rows map-side, persists
+    * (two consumers: the max scalar and the equality probe), the max
+    * broadcasts as a 1-row relation, and the equality compares EXACT
+    * decimals so the tie set is engine-portable. Supplier detail
+    * broadcasts onto the winners. */
+  val topSupplier: QueryDef = QueryDef.sql(
+    """WITH r AS (SELECT l_suppkey,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(30,10))) AS rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name,
+              CAST(round(rev, 6) AS DOUBLE) AS total_revenue
+       FROM supplier JOIN r ON s_suppkey = l_suppkey
+       WHERE rev = (SELECT max(rev) FROM r)
+       ORDER BY s_suppkey""") { (s, d) =>
+    val rev = graft.Caching.retain(Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")).as("rev"))
+      .persist())
+    rev.join(broadcast(rev.agg(max(col("rev")).as("mx"))),
+        col("rev") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev"), 6).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -862,5 +936,7 @@ object Relational {
     "q145_nation_trade_flow" -> nationTradeFlow,
     "q146_promo_revenue" -> promoRevenue,
     "q147_returned_revenue" -> returnedRevenue,
+    "q149_small_qty_revenue" -> smallQtyRevenue,
+    "q150_top_supplier" -> topSupplier,
   )
 }

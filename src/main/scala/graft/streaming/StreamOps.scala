@@ -164,6 +164,65 @@ object StreamOps {
       .toDF("user_id", "n_events", "session_start_ms", "duration_min")
   }
 
+  /** [[sessionizeStream]] with MICROSECOND-exact state — the
+    * variant that can sit under a hash-compared oracle. The fixture's
+    * event times carry sub-millisecond digits, so the ms-truncating
+    * `Timestamp.getTime` arithmetic above is off by up to 999 µs per
+    * gap/duration; here state tracks epoch-micros rebuilt from
+    * (getTime, getNanos), durations divide in µs, and only the
+    * TIMEOUT registration truncates to ms (the engine's native
+    * timeout resolution — truncation there can only make a timeout
+    * fire marginally earlier, it never corrupts an emitted value).
+    * Emits one row per completed session: inline-closed sessions
+    * always; each user's final open session iff the terminal
+    * watermark passes its gap timeout (the oracle encodes the same
+    * rule). Output carries session_start_us so the row set totally
+    * orders. */
+  def sessionizeStreamExact(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        // state: (sessionStartUs, lastEventUs, nEvents)
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator((user, start, n, (last - start) / 60000000.0))
+          } else {
+            val sorted = rows.map(r => micros(r._2)).toSeq.sorted
+            var closed = List.empty[(Long, Long, Long, Double)]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some((start, last, n)) if t - last <= gapUs =>
+                  cur = Some((math.min(start, t), math.max(last, t), n + 1))
+                case Some((start, last, n)) =>
+                  closed ::= ((user, start, n, (last - start) / 60000000.0))
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(math.max((c._2 + gapUs) / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start_us", "n_events", "duration_min")
+  }
+
   /** Streaming exact dedup: drop duplicate rows by `idCols` with
     * state bounded by the watermark horizon (the streaming form of
     * Dedup.exactGroups/keepFirstByKey — duplicates arriving further

@@ -77,6 +77,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q147's returnflag predicate must reach the lineitem scan:\n$q10r")
   }
 
+  test("q149/q150 TPC-H shapes: thresholds and max broadcast back, " +
+      "no partkey shuffle of the fact, no nested-loop joins") {
+    val q17 = executedPlan("q149_small_qty_revenue")
+    assert(q17.contains("BroadcastHashJoin"),
+      "q149's brand filter and per-part thresholds must broadcast")
+    assert(!q17.contains("SortMergeJoin"),
+      "q149 must never shuffle the fact side on partkey")
+    assert(!q17.contains("BroadcastNestedLoopJoin"))
+    val q15 = executedPlan("q150_top_supplier")
+    assert(q15.contains("BroadcastHashJoin"),
+      "q150's max scalar and supplier dim must broadcast")
+    assert(!q15.contains("BroadcastNestedLoopJoin"))
+    assert(!q15.contains("CartesianProduct"))
+    assert(q15.contains("InMemoryTableScan"),
+      "q150's revenue relation must be cache-reused across its two " +
+        "consumers, not recomputed from the lineitem scan")
+    Caching.releaseAll()
+  }
+
   test("round-5 tier shapes: q125 heaped top-k over a bounded key " +
       "space, q126 broadcasts the bounds relation, q127 sorts only " +
       "skinny rows") {
