@@ -161,6 +161,36 @@ object Multimodal {
     silent
   }
 
+  /** Canonical PCM-16 mono WAV whose square wave carries a per-window
+    * amplitude ENVELOPE: sample i alternates ±amps(w) where w is the
+    * [[wavRmsWindows]] window containing i (identical boundary
+    * arithmetic, so window w's RMS is EXACTLY amps(w)/32768 — every
+    * sample in the window has magnitude amps(w)). The audio analogue
+    * of [[encodeBmpPattern]]: a payload whose downstream features are
+    * integer-exact, so fingerprints recovered from the real decode
+    * path can be hash-compared against an analytic oracle. */
+  def encodeWavEnvelope(sampleRate: Int, numFrames: Int,
+      amps: Array[Short]): Array[Byte] = {
+    val wav = encodeWav(1, sampleRate, 16, numFrames)
+    val buf = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+    val nW = amps.length
+    var w = 0
+    while (w < nW) {
+      // the SAME lo/hi bounds wavRmsWindows computes, so each RMS
+      // window sees exactly one amplitude at any (numFrames, nW)
+      val lo = (numFrames.toLong * w / nW).toInt
+      val hi = (numFrames.toLong * (w + 1) / nW).toInt
+      var i = lo
+      while (i < hi) {
+        val s = if (i % 2 == 0) amps(w) else (-amps(w)).toShort
+        buf.putShort(44 + 2 * i, s)
+        i += 1
+      }
+      w += 1
+    }
+    wav
+  }
+
   /** Windowed RMS energy over a canonical PCM-16 mono WAV payload:
     * split the sample stream into `nWindows` equal spans, RMS each,
     * normalized to [0,1] by full scale (32768). The audio analogue

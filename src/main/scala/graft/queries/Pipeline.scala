@@ -669,6 +669,83 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Audio-fingerprint near-dup — the WAV twin of q148's perceptual
+    * image dedup: each doc renders to a real PCM-16 payload whose
+    * square wave carries a 16-window amplitude envelope
+    * ([[Multimodal.encodeWavEnvelope]]), the fingerprint is recovered
+    * through the REAL decode path (RIFF header parse + windowed RMS —
+    * integer-exact because every window's RMS is exactly amp/32768),
+    * and near-dups (envelopes differing in ≤ 2 of 16 windows — the
+    * "same track, small edit" signature) surface via a 3-band bucket
+    * join that is pigeonhole-exact: ≤ 2 differing symbols across 3
+    * disjoint bands leave one band identical, so recall is 1 by
+    * construction and the all-pairs oracle is valid. The oracle
+    * recomputes the envelope symbols analytically from the same
+    * integer pattern the encoder writes — a wrong RIFF offset,
+    * window boundary, or quantization breaks the compare. The
+    * fixture plants one single-window edit per 4-doc group; symbol
+    * verification runs BEFORE the dedup shuffle (q148's lesson). */
+  val audioFingerprint: QueryDef = QueryDef.sql(
+    """WITH f AS (
+         SELECT doc_id, w.w,
+           CASE WHEN doc_id % 4 = 1 AND w.w = (doc_id // 4) % 16
+                THEN 1 + ((doc_id // 4) * 31 + w.w * 7 + 29) % 63
+                WHEN doc_id % 4 <= 1
+                THEN 1 + ((doc_id // 4) * 31 + w.w * 7) % 63
+                ELSE 1 + (doc_id * 1009 + w.w * 7919) % 63 END AS v
+         FROM documents, generate_series(0, 15) w(w)),
+       d AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS n_diff
+         FROM f a JOIN f b ON a.w = b.w AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(n_diff AS INTEGER) AS n_diff
+       FROM d WHERE n_diff <= 2 ORDER BY 1, 2""") { (s, d) =>
+    import s.implicits._
+    val fps = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val amps = Array.tabulate(16) { w =>
+          val v =
+            if (id % 4 == 1 && w == (g % 16).toInt)
+              1 + ((g * 31 + w * 7 + 29) % 63)
+            else if (id % 4 <= 1) 1 + ((g * 31 + w * 7) % 63)
+            else 1 + ((id * 1009 + w * 7919) % 63)
+          (v << 9).toShort
+        }
+        val wav = Multimodal.encodeWavEnvelope(8000, 800, amps)
+        // real decode: header parse + windowed RMS, then exact
+        // integer recovery (window RMS is exactly v·512/32768 = v/64)
+        val vs = Multimodal.wavRmsWindows(wav, 16)
+          .map(r => (math.round(r * 32768.0) >> 9).toInt)
+        (id, vs)
+      }).toDF("doc_id", "fp")
+    // 3 disjoint symbol bands (6+5+5 of 16): hash each slice — a
+    // hash collision only ADDS candidates (verified below), it can
+    // never drop a true pair (equal slices always share the bucket)
+    val bandVals = array(
+      hash(slice(col("fp"), 1, 6)),
+      hash(slice(col("fp"), 7, 5)),
+      hash(slice(col("fp"), 12, 5)))
+    fps
+      .select(col("doc_id"), col("fp"),
+        posexplode(bandVals).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        aggregate(zip_with(col("p.a.fp"), col("p.b.fp"),
+            (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("int").as("n_diff"))
+      .filter(col("n_diff") <= 2)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Per-user consecutive-event gap in minutes — the reference's
     * trip_minutes expression (unix_timestamp subtraction / 60,
     * yellow_taxi_etl.py:70-74 via Features.minutesBetween) under an
@@ -3056,6 +3133,7 @@ object Pipeline {
     "q144_stream_contamination" -> streamContamination,
     "q148_phash_neardup" -> phashNearDup,
     "q151_stream_sessionize" -> streamSessionize,
+    "q152_audio_fingerprint" -> audioFingerprint,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

@@ -152,6 +152,48 @@ class MultimodalSpec extends AnyFunSuite {
       "every planted near-dup pair must be recovered")
   }
 
+  test("encodeWavEnvelope: every RMS window recovers its amplitude " +
+      "exactly through the real decode path") {
+    val amps = Array.tabulate(16)(w => ((w * 3 + 1) << 9).toShort)
+    val wav = Multimodal.encodeWavEnvelope(8000, 800, amps)
+    val rms = Multimodal.wavRmsWindows(wav, 16)
+    val back = rms.map(r => (math.round(r * 32768.0) >> 9).toInt)
+    assert(back.toSeq == (0 until 16).map(_ * 3 + 1),
+      s"envelope must round-trip: ${back.toSeq}")
+    // boundary-exactness also at a non-divisible frame count
+    val wav2 = Multimodal.encodeWavEnvelope(8000, 803, amps)
+    val back2 = Multimodal.wavRmsWindows(wav2, 16)
+      .map(r => (math.round(r * 32768.0) >> 9).toInt)
+    assert(back2.toSeq == (0 until 16).map(_ * 3 + 1),
+      s"windows must align at non-divisible frame counts: ${back2.toSeq}")
+  }
+
+  test("q152 banded pairs equal brute-force n_diff<=2 pairs on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q152_audio_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def fp(id: Long): Seq[Int] = (0 until 16).map { w =>
+      val g = id / 4
+      if (id % 4 == 1 && w == (g % 16).toInt)
+        (1 + ((g * 31 + w * 7 + 29) % 63)).toInt
+      else if (id % 4 <= 1) (1 + ((g * 31 + w * 7) % 63)).toInt
+      else (1 + ((id * 1009 + w * 7919) % 63)).toInt
+    }
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .as[Long].collect().sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      d = fp(ids(i)).zip(fp(ids(j))).count { case (x, y) => x != y }
+      if d <= 2
+    } yield (ids(i), ids(j), d)).toSet
+    assert(got == expected,
+      s"banded join must recover exactly the n_diff<=2 pair set " +
+        s"(got ${got.size}, expected ${expected.size})")
+    val planted = ids.filter(id => id % 4 == 0 && ids.contains(id + 1))
+    assert(planted.forall(id => got.exists(p => p._1 == id && p._2 == id + 1)),
+      "every planted single-window edit must be recovered")
+  }
+
   test("sampleFrames: stride-2 sampling of 8-byte frames") {
     val frames = Multimodal.sampleFrames(payloads, frameBytes = 8, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1),
