@@ -962,6 +962,43 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Stream-stream interval join under the correctness gate — the
+    * remaining Structured Streaming join family (q47 windowed agg,
+    * q120/q144 stream-static, q151 arbitrary state, and now
+    * double-watermarked stream-stream): each event pairs with the
+    * same user's events in the 5 minutes after it. The time-range
+    * predicate is what lets the streaming join evict buffered rows
+    * once the watermark passes their window — bounded state at any
+    * ingest rate — and for a bounded replay the emitted pair set is
+    * exactly the batch range join, which is the oracle
+    * (StreamingSpec asserts the same equivalence against the batch
+    * plan). Output is the pair list + gap seconds, totally ordered. */
+  val streamIntervalJoin: QueryDef = QueryDef.sql(
+    """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+              CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
+                   AS BIGINT) AS gap_s
+       FROM events l JOIN events r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+        AND l.event_id <> r.event_id
+       ORDER BY 1, 2, 3""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "graft_q153_stream_sink"
+    val q = graft.streaming.StreamOps.intervalJoin(
+        graft.streaming.StreamOps.eventsStream(s, d),
+        graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** Near-dup cluster collapse: MinHash pairs → connected components
     * (iterative min-label propagation) → (doc, cluster id, cluster
     * size). The step after pair generation in a real dedup pipeline —
@@ -3134,6 +3171,7 @@ object Pipeline {
     "q148_phash_neardup" -> phashNearDup,
     "q151_stream_sessionize" -> streamSessionize,
     "q152_audio_fingerprint" -> audioFingerprint,
+    "q153_stream_interval_join" -> streamIntervalJoin,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,
