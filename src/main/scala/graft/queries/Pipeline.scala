@@ -75,6 +75,54 @@ object Pipeline {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Sessionization via Spark's NATIVE session_window operator — the
+    * Spark-first twin of q25's window-function formulation (and of
+    * q151's stateful streaming form; the same expression runs under
+    * `readStream` with merging session state). Plans as a dedicated
+    * session-window aggregation: one shuffle on the grouping key,
+    * sessions merged map-side — no window-function sort-per-user.
+    * Boundary semantics differ from q25 at EXACT gap == 30 min
+    * (session_window merges on strictly-smaller gaps), so the oracle
+    * encodes session_window's own rule (`gap >= 30 min` starts a new
+    * session) rather than reusing q25's — on the fixture the two
+    * agree (zero exact-boundary gaps at every SF, verified), but the
+    * oracle must track the operator, not the data. Session end is
+    * last event + gap by definition; emitted in µs for exactness. */
+  val sessionWindowNative: QueryDef = QueryDef.sql(
+    """WITH g AS (
+         SELECT user_id, value, epoch_us(ts) AS us,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  AS gap,
+                event_id
+         FROM events),
+       s AS (
+         SELECT user_id, value, us,
+                CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000
+                              THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+         FROM g)
+       SELECT user_id, min(us) AS session_start_us,
+              max(us) + 1800000000 AS session_end_us,
+              count(*) AS n_events,
+              floor((sum(value)) * 1000000 + 0.5) / 1000000
+                AS total_value
+       FROM s GROUP BY user_id, session_idx
+       ORDER BY 1, 2""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum(col("value"))).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "is")
 
   /** Text quality stats: token counts, mean token length, stopword &
@@ -3172,6 +3220,7 @@ object Pipeline {
     "q151_stream_sessionize" -> streamSessionize,
     "q152_audio_fingerprint" -> audioFingerprint,
     "q153_stream_interval_join" -> streamIntervalJoin,
+    "q154_session_window" -> sessionWindowNative,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

@@ -96,6 +96,22 @@ class PlanAuditSpec extends AnyFunSuite {
     Caching.releaseAll()
   }
 
+  test("q154 session_window plans the dedicated MergingSessions " +
+      "operator with map-side partial aggregation, not a per-user " +
+      "window sort") {
+    val plan = executedPlan("q154_session_window")
+    assert(plan.contains("MergingSessions"),
+      s"q154 must use the native session-window aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      "q154 must not fall back to window functions")
+    // partial aggregation must run below the exchange so session
+    // fragments combine map-side before the one shuffle
+    val exIdx = plan.indexOf("Exchange hashpartitioning(user_id")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(exIdx >= 0 && aggIdx > exIdx,
+      s"q154 must partially aggregate before the grouping shuffle:\n$plan")
+  }
+
   test("round-5 tier shapes: q125 heaped top-k over a bounded key " +
       "space, q126 broadcasts the bounds relation, q127 sorts only " +
       "skinny rows") {
