@@ -123,6 +123,64 @@ object Pipeline {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** q154's session_window aggregation run as a STREAM — the native
+    * streaming sessionization (merging session state in the
+    * aggregation operator, no hand-written flatMapGroupsWithState;
+    * q151 is the arbitrary-state form of the same semantics).
+    * Complete output mode makes the final sink state exactly the
+    * batch q154 relation — open tail sessions included — so the
+    * oracle is the SAME session_window rule (gap >= 30 min splits),
+    * with no watermark-flush clause needed. The memory sink +
+    * AvailableNow trigger is the harness adapter, as in q47. */
+  val streamSessionWindow: QueryDef = QueryDef.sql(
+    """WITH g AS (
+         SELECT user_id, value, epoch_us(ts) AS us,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  AS gap,
+                event_id
+         FROM events),
+       s AS (
+         SELECT user_id, value, us,
+                CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000
+                              THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+         FROM g)
+       SELECT user_id, min(us) AS session_start_us,
+              count(*) AS n_events,
+              floor((sum(value)) * 1000000 + 0.5) / 1000000
+                AS total_value
+       FROM s GROUP BY user_id, session_idx
+       ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "graft_q155_stream_sink"
+    val q = graft.streaming.StreamOps.eventsStream(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum(col("value"))).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        col("n_events"), col("total_value"))
+      .writeStream.format("memory").queryName(sink)
+      // complete is the only mode Spark allows for an unwatermarked
+      // session-window streaming aggregation (update is rejected with
+      // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION; append requires
+      // a watermark and emits only closed sessions, reintroducing the
+      // tail-flush clause q151 needed). The charge is state re-emission
+      // per batch — the engine's contract for this operator.
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "is")
 
   /** Text quality stats: token counts, mean token length, stopword &
@@ -3221,6 +3279,7 @@ object Pipeline {
     "q152_audio_fingerprint" -> audioFingerprint,
     "q153_stream_interval_join" -> streamIntervalJoin,
     "q154_session_window" -> sessionWindowNative,
+    "q155_stream_session_window" -> streamSessionWindow,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,
