@@ -597,6 +597,38 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Prefix-filtered EXACT Jaccard join at 0.5 — same answer
+    * relation as q39 (the oracle is the identical all-pairs SQL) by
+    * a sub-quadratic plan: shingles sort by ascending global
+    * document frequency, only the |S|−⌈t·|S|⌉+1 rarest index, and
+    * the prefix-filtering lemma makes candidate recall 1 with no
+    * hash family ([[Dedup.prefixFilterJaccardPairs]]). The
+    * exact/approximate/sub-quadratic dedup triangle: q39 exact
+    * all-pairs, q30 approximate sub-quadratic, q156 exact
+    * sub-quadratic. */
+  val prefixFilterJaccard: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) / 1000000 AS jaccard
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             >= 0.5
+       ORDER BY 1, 2""") { (s, d) =>
+    Dedup.prefixFilterJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** LSH-prefiltered embedding near-dup at 0.45 — the 100 TB path
     * for q34's semantics (cross-polytope candidates + exact verify,
     * never all-pairs: measured candidate ratio 0.077, recall 0.97 at
@@ -3280,6 +3312,7 @@ object Pipeline {
     "q153_stream_interval_join" -> streamIntervalJoin,
     "q154_session_window" -> sessionWindowNative,
     "q155_stream_session_window" -> streamSessionWindow,
+    "q156_prefix_filter_jaccard" -> prefixFilterJaccard,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

@@ -82,6 +82,33 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("prefix-filter join equals exact all-pairs Jaccard AND its " +
+      "candidate set is sub-quadratic") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (t <- Seq(0.5, 0.7)) {
+      val exact = pairSet(Dedup.exactJaccardPairs(real, "doc_id", "text", t))
+      Caching.releaseAll()
+      val pf = pairSet(
+        Dedup.prefixFilterJaccardPairs(real, "doc_id", "text", t))
+      Caching.releaseAll()
+      assert(pf == exact, s"t=$t: missing=${(exact -- pf).take(5)} " +
+        s"extra=${(pf -- exact).take(5)}")
+    }
+    // the point of prefix filtering: candidates driven by rare-token
+    // collisions, not n²/2 — assert a hard sub-quadratic margin
+    val hashed = Dedup.hashedShingles(real, "doc_id", "text", 3)
+    val n = hashed.count()
+    val cand = Dedup.prefixCandidatesOf(hashed, 0.5).count()
+    val allPairs = n * (n - 1) / 2
+    assert(cand.toDouble / allPairs <= 0.25,
+      s"candidate ratio ${cand.toDouble / allPairs} ($cand of $allPairs) " +
+        "should be far below all-pairs")
+  }
+
   test("winnow pairs: finds docs sharing a long passage, skips unrelated") {
     val pairs = Dedup.winnowNearDupPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
