@@ -182,6 +182,14 @@ object Profile {
       timeCount(s"minhash_neardup docs n=$nDocs")(
         graft.dedup.Dedup.minhashNearDupPairs(bigDocs, "doc_id", "text",
           0.6))
+      // exact prefix-filter join at the same threshold: the corpus
+      // size where broadcast all-pairs is computationally impossible
+      // (n²/2 ≈ 1.25e11 evals at 500k) and this is the only exact
+      // plan that finishes — pair count must match minhash's (its
+      // banding recall is 1 on this corpus, so exact == approx here)
+      timeCount(s"prefix_filter_exact docs n=$nDocs")(
+        graft.dedup.Dedup.prefixFilterJaccardPairs(bigDocs, "doc_id",
+          "text", 0.6))
       import org.apache.spark.sql.functions.{col, lit, floor => ffloor}
       val blocks = graft.dedup.Dedup
         .minhashNearDupPairs(bigDocs, "doc_id", "text", 0.6)
