@@ -500,6 +500,32 @@ object Pipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Filtered exact top-3 — neighbors restricted to the query's own
+    * label via an EQUI-join (not a post-filter), the
+    * metadata-predicated vector search every real store composes
+    * with ANN ([[VectorOps.labelFilteredTopK]]). Exact and
+    * deterministic → full oracle. */
+  val filteredTopK: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_v
+             FROM e WHERE vec_id < 10),
+       p AS (SELECT q_id, e.vec_id AS n_id,
+               floor((list_dot_product(q_v, e.v)
+                 / (sqrt(list_dot_product(q_v, q_v))
+                    * sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5) / 1000000 AS cos
+             FROM q JOIN e ON e.label = q_label AND e.vec_id <> q_id),
+       r AS (SELECT q_id, n_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+             FROM p)
+       SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 3
+       ORDER BY q_id, rank""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    VectorOps.labelFilteredTopK(emb, emb.filter(col("vec_id") < 10), 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN (cross-polytope, 32 bands × 1 hash, 2-probe —
     * the VectorOps.lshTopK defaults) — the approximate scale path;
     * recall is banding-dependent → rows-only check, gated at
@@ -3313,6 +3339,7 @@ object Pipeline {
     "q154_session_window" -> sessionWindowNative,
     "q155_stream_session_window" -> streamSessionWindow,
     "q156_prefix_filter_jaccard" -> prefixFilterJaccard,
+    "q157_filtered_topk" -> filteredTopK,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,

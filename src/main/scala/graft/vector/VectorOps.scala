@@ -95,6 +95,40 @@ object VectorOps {
         (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** FILTERED exact top-k: neighbors restricted to the query's own
+    * label — the "search within category" composition every
+    * metadata-aware vector store runs (filtered ANN). The filter is
+    * an EQUI-join key, not a post-filter: scoring only ever touches
+    * same-label pairs, so a balanced L-label corpus does 1/L the
+    * dot products of [[bruteForceTopK]] + post-filter, and at scale
+    * the label can also become the partition key. Queries broadcast;
+    * ranking through the same bounded-heap TopK aggregate. */
+  def labelFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = spread(corpus).select(col(idCol).as("n_id"),
+        toDouble(col(vecCol)).as("n_v"), col(labelCol).as("n_label"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val q = queries.select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("q_v"), col(labelCol).as("q_label"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val topk = graft.ops.TopK.topk(k)
+    c.join(broadcast(q), col("q_label") === col("n_label")
+        && col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        graft.Rounding.r6(try_divide(dot(col("q_v"), col("n_v")),
+          col("q_norm") * col("n_norm"))).as("cos"),
+        col("n_id"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits packed into a
     * long, computed in one tight codegen loop (graft_hyperplane_bits;
     * planes are deterministic ±1 components from splitmix64 — no
