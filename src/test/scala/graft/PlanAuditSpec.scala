@@ -112,6 +112,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q154 must partially aggregate before the grouping shuffle:\n$plan")
   }
 
+  test("q158 bucketed join: SortMergeJoin with no Exchange on the " +
+      "join key — the write-time shuffle is the only one") {
+    val plan = executedPlan("q158_bucketed_join")
+    assert(plan.contains("SortMergeJoin"),
+      s"q158 must sort-merge the co-bucketed sides:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+        && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"q158 must not re-shuffle bucketed sides on the join key:\n$plan")
+  }
+
   test("round-5 tier shapes: q125 heaped top-k over a bounded key " +
       "space, q126 broadcasts the bounds relation, q127 sorts only " +
       "skinny rows") {
