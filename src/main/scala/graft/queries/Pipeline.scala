@@ -1163,6 +1163,48 @@ object Pipeline {
       .orderBy(col("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** The pure-SQL user surface under the correctness gate: the whole
+    * query is one `spark.sql` string driving the engine's registered
+    * extension functions (graft_shingle_hashes / graft_jaccard —
+    * injected via SparkSessionExtensions, GraftExtensionsSpec covers
+    * registration) — consecutive-document shingle similarity, the
+    * adjacency audit a curation pipeline runs over an ordered dump.
+    * The oracle computes the identical Jaccard from string shingle
+    * lists: hashed and string set sizes agree barring a 2^-64
+    * collision, the same equivalence every dedup oracle here rests
+    * on. Proves a SQL-only user gets the native codegen'd
+    * expressions with no Scala API. */
+  val sqlSurface: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS sh
+             FROM t WHERE len(toks) >= 3)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5)
+                / 1000000 AS jaccard
+       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+       ORDER BY 1""") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_q159_docs")
+    s.sql(
+      """WITH h AS (
+           SELECT doc_id,
+                  graft_shingle_hashes(split(trim(text), ' '), 3) AS hs
+           FROM graft_q159_docs
+           WHERE size(split(trim(text), ' ')) >= 3)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                floor(graft_jaccard(a.hs, b.hs) * 1000000 + 0.5)
+                  / 1000000 AS jaccard
+         FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+         ORDER BY a_id""")
+  }
+
   /** Near-dup cluster collapse: MinHash pairs → connected components
     * (iterative min-label propagation) → (doc, cluster id, cluster
     * size). The step after pair generation in a real dedup pipeline —
@@ -3340,6 +3382,7 @@ object Pipeline {
     "q155_stream_session_window" -> streamSessionWindow,
     "q156_prefix_filter_jaccard" -> prefixFilterJaccard,
     "q157_filtered_topk" -> filteredTopK,
+    "q159_sql_surface" -> sqlSurface,
     "q121_epoch_shuffle" -> epochShuffle,
     "q122_dedup_audit" -> dedupAudit,
     "q125_bpe_pair_counts" -> bpePairCounts,
