@@ -124,8 +124,16 @@ object Bench {
       .mkString("{", ",", "}")
     def contract(qs: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":${r3(batchTotal)},"streaming_total":${r3(streamingTotal)}$onlyField}"""
-    val line = contract(qsShort)
-    emit(if (line.length <= 1800) line else contract("{}"))
+    // graduated fallback: "qNN" keys → bare-number keys (saves one
+    // char per query — at 159 queries the full form sits at 1784 of
+    // the 1800 guard) → totals only. A complete coarser map always
+    // beats a dropped one.
+    val qsBare = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r1(v) }
+      .mkString("{", ",", "}")
+    val line = Seq(contract(qsShort), contract(qsBare), contract("{}"))
+      .find(_.length <= 1800).get
+    emit(line)
     spark.stop()
   }
 }
