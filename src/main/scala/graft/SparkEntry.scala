@@ -19,7 +19,7 @@ object SparkEntry {
   private def catalog: Map[String, QueryDef] =
     graft.queries.Parity.defs ++ graft.queries.Relational.defs ++
       graft.queries.Pipeline.defs ++ graft.queries.Cached.defs ++
-      graft.queries.Advanced.defs
+      graft.queries.Advanced.defs ++ graft.queries.TpchShapes.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, v) => k -> v.fn }
