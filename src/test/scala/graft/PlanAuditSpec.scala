@@ -392,6 +392,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p90.contains("ObjectHashAggregate") && !p90.contains("Window"))
   }
 
+  test("q160-q170 TPC-H shapes: EXISTS batteries plan as semi/anti " +
+      "joins, scalar thresholds broadcast, envelopes reach the scans") {
+    // Q4 shape: EXISTS → left-semi; the date window pushes to orders
+    val q4 = executedPlan("q160_late_ship_priority")
+    assert(q4.contains("LeftSemi"), s"q160 must plan a semi join:\n$q4")
+    assert(q4.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q160's date window must reach the orders scan:\n$q4")
+    assert(!q4.contains("CartesianProduct"))
+    // Q13 shape: the priority filter lives in the join, so the outer
+    // join survives (a WHERE would have made it inner)
+    val q13 = executedPlan("q161_order_count_distribution")
+    assert(q13.contains("LeftOuter"),
+      s"q161 must keep the outer join (zero bucket):\n$q13")
+    assert(q13.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"q161's priority filter must reach the orders scan:\n$q13")
+    // Q19 shape: the hand-derived envelope pushes to both scans even
+    // though the disjunction itself can't
+    val q19 = executedPlan("q162_disjunctive_part_revenue")
+    assert(q19.contains("GreaterThanOrEqual(l_quantity,1.0)")
+        && q19.contains("LessThanOrEqual(l_quantity,40.0)"),
+      s"q162's quantity envelope must reach the lineitem scan:\n$q19")
+    assert(q19.contains("In(p_brand"),
+      s"q162's brand envelope must reach the part scan:\n$q19")
+    assert(q19.contains("BroadcastHashJoin")
+        && !q19.contains("SortMergeJoin"),
+      s"q162's part side must broadcast:\n$q19")
+    // Q22/Q16/Q21 shapes: NOT EXISTS / NOT IN → left-anti
+    for (q <- Seq("q163_dormant_premium_customers",
+        "q164_supplier_breadth", "q170_waiting_supplier")) {
+      val p = executedPlan(q)
+      assert(p.contains("LeftAnti"), s"$q must plan an anti join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
+    }
+    // Q21's EXISTS battery: semi AND anti on the same self-join key
+    val q21 = executedPlan("q170_waiting_supplier")
+    assert(q21.contains("LeftSemi"),
+      s"q170 must plan the EXISTS as a semi join:\n$q21")
+    // Q11/Q22 scalar thresholds: a 1-row broadcast, never a shuffle
+    // of the aggregated side against it
+    val q11 = executedPlan("q165_top_value_parts")
+    assert(q11.contains("BroadcastNestedLoopJoin")
+        || q11.contains("BroadcastHashJoin"),
+      s"q165's threshold must arrive by broadcast:\n$q11")
+    assert(!q11.contains("CartesianProduct"),
+      s"q165 must not plan a shuffled cross product:\n$q11")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
