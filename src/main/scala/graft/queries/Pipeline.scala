@@ -2888,6 +2888,78 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Corpus-level boilerplate removal (the C4/CCNet cleaning step) —
+    * delete every 8-token chunk occurring 2+ times ACROSS the corpus
+    * (headers, footers, license blurbs) and rebuild each document
+    * from its surviving chunks in order. Drives
+    * [[graft.text.Boilerplate.removeDuplicatedChunks]]: chunking is
+    * row-local codegen array ops; duplicate detection is ONE
+    * `groupBy(chunk)` whose constant-width state (count + max struct)
+    * yields the survivors directly — no self-join, no per-chunk
+    * occurrence lists, so a million-fold footer costs the same
+    * aggregate state as a unique chunk. The oracle mirrors the
+    * chunk/count/rebuild pipeline in set-based SQL. */
+  val boilerplateRemoval: QueryDef = QueryDef.sql(
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                     FROM documents),
+       chunks AS (
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(t, CAST(i*8+1 AS INT),
+             CAST(i*8+8 AS INT)), ' ') AS chunk
+         FROM toks,
+           unnest(range(0, CAST(floor((len(t)-1)/8) AS BIGINT)+1)) AS u(i)),
+       counts AS (SELECT chunk, count(*) AS cnt FROM chunks
+                  GROUP BY chunk),
+       kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+                FROM chunks c JOIN counts USING(chunk) WHERE cnt < 2),
+       rebuilt AS (SELECT doc_id, count(*) AS kept_chunks,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS rebuilt
+                   FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, CAST(floor((len(t.t)-1)/8)+1 AS BIGINT)
+           AS n_chunks,
+         coalesce(kept_chunks, 0) AS kept_chunks,
+         coalesce(rebuilt, '') AS rebuilt
+       FROM toks t LEFT JOIN rebuilt USING(doc_id)
+       ORDER BY t.doc_id""") { (s, d) =>
+    graft.text.Boilerplate.removeDuplicatedChunks(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 8, minCount = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** CSV round-trip — q128's lossless-interchange proof applied to
+    * the other text format corpora ship in. Write the documents
+    * table as headered CSV, read it back through an EXPLICIT schema
+    * (inference = an extra full corpus scan at 100 TB), and match the
+    * same order-independent per-lang hash aggregate against the
+    * oracle computed on the original table — a quoting/escaping
+    * fault, dropped row, or type coercion shifts the md5-prefix
+    * hash sum. */
+  val csvRoundtrip: QueryDef = QueryDef.sql(
+    """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+              AS BIGINT) AS text_hashsum
+       FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    // pid-suffixed for the same overwrite-race reason as q128
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q172_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING," +
+        " n_chars BIGINT")
+      .option("header", "true")
+      .csv(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_hashsum"))
+      .orderBy(col("lang"))
+  }
+
   /** Amortized PQ-ADC search over a PERSISTED index — the deployed
     * regime every production vector store runs (q73's persisted-index
     * pattern applied to ANN): the codebook + 16×-compressed code
@@ -3389,6 +3461,8 @@ object Pipeline {
     "q126_winsorize_embeddings" -> winsorizeEmbeddings,
     "q127_length_batching" -> lengthBatching,
     "q128_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q171_boilerplate_removal" -> boilerplateRemoval,
+    "q172_csv_roundtrip" -> csvRoundtrip,
     "q130_pq_search_amortized" -> pqSearchAmortized,
     "q131_bloom_contamination" -> bloomContamination,
     "q134_pq_index_incremental" -> pqIndexIncremental,
