@@ -179,6 +179,8 @@ object Profile {
         timeCount("neardup_exact broadcast baseline")(
           V.nearDupPairs(bigEmb, 0.45))
       }
+      val boilerOnly = args.length > 2 && args(2) == "boiler"
+      if (!boilerOnly)
       timeCount(s"minhash_neardup docs n=$nDocs")(
         graft.dedup.Dedup.minhashNearDupPairs(bigDocs, "doc_id", "text",
           0.6))
@@ -187,22 +189,47 @@ object Profile {
       // (n²/2 ≈ 1.25e11 evals at 500k) and this is the only exact
       // plan that finishes — pair count must match minhash's (its
       // banding recall is 1 on this corpus, so exact == approx here)
+      if (!boilerOnly)
       timeCount(s"prefix_filter_exact docs n=$nDocs")(
         graft.dedup.Dedup.prefixFilterJaccardPairs(bigDocs, "doc_id",
           "text", 0.6))
-      import org.apache.spark.sql.functions.{col, lit, floor => ffloor}
-      val blocks = graft.dedup.Dedup
-        .minhashNearDupPairs(bigDocs, "doc_id", "text", 0.6)
-        .groupBy(ffloor(col("a_id") / lit(1000000))
-          .cast("long").as("a_shard"),
-          ffloor(col("b_id") / lit(1000000)).cast("long").as("b_shard"))
-        .count().collect()
-      val cross = blocks.filter(r => r.getLong(0) != r.getLong(1))
-      val per = blocks.filter(r => r.getLong(0) == r.getLong(1))
-        .map(_.getLong(2)).toSeq
-      println(s"[scale] shards=${per.size} cross_shard_pairs=" +
-        s"${cross.map(_.getLong(2)).sum} per_shard_min=${per.min} " +
-        s"per_shard_max=${per.max}")
+      // corpus boilerplate removal (q171's operator): one chunk
+      // groupBy with constant-width state + one reassembly groupBy —
+      // the 100× row is the evidence that per-chunk aggregate state
+      // (not occurrence lists) is what holds when a footer repeats
+      // five-million-fold. NOT timeCount: under count() Catalyst
+      // ELIMINATES the reassembly outer join outright (the right side
+      // is an aggregate with provably-unique keys and count references
+      // no column from it — measured 0.18 s, i.e. nothing ran), so
+      // force the pipeline through a sum over the rebuilt text.
+      locally {
+        val runs = (1 to 2).map { _ =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val r = graft.text.Boilerplate
+            .removeDuplicatedChunks(bigDocs, "doc_id", "text", 8, 2)
+            .agg(sum(col("kept_chunks")), sum(length(col("rebuilt"))))
+            .collect()(0)
+          (r.getLong(0), (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[scale] boilerplate_removal docs n=$nDocs%-20s " +
+          f"kept=${runs.head._1}%11d ${runs.map(_._2).min}%8.2f s")
+      }
+      if (!boilerOnly) {
+        val blocks = graft.dedup.Dedup
+          .minhashNearDupPairs(bigDocs, "doc_id", "text", 0.6)
+          .groupBy(floor(col("a_id") / lit(1000000))
+            .cast("long").as("a_shard"),
+            floor(col("b_id") / lit(1000000)).cast("long").as("b_shard"))
+          .count().collect()
+        val cross = blocks.filter(r => r.getLong(0) != r.getLong(1))
+        val per = blocks.filter(r => r.getLong(0) == r.getLong(1))
+          .map(_.getLong(2)).toSeq
+        println(s"[scale] shards=${per.size} cross_shard_pairs=" +
+          s"${cross.map(_.getLong(2)).sum} per_shard_min=${per.min} " +
+          s"per_shard_max=${per.max}")
+      }
       Caching.releaseAll()
       spark.stop()
       return

@@ -1156,8 +1156,98 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** Adjusted exponentially-weighted moving average over each user's
+    * click-value series, truncated to a 10-event window (pandas
+    * `ewm(alpha=0.3, adjust=True)` semantics under truncation — the
+    * trend-smoothing primitive of drift monitors). The naive
+    * recursive form is inherently sequential per key; the closed form
+    * used here — weight (1-α)^i over the last-10 frame, normalized —
+    * is ONE window collect over a ROWS frame plus a row-local
+    * higher-order fold (`zip_with`+`aggregate`, codegen'd), so the
+    * whole query is a single user_id shuffle and the per-row cost is
+    * O(frame). Engine-portable: both sides fold the identical frame
+    * order left-to-right over identical float64 products, then round
+    * at the 1e-6 grain. */
+  val ewmaSmoothing: QueryDef = QueryDef.sql(
+    """WITH seq AS (SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+         FROM events WHERE event_type = 'click'),
+       w AS (SELECT user_id, event_id, rn,
+           list_reverse(list(value) OVER (PARTITION BY user_id
+             ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+             AS win
+         FROM seq)
+       SELECT user_id, event_id,
+         floor((list_sum(list_transform(list_zip(win,
+               range(0, len(win))),
+               x -> x[1] * 0.3 * power(0.7, CAST(x[2] AS DOUBLE))))
+             / list_sum(list_transform(range(0, len(win)),
+               i -> 0.3 * power(0.7, CAST(i AS DOUBLE)))))
+           * 1000000 + 0.5) / 1000000 AS ewma10
+       FROM w ORDER BY user_id, event_id""") { (s, d) =>
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wFrame = Window.partitionBy(col("user_id"))
+      .orderBy(col("rn")).rowsBetween(-9, 0)
+    val win = reverse(collect_list(col("value")).over(wFrame))
+    val idx = sequence(lit(0), size(col("win")) - 1)
+    val num = aggregate(
+      zip_with(col("win"), idx,
+        (v, i) => v * lit(0.3) * pow(lit(0.7), i.cast("double"))),
+      lit(0.0), _ + _)
+    val den = aggregate(
+      transform(idx, i => lit(0.3) * pow(lit(0.7), i.cast("double"))),
+      lit(0.0), _ + _)
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(wSeq).as("rn"))
+      .select(col("user_id"), col("event_id"), col("rn"),
+        win.as("win"))
+      .select(col("user_id"), col("event_id"),
+        r6(num / den).as("ewma10"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Array-function surface breadth (the q108 pattern for the array
+    * tier): distinct/position/contains/sort/slice/intersect over the
+    * per-document token arrays, all row-local codegen'd expressions —
+    * no shuffle beyond the final presentation sort. The intersect is
+    * size-only on both engines (element ORDER of a set intersection
+    * is engine-internal; its cardinality is not). */
+  val arrayBreadth: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents)
+       SELECT doc_id,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         toks[1] AS first_tok,
+         CAST(coalesce(list_position(toks, 'join'), 0) AS INTEGER)
+           AS join_pos,
+         list_contains(toks, 'spark') AS has_spark,
+         array_to_string(list_slice(list_sort(toks), 1, 3), ' ')
+           AS sorted3,
+         CAST(len(list_intersect(list_distinct(toks),
+           ['spark', 'join', 'filter', 'group'])) AS INTEGER) AS n_lex
+       FROM t ORDER BY doc_id""") { (s, d) =>
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(toks)).as("n_distinct"),
+        element_at(toks, 1).as("first_tok"),
+        array_position(toks, "join").cast("int").as("join_pos"),
+        array_contains(toks, "spark").as("has_spark"),
+        array_join(slice(sort_array(toks), 1, 3), " ").as("sorted3"),
+        size(array_intersect(array_distinct(toks),
+          array(lit("spark"), lit("join"), lit("filter"), lit("group"))))
+          .as("n_lex"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q87_rolling_hour" -> rollingHour,
+    "q173_ewma_smoothing" -> ewmaSmoothing,
+    "q174_array_breadth" -> arrayBreadth,
     "q88_funnel_stages" -> funnelStages,
     "q89_mixture_weights" -> mixtureWeights,
     "q90_grouped_topk" -> groupedTopK,
