@@ -126,12 +126,19 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":${r3(batchTotal)},"streaming_total":${r3(streamingTotal)}$onlyField}"""
     // graduated fallback: "qNN" keys → bare-number keys (saves one
     // char per query — at 159 queries the full form sits at 1784 of
-    // the 1800 guard) → totals only. A complete coarser map always
+    // the 1800 guard) → bare keys with integer seconds (saves two
+    // more per query; regressions that matter at this SF are
+    // multi-second once the map is this coarse, and the detail line
+    // above keeps ns) → totals only. A complete coarser map always
     // beats a dropped one.
     val qsBare = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r1(v) }
       .mkString("{", ",", "}")
-    val line = Seq(contract(qsShort), contract(qsBare), contract("{}"))
+    val qsBareInt = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + math.round(v) }
+      .mkString("{", ",", "}")
+    val line = Seq(contract(qsShort), contract(qsBare),
+        contract(qsBareInt), contract("{}"))
       .find(_.length <= 1800).get
     emit(line)
     spark.stop()

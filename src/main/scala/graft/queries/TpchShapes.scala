@@ -450,6 +450,61 @@ object TpchShapes {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q6 (forecast revenue change) — the pure scan-filter-agg
+    * shape, verbatim on the fixture columns: every predicate
+    * (shipdate window, discount band, quantity cap) reaches the
+    * parquet scan as a PushedFilter, the projection prunes to three
+    * columns, and the aggregate folds map-side to one row per
+    * partition. The canonical "is pushdown actually working" probe:
+    * at 100 TB this query reads only the row groups whose min/max
+    * straddle the predicates. */
+  val forecastRevenue: QueryDef = QueryDef.sql(
+    """SELECT count(*) AS n_items,
+         CAST(round(sum(CAST(l_extendedprice * l_discount
+             AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q12 shape (shipping-delay priority audit): lines shipped
+    * more than 60 days after their order date, bucketed by ship year
+    * with conditional high/low-priority counts (the fixture carries
+    * no l_shipmode — o_orderpriority classes keep the
+    * CASE-partitioned dual count that defines the Q12 shape). One
+    * orderkey shuffle joins the facts; the CASE folds map-side into
+    * two integer partials per group. */
+  val shippingDelayAudit: QueryDef = QueryDef.sql(
+    """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+      .orderBy(col("ship_year"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q160_late_ship_priority" -> lateShipPriority,
     "q161_order_count_distribution" -> orderCountDistribution,
@@ -461,5 +516,7 @@ object TpchShapes {
     "q167_market_share" -> marketShare,
     "q168_product_margin" -> productMargin,
     "q169_dominant_suppliers" -> dominantSuppliers,
-    "q170_waiting_supplier" -> waitingSupplier)
+    "q170_waiting_supplier" -> waitingSupplier,
+    "q175_forecast_revenue" -> forecastRevenue,
+    "q176_shipping_delay_audit" -> shippingDelayAudit)
 }

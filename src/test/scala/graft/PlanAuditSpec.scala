@@ -429,6 +429,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val q21 = executedPlan("q170_waiting_supplier")
     assert(q21.contains("LeftSemi"),
       s"q170 must plan the EXISTS as a semi join:\n$q21")
+    // Q6: every predicate reaches the scan; projection prunes to the
+    // three touched columns; no join anywhere. The toString render
+    // elides long PushedFilters lists, so assert on formatted explain
+    // (per-scan detail blocks print the full list).
+    val q6df = SparkEntry.queries("q175_forecast_revenue")(spark, dir)
+    q6df.collect()
+    val q6 = q6df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+      assert(q6.contains(p), s"q175 must push $p to the scan:\n$q6")
+    assert(!q6.contains("Join"), "q175 is scan+agg only")
+    val q6Read = "ReadSchema: [^\n]*".r.findFirstIn(q6).getOrElse("")
+    assert(!q6Read.contains("l_orderkey") && !q6Read.contains("l_tax"),
+      s"q175's scan must prune to the touched columns: $q6Read")
     // Q11/Q22 scalar thresholds: a 1-row broadcast, never a shuffle
     // of the aggregated side against it
     val q11 = executedPlan("q165_top_value_parts")
