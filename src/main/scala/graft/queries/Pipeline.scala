@@ -2960,6 +2960,43 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Edit-distance fuzzy near-dup — the third text-similarity metric
+    * after set-overlap (Jaccard) and bit-signature (SimHash): pairs
+    * whose 40-char prefixes are within Levenshtein 12, BLOCKED on
+    * (lang, 50-char length band) so the quadratic distance evaluation
+    * runs only inside blocks — the classic record-linkage shape. The
+    * self-join is an equi-join on the block key (one shuffle), the
+    * `a_id < b_id` residual halves the pairs, and the O(40²) dynamic
+    * program runs per candidate, never per corpus pair. At 100 TB the
+    * band would fold into the LSH candidate stream; the blocking-key
+    * equi-join shape is identical. */
+  val editDistanceNearDup: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT doc_id, lang, substr(text, 1, 40) AS pfx,
+           CAST(floor(n_chars / 50) AS INTEGER) AS band
+         FROM documents)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+       FROM p a JOIN p b
+         ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.pfx, b.pfx) <= 12
+       ORDER BY a_id, b_id""") { (s, d) =>
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 40).as("pfx"),
+        floor(col("n_chars") / 50).cast("int").as("band"))
+    val a = p.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("pfx").as("a_pfx"), col("band").as("a_band"))
+    val b = p.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("pfx").as("b_pfx"), col("band").as("b_band"))
+    a.join(b, col("a_lang") === col("b_lang")
+        && col("a_band") === col("b_band")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_pfx"), col("b_pfx")).as("dist"))
+      .filter(col("dist") <= 12)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Amortized PQ-ADC search over a PERSISTED index — the deployed
     * regime every production vector store runs (q73's persisted-index
     * pattern applied to ANN): the codebook + 16×-compressed code
@@ -3428,6 +3465,7 @@ object Pipeline {
     "q37_multimodal_decode" -> multimodalDecode,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
+    "q177_editdist_neardup" -> editDistanceNearDup,
     "q40_ann_ivf" -> annIvf,
     "q41_winnow_pairs" -> winnowPairs,
     "q45_frame_sample" -> frameSample,

@@ -944,6 +944,32 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** UNPIVOT (melt) — the inverse of q19's pivot: per-type event
+    * aggregates melted into (metric, val) rows. The unpivot itself is
+    * a row-local Expand (each input row emits |metrics| rows, no
+    * shuffle); the only exchanges are the aggregate's and the
+    * presentation sort's. Values share one type (double) — the
+    * UNPIVOT contract on both engines. */
+  val unpivotMetrics: QueryDef = QueryDef.sql(
+    """WITH agg AS (SELECT event_type,
+           floor(min(value)*1000000+0.5)/1000000 AS min_v,
+           floor(max(value)*1000000+0.5)/1000000 AS max_v,
+           CAST(count(*) AS DOUBLE) AS cnt
+         FROM events GROUP BY event_type)
+       SELECT event_type, metric, val FROM agg
+       UNPIVOT (val FOR metric IN (min_v, max_v, cnt))
+       ORDER BY event_type, metric""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(r6(min(col("value"))).as("min_v"),
+        r6(max(col("value"))).as("max_v"),
+        count(lit(1)).cast("double").as("cnt"))
+      .unpivot(Array(col("event_type")),
+        Array(col("min_v"), col("max_v"), col("cnt")),
+        "metric", "val")
+      .orderBy(col("event_type"), col("metric"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q10_star_join_revenue" -> starJoinRevenue,
     "q11_window_topk" -> windowTopk,
@@ -955,6 +981,7 @@ object Relational {
     "q17_rollup_agg" -> rollupAgg,
     "q18_cube_agg" -> cubeAgg,
     "q19_pivot_events" -> pivotEvents,
+    "q178_unpivot_metrics" -> unpivotMetrics,
     "q20_json_extract" -> jsonExtract,
     "q21_semi_join" -> semiJoin,
     "q22_anti_join" -> antiJoin,
