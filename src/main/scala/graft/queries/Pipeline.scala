@@ -2984,16 +2984,31 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 40).as("pfx"),
         floor(col("n_chars") / 50).cast("int").as("band"))
+    // the probe side must be spread BEFORE the broadcast join: a
+    // single-file corpus scans as one partition, and the whole
+    // quadratic DP would run in one task (measured 17 s at sf0.1).
+    // The partition count is EXPLICIT because this shuffle is
+    // CPU-bound, not byte-bound — AQE's coalescing sees 5000 tiny
+    // rows and folds the spread back to one partition (measured: a
+    // bare repartition(cols) changed nothing). Hash-partitioning on
+    // the block key is the scale-correct spread: it also co-locates
+    // any downstream per-block work.
+    val shufflePartitions = s.sessionState.conf.numShufflePartitions
     val a = p.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
-      col("pfx").as("a_pfx"), col("band").as("a_band"))
+        col("pfx").as("a_pfx"), col("band").as("a_band"))
+      .repartition(shufflePartitions, col("a_lang"), col("a_band"))
     val b = p.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("pfx").as("b_pfx"), col("band").as("b_band"))
     a.join(b, col("a_lang") === col("b_lang")
         && col("a_band") === col("b_band")
         && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_pfx"), col("b_pfx")).as("dist"))
-      .filter(col("dist") <= 12)
+        // threshold form: banded O(k·n) DP with early exit instead of
+        // the full O(n²) table — returns the true distance when
+        // ≤ 12 and -1 otherwise, so the filter keeps exactly the
+        // oracle's pair set with exact distances
+        levenshtein(col("a_pfx"), col("b_pfx"), 12).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy(col("a_id"), col("b_id"))
   }
 
