@@ -2960,6 +2960,48 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Fill-in-middle (FIM) transformation — the code/infilling
+    * pretraining data op: split each document at its 1/3 and 2/3
+    * character cuts and re-emit in PSM order
+    * (<PRE>prefix<SUF>suffix<MID>middle) with the three span lengths.
+    * Entirely row-local string arithmetic off the stored n_chars —
+    * zero shuffles beyond the presentation sort, trivially linear at
+    * any corpus size. (Real FIM randomizes cut points per document;
+    * the deterministic thirds keep the row oracle-checkable — the
+    * plan shape is identical.) */
+  val fimSplit: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT doc_id, text,
+           CAST(floor(n_chars/3) AS INT) AS c1,
+           CAST(floor(2*n_chars/3) AS INT) AS c2,
+           CAST(n_chars AS INT) AS n
+         FROM documents)
+       SELECT doc_id,
+         concat('<PRE>', substr(text, 1, c1),
+                '<SUF>', substr(text, c2+1, n-c2),
+                '<MID>', substr(text, c1+1, c2-c1)) AS psm,
+         CAST(c1 AS INTEGER) AS pre_len,
+         CAST(n-c2 AS INTEGER) AS suf_len,
+         CAST(c2-c1 AS INTEGER) AS mid_len
+       FROM s ORDER BY doc_id""") { (s, d) =>
+    val c1 = floor(col("n_chars") / 3).cast("int")
+    val c2 = floor(col("n_chars") * 2 / 3).cast("int")
+    val n = col("n_chars").cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), c1.as("c1"), c2.as("c2"),
+        n.as("n"))
+      .select(col("doc_id"),
+        concat(lit("<PRE>"), col("text").substr(lit(1), col("c1")),
+          lit("<SUF>"),
+          col("text").substr(col("c2") + 1, col("n") - col("c2")),
+          lit("<MID>"),
+          col("text").substr(col("c1") + 1, col("c2") - col("c1")))
+          .as("psm"),
+        col("c1").as("pre_len"),
+        (col("n") - col("c2")).as("suf_len"),
+        (col("c2") - col("c1")).as("mid_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance fuzzy near-dup — the third text-similarity metric
     * after set-overlap (Jaccard) and bit-signature (SimHash): pairs
     * whose 40-char prefixes are within Levenshtein 12, BLOCKED on
@@ -3481,6 +3523,7 @@ object Pipeline {
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q177_editdist_neardup" -> editDistanceNearDup,
+    "q179_fim_split" -> fimSplit,
     "q40_ann_ivf" -> annIvf,
     "q41_winnow_pairs" -> winnowPairs,
     "q45_frame_sample" -> frameSample,
