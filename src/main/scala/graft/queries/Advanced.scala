@@ -1244,7 +1244,56 @@ object Advanced {
       .orderBy(col("doc_id"))
   }
 
+  /** Map-function surface breadth (the q108/q174 pattern for the
+    * MapType tier): per-document token-count maps for the first and
+    * second halves of the token stream (`map_from_entries` over
+    * conditional collects), combined with `map_zip_with` (full-outer
+    * key union, null-padded values) into a per-token count delta,
+    * `map_filter`ed to drift-only entries, and `explode`d back to
+    * rows for the oracle compare. The map algebra is row-local after
+    * one (doc, half, tok) count shuffle; DuckDB has no map type, so
+    * the oracle expresses the same full-outer-union semantics as a
+    * conditional-sum pivot — identical relation, engine-idiomatic
+    * plans on both sides. */
+  val mapBreadth: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok,
+                    generate_subscripts(toks, 1) AS pos FROM t),
+       c AS (SELECT doc_id, tok,
+                    CASE WHEN pos - 1 < n // 2 THEN 1 ELSE 2 END AS half,
+                    count(*) AS cnt
+             FROM e GROUP BY 1, 2, 3),
+       p AS (SELECT doc_id, tok,
+               sum(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS c1,
+               sum(CASE WHEN half = 2 THEN cnt ELSE 0 END) AS c2
+             FROM c GROUP BY 1, 2)
+       SELECT doc_id, tok, CAST(c2 - c1 AS BIGINT) AS delta
+       FROM p WHERE c2 <> c1 ORDER BY 1, 2""") { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("half",
+        when(col("pos") < floor(col("n") / 2), 1).otherwise(2))
+      .groupBy("doc_id", "half", "tok").count()
+    counts.groupBy("doc_id")
+      .agg(
+        map_from_entries(collect_list(when(col("half") === 1,
+          struct(col("tok"), col("count"))))).as("m1"),
+        map_from_entries(collect_list(when(col("half") === 2,
+          struct(col("tok"), col("count"))))).as("m2"))
+      .withColumn("drift", map_filter(
+        map_zip_with(col("m1"), col("m2"),
+          (_, v1, v2) => coalesce(v2, lit(0L)) - coalesce(v1, lit(0L))),
+        (_, v) => v =!= 0),
+      )
+      .select(col("doc_id"), explode(col("drift")).as(Seq("tok", "delta")))
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q180_map_breadth" -> mapBreadth,
     "q87_rolling_hour" -> rollingHour,
     "q173_ewma_smoothing" -> ewmaSmoothing,
     "q174_array_breadth" -> arrayBreadth,
