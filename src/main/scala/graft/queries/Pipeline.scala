@@ -741,6 +741,57 @@ object Pipeline {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Raw-file multimodal ingestion through Spark's `binaryFile`
+    * source — the missing first step before q37's decode: a real
+    * lake holds media as FILES (an images/ prefix of jpegs under an
+    * object store), not as a column, and the scalable ingest is
+    * `read.format("binaryFile")` (distributed listing, per-file
+    * (path, length, content) rows, pathGlobFilter pushdown — never a
+    * driver-side directory walk). Fixture setup materializes one
+    * .bmp per sampled doc from the executors (foreachPartition — in
+    * production the files already exist); the query then ingests the
+    * directory, parses the id out of the filename, and decodes
+    * dimensions from the CONTENT bytes. Oracle recomputes length and
+    * dims arithmetically (same formulas as q37), so a truncated
+    * write, a wrong glob, or a header mis-parse all fail the hash. */
+  val binaryFileIngest: QueryDef = QueryDef.sql(
+    """SELECT doc_id,
+       CAST(54 + ((3 * (1 + doc_id % 64) + 3) // 4) * 4
+            * (1 + doc_id % 48) AS BIGINT) AS file_len,
+       CAST(1 + doc_id % 64 AS INTEGER) AS width,
+       CAST(1 + doc_id % 48 AS INTEGER) AS height
+       FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    // pid-suffixed like q82/q128: rewritten every call, not shared
+    // across concurrent JVMs on the same sfDir
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q181_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 10 == 0)
+      .foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/img_$id.bmp"),
+            Multimodal.encodeBmp((1 + id % 64).toInt, (1 + id % 48).toInt))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("file_len"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, len, bytes) =>
+        val (w, h) = Multimodal.decodeBmpDims(bytes).getOrElse((0, 0))
+        (id, len, w, h)
+      })
+      .toDF("doc_id", "file_len", "width", "height")
+      .orderBy(col("doc_id"))
+  }
+
   /** Perceptual-hash image near-dup — the multimodal analogue of
     * MinHash text dedup: every doc id renders to a REAL patterned
     * BMP, the payload goes through the full decode → NN-resize(9×8)
@@ -3520,6 +3571,7 @@ object Pipeline {
     "q34_embedding_neardup" -> embeddingNearDup,
     "q35_multimodal_meta" -> multimodalMeta,
     "q37_multimodal_decode" -> multimodalDecode,
+    "q181_binaryfile_ingest" -> binaryFileIngest,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q177_editdist_neardup" -> editDistanceNearDup,
