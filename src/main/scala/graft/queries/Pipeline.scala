@@ -2612,6 +2612,41 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** Raw-line corpus ingest through the text source — the
+    * plain-text/WET shape of the format family (parquet q-everywhere,
+    * ORC q82, JSONL q128, CSV q172, binary files q181): documents
+    * exported one-per-line as `id<TAB>text`, read back as untyped
+    * lines (`spark.read.text` — distributed line splitting, no
+    * schema), and re-parsed row-locally (first-tab split). Oracle
+    * computes the same per-doc token/char stats off the parquet
+    * source, so a line lost, mis-split, or double-escaped in either
+    * direction fails the hash. Newline-free text is asserted by the
+    * write (production corpora escape or length-prefix; the fixture
+    * contract guarantees it). */
+  val textSource: QueryDef = QueryDef.sql(
+    """SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_toks,
+         CAST(length(text) AS INTEGER) AS n_chars
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q182_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    Tables.documents(s, d)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val line = s.read.text(dir)
+    line
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        col("value").substr(instr(col("value"), "\t") + 1,
+          length(col("value"))).as("text"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_toks"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-membership search accelerated by the custom optimizer
     * rule (plans.TokenContainsPrefilter): the filter itself —
     * `array_contains(split(trim(text),' '), 'spark')` — cannot push
@@ -3572,6 +3607,7 @@ object Pipeline {
     "q35_multimodal_meta" -> multimodalMeta,
     "q37_multimodal_decode" -> multimodalDecode,
     "q181_binaryfile_ingest" -> binaryFileIngest,
+    "q182_text_source" -> textSource,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q177_editdist_neardup" -> editDistanceNearDup,
