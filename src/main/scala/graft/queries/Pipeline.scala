@@ -1018,6 +1018,36 @@ object Pipeline {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming state-store dedup under the correctness gate:
+    * at-least-once redelivery (every other event re-emitted twice,
+    * row-local) collapsed back to exactly-once by
+    * `dropDuplicatesWithinWatermark` before a keyed aggregation
+    * ([[graft.streaming.StreamOps.dedupedCounts]]) — the third
+    * streaming-dedup shape next to q120 (stream-static anti-join)
+    * and q71/q73's batch forms, and the only one whose dedup state
+    * lives in the state store with watermark eviction. Oracle: the
+    * duplicates are planted, so exact per-type counts off the batch
+    * table are the right answer iff the dedup removed precisely the
+    * redelivered copies. */
+  val streamDropDup: QueryDef = QueryDef.sql(
+    """SELECT event_type, count(*) AS n,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "graft_q183_stream_sink"
+    val q = graft.streaming.StreamOps.dedupedCounts(
+        graft.streaming.StreamOps.eventsStream(s, d))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("event_type"), col("n"),
+        r6(col("total_value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Stateful streaming sessionization under the correctness gate —
     * flatMapGroupsWithState with event-time timeouts, the flagship
     * arbitrary-state operator, hash-compared against a relational
@@ -3617,6 +3647,7 @@ object Pipeline {
     "q45_frame_sample" -> frameSample,
     "q46_event_gap_minutes" -> eventGapMinutes,
     "q47_stream_tumbling" -> streamTumbling,
+    "q183_stream_dropdup" -> streamDropDup,
     "q48_dedup_clusters" -> dedupClusters,
     "q49_quantize_int8" -> quantizeError,
     "q50_token_frequency" -> tokenFrequency,

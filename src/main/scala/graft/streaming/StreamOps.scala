@@ -83,6 +83,25 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exactly-once restoration via
+    * `dropDuplicatesWithinWatermark`: upstream at-least-once delivery
+    * is simulated by re-emitting every other event twice (row-local
+    * explode — no shuffle), then the state-store dedup on event_id
+    * collapses redelivery back to exactly-once before the keyed
+    * aggregation. WithinWatermark (not plain dropDuplicates on a
+    * stream) is the 100 TB form: per-key dedup state is EVICTED once
+    * the watermark passes, so state stays bounded by the redelivery
+    * horizon instead of growing with the stream's lifetime. */
+  def dedupedCounts(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("copy",
+        explode(sequence(lit(0), pmod(col("event_id"), lit(2)).cast("int"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Arbitrary stateful op: running per-user event count via
     * mapGroupsWithState (KeyValueGroupedDataset). */
   def runningUserCounts(events: DataFrame): DataFrame = {
