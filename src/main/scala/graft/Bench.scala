@@ -62,7 +62,8 @@ object Bench {
     warmups.filter(w => only.isEmpty || only(w)).foreach(runNoop)
     val streamingLane = Set("q47_stream_tumbling", "q120_stream_static_dedup",
       "q144_stream_contamination", "q151_stream_sessionize",
-      "q153_stream_interval_join", "q155_stream_session_window")
+      "q153_stream_interval_join", "q155_stream_session_window",
+      "q183_stream_dropdup")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     def timedPass(name: String): Double = {

@@ -571,6 +571,60 @@ object Advanced {
       .orderBy(col("column_name"))
   }
 
+  /** Per-user triangle counts over the co-occurrence graph (edge:
+    * two users sharing >= 3 distinct (event_type, hour) activity
+    * buckets) — the third graph family member next to PageRank
+    * (q101) and connected components (q48), exercising
+    * [[graft.ops.Graph.triangleCounts]]'s degree-ordered
+    * orientation. The edge derivation is a bucket-bounded
+    * co-occurrence self-join (k² pairs per bucket, k <= bucket
+    * cardinality — never a global cross join) pruned by the
+    * >= 3-bucket support filter; the triangle phase's wedge fan-out
+    * is orientation-bounded, so no hub node can explode a task. The
+    * oracle closes wedges by the id order directly (a < b < c
+    * three-way self-join) — quadratic wedge generation is fine in
+    * DuckDB at fixture scale, and both derivations count each
+    * triangle exactly once. */
+  val triangleCooccur: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+                    user_id FROM events),
+       e AS (SELECT a.user_id AS u, b.user_id AS v
+             FROM p a JOIN p b ON a.event_type = b.event_type
+               AND a.h = b.h AND a.user_id < b.user_id
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       m AS (SELECT a AS user_id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_tri
+       FROM m GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    // pair expansion as row-local array algebra over the per-bucket
+    // sorted user set (k² per bucket, k bounded by bucket
+    // cardinality) — one shuffle fewer than the equivalent bucket
+    // self-join, and the sorted set gives u < v for free. NOT
+    // persisted: the two consumers of the edge relation share its
+    // aggregate exchange (ReusedExchange), same reasoning as
+    // pageRank's uncached edge subplan above.
+    val edges = p.groupBy(col("event_type"), col("h"))
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .select(explode(expr(
+        """flatten(transform(us, (u, i) ->
+           transform(slice(us, i + 2, size(us)),
+             v -> struct(u AS u, v AS v))))""")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .select(col("u"), col("v"))
+    graft.ops.Graph.triangleCounts(edges)
+      .orderBy(col("user_id"))
+  }
+
   /** Weighted PageRank over the user-journey transition graph
     * (event_type → next event_type, edge weight = transition count):
     * the steady-state importance of each funnel stage. Exercises
@@ -1311,6 +1365,7 @@ object Advanced {
     "q99_chi_square" -> chiSquare,
     "q100_column_profile" -> columnProfile,
     "q101_pagerank" -> pageRankTransitions,
+    "q184_triangle_cooccur" -> triangleCooccur,
     "q102_vector_stats" -> vectorStats,
     "q103_incremental_agg" -> incrementalAgg,
     "q104_hll_rollup" -> hllRollup,
