@@ -3551,6 +3551,53 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Systematic WEIGHTED resampling (the particle-filter/SMC
+    * resampler, applied to epoch construction): exactly m = 1000
+    * sample points laid at odd multiples of W/2m across the corpus's
+    * cumulative token-weight axis; each document receives one copy
+    * per point falling in its weight interval — long docs draw
+    * multiple copies, short ones thin out, Σn_copies = m exactly
+    * (asserted by the oracle's own arithmetic). Completes the
+    * sampling family: q58 fraction-stratified, q140 fixed-size
+    * uniform, q132/q133 negative/temperature — this one is
+    * length-WEIGHTED without replacement-noise. The cumulative axis
+    * is [[graft.ops.Packing.withGlobalOffsets]] (range shuffle +
+    * driver prefix of partition totals — never a single-partition
+    * window), the total is one broadcast scalar row, and the
+    * point-counting is row-local ALL-INTEGER arithmetic
+    * (f(X) = ((X+W−1) div W) div 2 — floor = truncate for
+    * nonnegatives, so Spark `div` and DuckDB `//` agree exactly; no
+    * float boundary can flip a selection). */
+  val systematicResample: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len
+           FROM documents),
+       c AS (SELECT doc_id, len,
+               coalesce(sum(len) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS lo
+             FROM t),
+       w AS (SELECT sum(len) AS tw FROM t),
+       s AS (SELECT doc_id,
+               ((2*1000*(lo+len) + tw - 1) // tw) // 2
+             - ((2*1000*lo + tw - 1) // tw) // 2 AS n_copies
+             FROM c CROSS JOIN w)
+       SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+       FROM s WHERE n_copies > 0 ORDER BY doc_id""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("len"))
+    val withOff = graft.ops.Packing.withGlobalOffsets(t, "doc_id", "len")
+    val tot = t.agg(sum(col("len")).as("tw"))
+    withOff.crossJoin(broadcast(tot))
+      .withColumn("n_copies", expr(
+        """(((2*1000*(offset+len) + tw - 1) div tw) div 2)
+         - (((2*1000*offset + tw - 1) div tw) div 2)"""))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("n_copies").cast("long").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic fixed-SIZE global sample — eval-set / human-review
     * batch construction (q58 samples fixed FRACTIONS per stratum;
     * this draws exactly k rows corpus-wide): the k smallest
@@ -3686,6 +3733,7 @@ object Pipeline {
     "q142_contamination_lsh" -> contaminationLsh,
     "q137_dataset_interleave" -> datasetInterleave,
     "q140_reservoir_sample" -> reservoirSample,
+    "q185_systematic_resample" -> systematicResample,
     "q141_ngram_novelty" -> ngramNovelty,
     "q132_negative_sampling" -> negativeSampling,
     "q133_temperature_sampling" -> temperatureSampling,
