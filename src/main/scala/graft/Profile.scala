@@ -67,6 +67,47 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "q184-scale") {
+      // triangle-counting scale probe: replicate events k-fold with a
+      // disjoint user-id offset per replica (k x nodes/edges/wedges,
+      // component structure preserved per replica), so the timing
+      // isolates how the oriented-wedge machinery scales with graph
+      // volume. Probe consumes the operator's real output columns
+      // (sum over n_tri), per the SURVEY 13.14 lesson.
+      import org.apache.spark.sql.DataFrame
+      def tri(k: Int): DataFrame = {
+        val base = Tables.events(spark, sfDir)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("user_id"))
+        val rep = base
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          // replica-suffixed bucket key AND shifted user ids: replicas
+          // are fully disjoint subgraphs, so edges/wedges scale by k
+          // (same bucket key would instead square the pair expansion)
+          .select(concat(col("event_type"), lit("_"), col("r"))
+              .as("event_type"), col("h"),
+            (col("user_id") + col("r") * 1000000L).as("user_id"))
+          .distinct()
+        val edges = rep.groupBy(col("event_type"), col("h"))
+          .agg(sort_array(collect_set(col("user_id"))).as("us"))
+          .select(explode(expr(
+            """flatten(transform(us, (u, i) ->
+               transform(slice(us, i + 2, size(us)),
+                 v -> struct(u AS u, v AS v))))""")).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3).select(col("u"), col("v"))
+        ops.Graph.triangleCounts(edges)
+      }
+      def consume(df: DataFrame): Unit =
+        println("  tri total = " +
+          df.agg(sum(col("n_tri"))).collect()(0).getLong(0))
+      timed("q184 1x")(consume(tri(1)))
+      timed("q184 10x")(consume(tri(10)))
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
       // (same measurement discipline as Bench, without the full sweep)
