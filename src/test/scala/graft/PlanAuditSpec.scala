@@ -455,6 +455,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q165 must not plan a shuffled cross product:\n$q11")
   }
 
+  test("session-4 closure shapes: q184 joins stay keyed (no cartesian/" +
+      "BNLJ), q185's prefix-sum window rides the range pid and its " +
+      "total arrives by broadcast") {
+    // triangle counting: every join is equi-keyed (apex, far pair) —
+    // a refactor that degrades the wedge or closing join to a
+    // nested-loop/cartesian product would be quadratic in |V|
+    val p184 = executedPlan("q184_triangle_cooccur")
+    assert(!p184.contains("CartesianProduct"),
+      s"q184 plans a cartesian product:\n$p184")
+    assert(!p184.contains("BroadcastNestedLoopJoin"),
+      s"q184 plans a nested-loop join:\n$p184")
+    // systematic resampling: the cumulative-weight axis must be the
+    // two-phase prefix sum (windows partitioned by the range pid,
+    // never a single-partition global window), and the 1-row total
+    // joins by broadcast, not a shuffle
+    val p185 = executedPlan("q185_systematic_resample")
+    val win185 = p185.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(win185.nonEmpty, "q185 lost its prefix-sum window")
+    assert(win185.forall(_.contains("__pid")),
+      s"q185 has a window not partitioned by the prefix-sum pid:\n" +
+        win185.mkString("\n"))
+    assert(p185.contains("BroadcastNestedLoopJoin")
+        || p185.contains("BroadcastHashJoin"),
+      s"q185's total-weight row must arrive by broadcast:\n$p185")
+    assert(!p185.contains("CartesianProduct"),
+      s"q185 must not shuffle a cross product:\n$p185")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
