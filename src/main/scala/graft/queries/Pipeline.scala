@@ -2788,6 +2788,93 @@ object Pipeline {
     * (VERDICT r3 #2). n_members rides the same (label, dim) group
     * for free: every member contributes exactly one value per dim.
     * Oracle: unnest + generate_subscripts (1-based → -1) in DuckDB. */
+  private def kmIterCte(i: Int): String = s"""
+a$i AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT q.vec_id, c.cluster,
+      list_sum(list_transform(generate_series(1, 64),
+        j -> (CAST(q.v[j] AS DOUBLE) - c.c[j])
+           * (CAST(q.v[j] AS DOUBLE) - c.c[j]))) AS d,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_sum(list_transform(generate_series(1, 64),
+          j -> (CAST(q.v[j] AS DOUBLE) - c.c[j])
+             * (CAST(q.v[j] AS DOUBLE) - c.c[j]))), c.cluster) AS rn
+    FROM q CROSS JOIN c${i - 1} c) WHERE rn = 1),
+m$i AS (SELECT a.cluster, s.dim, sum(s.val) AS sv, count(*) AS n
+        FROM a$i a JOIN s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
+        FROM m$i GROUP BY 1)"""
+
+  /** Distributed k-means (Lloyd, k = 8, 3 fixed iterations,
+    * first-k-ids init) — the clustering operator under the full
+    * oracle, which float k-means normally cannot survive: the
+    * centroid mean is a reduction whose float result depends on
+    * partial-sum order, so the same data clusters differently run to
+    * run at scale. The fix is the operator's own design, not an
+    * oracle trick: inputs QUANTIZE to integers (round(x·1024) after
+    * an explicit float→double cast on both engines), per-cluster
+    * per-dim sums are then EXACT and order-free — the plain
+    * map-side-combined groupBy shape that scales — and only the
+    * final mean division and the fixed-dim-order distance fold are
+    * float, both deterministic given identical inputs. Assignment
+    * ties break to the smaller cluster id (min(struct(d, cluster))
+    * here, ORDER BY d, cluster in the oracle). Each iteration: one
+    * 8-row broadcast to every vector (row-local array fold, no
+    * shuffle) + one (cluster, dim) partial-agg shuffle of skinny
+    * integer rows. Iteration count fixed, like q101's PageRank — the
+    * whole computation is one declarative plan, unrolled in the
+    * oracle as chained CTEs. */
+  val kmeansAssign: QueryDef = QueryDef.sql(
+    """WITH q AS (SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(x * 1024) AS BIGINT)) AS v
+       FROM embeddings),
+    s AS (SELECT vec_id, unnest(v) AS val,
+            generate_subscripts(v, 1) AS dim FROM q),
+    c0 AS (SELECT vec_id AS cluster,
+             list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+           FROM q WHERE vec_id < 8),""" +
+      Seq(1, 2, 3).map(kmIterCte).mkString(",") + """
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+      floor(d * 1000000 + 0.5) / 1000000 AS dist
+    FROM a3 ORDER BY vec_id""") { (s, d) =>
+    import org.apache.spark.sql.DataFrame
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1024).cast("long")).as("v"))
+    val sh = q.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("dim", "val")))
+    var cent: DataFrame = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        transform(col("v"), x => x.cast("double")).as("c"))
+    var assign: DataFrame = null
+    for (_ <- 1 to 3) {
+      val dist = aggregate(
+        zip_with(col("v"), col("c"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), _ + _)
+      assign = q.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cluster"), dist.as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d").as("d"))
+      cent = assign.join(sh, "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("val")).as("sv"), count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("sv").cast("double") / col("n")).as("cv")))),
+          e => e.getField("cv")).as("c"))
+    }
+    assign
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        r6(col("d")).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   val labelCentroids: QueryDef = QueryDef.sql(
     """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
            unnest(embedding) AS val,
@@ -3763,6 +3850,7 @@ object Pipeline {
     "q83_token_search" -> tokenSearch,
     "q84_random_projection" -> randomProjectionQ,
     "q85_label_centroids" -> labelCentroids,
+    "q186_kmeans_assign" -> kmeansAssign,
     "q86_quantile_binning" -> quantileBinning,
   )
 }
