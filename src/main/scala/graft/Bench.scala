@@ -66,6 +66,22 @@ object Bench {
       "q183_stream_dropdup")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // streaming-lane warmup (untimed): the lane's first query
+    // otherwise absorbs the micro-batch machinery's one-time JVM cost
+    // (state-store provider, checkpoint/offset-log classes, streaming
+    // planner) on top of its own fixed per-stream overhead. One
+    // minimal availableNow stream at the SMALLEST fixture warms the
+    // code paths; each timed stream still pays its own declared
+    // checkpoint/batch cost, which is the number the lane reports.
+    if (names.exists(streamingLane)) {
+      val q = graft.streaming.StreamOps.windowedCounts(
+          graft.streaming.StreamOps.eventsStream(spark,
+            "/root/testdata/sf0.001"))
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     def timedPass(name: String): Double = {
       // every pass starts cache-cold: operator persists are released
       // and the catalog cleared BEFORE the timer, else CacheManager's
