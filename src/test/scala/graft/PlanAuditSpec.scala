@@ -483,6 +483,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q185 must not shuffle a cross product:\n$p185")
   }
 
+  test("q186 k-means: centroids arrive by broadcast each iteration, " +
+      "never a shuffled cross product; centroid sums partial-agg") {
+    val p = executedPlan("q186_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"q186's 8-row centroid relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q186 plans a shuffled cross product:\n$p")
+    // the (cluster, dim) integer sums must ride hash aggregation
+    // (map-side combine) — an object/sort agg here means the exact-
+    // sum design lost its scalable shape
+    assert(p.contains("HashAggregate"),
+      s"q186 centroid sums lost hash aggregation:\n$p")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
