@@ -2642,6 +2642,37 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** Hive-layout partitioned write + partition-PRUNED read — the
+    * data-skipping mechanism every at-scale pipeline leans on before
+    * any file- or row-group-level trick (q70 z-order, q62 bloom):
+    * rows land in `event_type=<v>/` directories via
+    * [[graft.sources.PartitionedParquetSink]], and the read-back
+    * filter on the partition column resolves at PLANNING time —
+    * `PartitionFilters` in the scan, zero bytes of the other four
+    * partitions' files touched (SinksSpec asserts the pruned scan
+    * shape; this row puts the semantics under the oracle). Layout
+    * never changes content, so the oracle is the same aggregate off
+    * the unpartitioned source. */
+  val partitionPruning: QueryDef = QueryDef.sql(
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n,
+         floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+       FROM events WHERE event_type = 'click'
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q187_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    new graft.sources.PartitionedParquetSink(dir, Seq("event_type"))
+      .write(Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"),
+            col("value")),
+        "events_part", org.apache.spark.sql.SaveMode.Overwrite)
+    s.read.parquet(s"$dir/events_part")
+      .filter(col("event_type") === "click")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("total_value"))
+      .orderBy(col("d"))
+  }
+
   /** Raw-line corpus ingest through the text source — the
     * plain-text/WET shape of the format family (parquet q-everywhere,
     * ORC q82, JSONL q128, CSV q172, binary files q181): documents
@@ -3772,6 +3803,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q37_multimodal_decode" -> multimodalDecode,
     "q181_binaryfile_ingest" -> binaryFileIngest,
     "q182_text_source" -> textSource,
+    "q187_partition_pruning" -> partitionPruning,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q177_editdist_neardup" -> editDistanceNearDup,

@@ -498,6 +498,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q186 centroid sums lost hash aggregation:\n$p")
   }
 
+  test("q187's read-back filter resolves as partition pruning, not a " +
+      "data filter") {
+    val p = executedPlan("q187_partition_pruning")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("events_part"))
+    assert(scan.isDefined, s"q187 lost its partitioned read-back:\n$p")
+    assert(scan.get.contains("PartitionFilters")
+        && scan.get.replaceAll(".*PartitionFilters", "")
+          .contains("event_type"),
+      s"q187's event_type predicate must prune partitions:\n${scan.get}")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
