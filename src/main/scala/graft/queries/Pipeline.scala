@@ -2819,6 +2819,82 @@ object Pipeline {
     * (VERDICT r3 #2). n_members rides the same (label, dim) group
     * for free: every member contributes exactly one value per dim.
     * Oracle: unnest + generate_subscripts (1-based → -1) in DuckDB. */
+  private def bpeRoundCte(i: Int): String = s"""
+t$i AS (SELECT doc_id, list_filter(string_split(st, '  '), x -> x <> '')
+          AS toks FROM s$i),
+p$i AS (SELECT toks[j] AS a, toks[j+1] AS b, count(*) AS cnt
+        FROM t$i, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(j)
+        GROUP BY 1, 2),
+b$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+s${i + 1} AS (SELECT doc_id,
+           replace(st, ' ' || a || '  ' || b || ' ',
+                       ' ' || a || '_' || b || ' ') AS st
+         FROM s$i CROSS JOIN b$i)"""
+
+  /** BPE tokenizer TRAINING — the iterative top-pair merge loop
+    * itself, not just one round's pair counts (q125): three unrolled
+    * merge rounds, each = corpus-wide adjacent-pair count (one
+    * shuffle) → global argmax pair (TakeOrdered 1 row, ties by pair
+    * text) → merge applied corpus-wide. The learned merges are
+    * DATA-DEPENDENT scalars that stay IN-PLAN (1-row broadcast cross
+    * join, the q165-threshold pattern — no driver round-trip), so
+    * the whole training loop is one declarative plan. Merge
+    * application is leftmost-non-overlapping string replace over a
+    * DOUBLE-SPACE-joined token string: the pattern ` a  b ` consumes
+    * one space from each side gap, so adjacent merge sites never
+    * consume each other's delimiter (replace semantics agree between
+    * JVM and DuckDB — verified by the fp hash). Output: per-doc
+    * post-merge token count + an md5 fingerprint of the merged
+    * stream, so a wrong pair choice in ANY round fails the hash. */
+  val bpeTrain: QueryDef = QueryDef.sql(
+    """WITH s0 AS (SELECT doc_id,
+         '  ' || replace(trim(text), ' ', '  ') || '  ' AS st
+       FROM documents),""" +
+      Seq(0, 1, 2).map(bpeRoundCte).mkString(",") + """,
+    tf AS (SELECT doc_id,
+             list_filter(string_split(st, '  '), x -> x <> '') AS toks,
+             st FROM s3)
+    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+           md5(trim(st)) AS fp
+    FROM tf ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.DataFrame
+    var st: DataFrame = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("  "), expr("replace(trim(text), ' ', '  ')"),
+          lit("  ")).as("st"))
+    for (_ <- 1 to 3) {
+      // persist the (tiny: one string row per doc) state at each
+      // round boundary: round r's state feeds BOTH its own pair count
+      // and round r+1's replace — uncached, round 3 would re-execute
+      // rounds 1-2's TakeOrdered subplans inside its lineage
+      // (measured 15.3 s → 2.4 s at sf0.1). Lifetime via Caching.
+      st = graft.Caching.retain(st.persist())
+      // toks projected ONCE per row — inlining the filter(split(...))
+      // into every lambda field reference re-splits the string 4x
+      val top1 = st
+        .withColumn("toks", expr("filter(split(st, '  '), x -> x != '')"))
+        .select(explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(0, size(toks) - 2),
+                 j -> struct(toks[j] AS a, toks[j+1] AS b))
+             ELSE array() END""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .select(col("a"), col("b"))
+      st = st.crossJoin(broadcast(top1))
+        .select(col("doc_id"),
+          expr("""replace(st, ' ' || a || '  ' || b || ' ',
+                              ' ' || a || '_' || b || ' ')""").as("st"))
+    }
+    st.select(col("doc_id"),
+        size(expr("filter(split(st, '  '), x -> x != '')"))
+          .as("n_toks"),
+        md5(expr("trim(st)")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   private def kmIterCte(i: Int): String = s"""
 a$i AS (
   SELECT vec_id, cluster, d FROM (
@@ -3883,6 +3959,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q84_random_projection" -> randomProjectionQ,
     "q85_label_centroids" -> labelCentroids,
     "q186_kmeans_assign" -> kmeansAssign,
+    "q188_bpe_train" -> bpeTrain,
     "q86_quantile_binning" -> quantileBinning,
   )
 }
