@@ -102,8 +102,11 @@ object Profile {
       def consume(df: DataFrame): Unit =
         println("  tri total = " +
           df.agg(sum(col("n_tri"))).collect()(0).getLong(0))
-      timed("q184 1x")(consume(tri(1)))
-      timed("q184 10x")(consume(tri(10)))
+      // replica counts from the CLI (default the 1x/10x pair); the
+      // 100x tier is run the same way with `q184-scale 1 100`
+      val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      ks.foreach(k => timed(s"q184 ${k}x")(consume(tri(k))))
       spark.stop()
       return
     }
