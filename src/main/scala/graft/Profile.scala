@@ -111,6 +111,34 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "q186-scale") {
+      // k-means scale probe: replicate embeddings k-fold (shifted
+      // vec_ids; init still the first 8 ids so every tier runs the
+      // same k and iteration count) and time the full 3-iteration
+      // Lloyd plan. Per iteration the broadcast-assign is linear in N
+      // and the centroid update is a skinny integer shuffle, so the
+      // tier should scale ~linearly. Consumes the real output (sum
+      // over cluster ids + distances), per the SURVEY 13.14 lesson.
+      import org.apache.spark.sql.DataFrame
+      def km(k: Int): DataFrame = {
+        val rep = Tables.embeddings(spark, sfDir)
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+            col("embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_p186_$k"
+        rep.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        SparkEntry.queries("q186_kmeans_assign")(spark, dir)
+      }
+      def consume(df: DataFrame): Unit =
+        println("  sum = " + df.agg(sum(col("cluster") + col("dist")))
+          .collect()(0).get(0))
+      val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      ks.foreach(k => timed(s"q186 ${k}x")(consume(km(k))))
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
       // (same measurement discipline as Bench, without the full sweep)
