@@ -571,6 +571,69 @@ object Advanced {
       .orderBy(col("column_name"))
   }
 
+  /** Per-user CUSUM drift detection (Page's cumulative-sum control
+    * chart — the sequential change-point detector KS-drift (q91)
+    * cannot replace: KS compares whole distributions, CUSUM flags
+    * WHEN a sustained shift starts, online): S_i = max(0,
+    * S_{i-1} + (x_i − target)), alarm when the running peak crosses
+    * h. The recursion is inherently sequential per user, so it runs
+    * as ONE user_id shuffle + a row-local ordered fold over the
+    * collected event sequence (q173's closed-form trick does not
+    * apply — max-recursion has no prefix-sum form; per-user history
+    * is bounded, same contract as q173/q25). Determinism: the fold
+    * order is (us, event_id)-sorted on both engines, the reference
+    * is a FIXED target (a data-derived float mean would reintroduce
+    * reduction-order nondeterminism), and every operation is a
+    * double add/subtract/max folded in the same order — DuckDB's
+    * sentinel-prepended list_reduce is the same left fold as Spark's
+    * aggregate with an explicit zero state. (Oracle note: the state
+    * rides a 2-element DOUBLE list, not a struct — DuckDB 1.0's
+    * list_reduce mis-evaluates the second field of a struct
+    * accumulator, observed peak 518.51 vs the hand-fold's 333.03;
+    * the list encoding reproduces the hand fold exactly.) */
+  val cusumDrift: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+         FROM events),
+       g AS (SELECT user_id,
+               list_transform(list(struct_pack(us := us, eid := event_id,
+                   v := value) ORDER BY us, event_id), r -> r.v) AS vals
+             FROM e GROUP BY 1),
+       f AS (SELECT user_id,
+               list_reduce(
+                 list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+                   list_transform(vals, x -> [x::DOUBLE, 0.0::DOUBLE])),
+                 (acc, x) ->
+                   [greatest(0.0::DOUBLE, acc[1] + (x[1] - 55.0::DOUBLE)),
+                    greatest(acc[2], greatest(0.0::DOUBLE,
+                      acc[1] + (x[1] - 55.0::DOUBLE)))]) AS st
+             FROM g)
+       SELECT user_id,
+         floor(st[1] * 1000000 + 0.5) / 1000000 AS cusum_end,
+         floor(st[2] * 1000000 + 0.5) / 1000000 AS cusum_peak,
+         st[2] > 500.0::DOUBLE AS alarm
+       FROM f ORDER BY user_id""") { (s, d) =>
+    val step: (Column, Column) => Column = (acc, x) =>
+      struct(
+        greatest(lit(0.0), acc.getField("s") + (x - lit(55.0))).as("s"),
+        greatest(acc.getField("m"),
+          greatest(lit(0.0), acc.getField("s") + (x - lit(55.0)))).as("m"))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("value").as("v")))).as("seq"))
+      .select(col("user_id"),
+        aggregate(
+          transform(col("seq"), r => r.getField("v")),
+          struct(lit(0.0).as("s"), lit(0.0).as("m")),
+          step).as("st"))
+      .select(col("user_id"),
+        r6(col("st.s")).as("cusum_end"),
+        r6(col("st.m")).as("cusum_peak"),
+        (col("st.m") > lit(500.0)).as("alarm"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user triangle counts over the co-occurrence graph (edge:
     * two users sharing >= 3 distinct (event_type, hour) activity
     * buckets) — the third graph family member next to PageRank
@@ -1366,6 +1429,7 @@ object Advanced {
     "q100_column_profile" -> columnProfile,
     "q101_pagerank" -> pageRankTransitions,
     "q184_triangle_cooccur" -> triangleCooccur,
+    "q189_cusum_drift" -> cusumDrift,
     "q102_vector_stats" -> vectorStats,
     "q103_incremental_agg" -> incrementalAgg,
     "q104_hll_rollup" -> hllRollup,
