@@ -634,6 +634,69 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user Holt double-exponential smoothing (level + trend,
+    * α=0.3, β=0.1, standard l₀=x₁ / b₀=x₂−x₁ init) with a one-step
+    * forecast — the forecasting-family member next to q173's EWMA
+    * (single smoothing, closed-form windowable) and q189's CUSUM:
+    * the TREND recursion couples two states, so no closed form — it
+    * runs as the same one-shuffle + row-local ordered fold contract
+    * as q189, with the identical determinism story (fixed
+    * constants, (us, event_id) fold order, double arithmetic in the
+    * same tree shape on both engines; list-encoded oracle state per
+    * the q189 DuckDB struct-accumulator note). */
+  val holtForecast: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+         FROM events),
+       g AS (SELECT user_id,
+               list_transform(list(struct_pack(us := us, eid := event_id,
+                   v := value) ORDER BY us, event_id), r -> r.v) AS vals
+             FROM e GROUP BY 1),
+       f AS (SELECT user_id, len(vals) AS n,
+               list_reduce(
+                 list_prepend(
+                   [vals[1]::DOUBLE, (vals[2] - vals[1])::DOUBLE],
+                   list_transform(vals[3:], x -> [x::DOUBLE, 0.0::DOUBLE])),
+                 (acc, x) ->
+                   [0.3::DOUBLE * x[1]
+                      + 0.7::DOUBLE * (acc[1] + acc[2]),
+                    0.1::DOUBLE * ((0.3::DOUBLE * x[1]
+                        + 0.7::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                      + 0.9::DOUBLE * acc[2]]) AS st
+             FROM g WHERE len(vals) >= 3)
+       SELECT user_id, CAST(n AS INTEGER) AS n_obs,
+         floor(st[1] * 1000000 + 0.5) / 1000000 AS level_end,
+         floor(st[2] * 1000000 + 0.5) / 1000000 AS trend_end,
+         floor((st[1] + st[2]) * 1000000 + 0.5) / 1000000 AS forecast_1
+       FROM f ORDER BY user_id""") { (s, d) =>
+    val step: (Column, Column) => Column = (acc, x) => {
+      val lNew = lit(0.3) * x +
+        lit(0.7) * (acc.getField("l") + acc.getField("b"))
+      struct(lNew.as("l"),
+        (lit(0.1) * (lNew - acc.getField("l")) +
+          lit(0.9) * acc.getField("b")).as("b"))
+    }
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("value").as("v")))).as("seq"))
+      .select(col("user_id"),
+        transform(col("seq"), r => r.getField("v")).as("vals"))
+      .filter(size(col("vals")) >= 3)
+      .select(col("user_id"), size(col("vals")).as("n_obs"),
+        aggregate(
+          slice(col("vals"), lit(3), size(col("vals")) - 2),
+          struct(element_at(col("vals"), 1).as("l"),
+            (element_at(col("vals"), 2) - element_at(col("vals"), 1))
+              .as("b")),
+          step).as("st"))
+      .select(col("user_id"), col("n_obs"),
+        r6(col("st.l")).as("level_end"),
+        r6(col("st.b")).as("trend_end"),
+        r6(col("st.l") + col("st.b")).as("forecast_1"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user triangle counts over the co-occurrence graph (edge:
     * two users sharing >= 3 distinct (event_type, hour) activity
     * buckets) — the third graph family member next to PageRank
@@ -1430,6 +1493,7 @@ object Advanced {
     "q101_pagerank" -> pageRankTransitions,
     "q184_triangle_cooccur" -> triangleCooccur,
     "q189_cusum_drift" -> cusumDrift,
+    "q190_holt_forecast" -> holtForecast,
     "q102_vector_stats" -> vectorStats,
     "q103_incremental_agg" -> incrementalAgg,
     "q104_hll_rollup" -> hllRollup,
