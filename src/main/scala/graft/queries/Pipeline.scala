@@ -3270,6 +3270,47 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("lang"))
   }
 
+  /** Malformed-record tolerance — what a 100 TB lake ingest actually
+    * faces: rows written by years of heterogeneous producers, some
+    * corrupt. Every 7th document's integer field is deliberately
+    * mangled on the way out; the read-back runs under PERMISSIVE
+    * mode with `columnNameOfCorruptRecord`, so bad rows surface as
+    * (parsed-what-we-could + raw line in the corrupt column) instead
+    * of killing the job (FAILFAST) or silently vanishing
+    * (DROPMALFORMED). The aggregate counts rows, quarantined rows,
+    * and clean-field sums per lang in ONE pass — no
+    * corrupt-column-only subquery (Spark disallows referencing only
+    * the corrupt column from a raw scan). Oracle recomputes from the
+    * planted corruption pattern, so a row dropped or mis-quarantined
+    * on either side fails the hash. */
+  val malformedTolerance: QueryDef = QueryDef.sql(
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad,
+         CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END)
+              AS BIGINT) AS good_chars
+       FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q191_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    Tables.documents(s, d)
+      .select(concat_ws(",", col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, lit("xx"))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT," +
+        " _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt").isNotNull, 1).otherwise(0)).as("n_bad"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("good_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Fill-in-middle (FIM) transformation — the code/infilling
     * pretraining data op: split each document at its 1/3 and 2/3
     * character cuts and re-emit in PSM order
@@ -3880,6 +3921,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q181_binaryfile_ingest" -> binaryFileIngest,
     "q182_text_source" -> textSource,
     "q187_partition_pruning" -> partitionPruning,
+    "q191_malformed_tolerance" -> malformedTolerance,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q177_editdist_neardup" -> editDistanceNearDup,
