@@ -3311,6 +3311,43 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("lang"))
   }
 
+  /** Schema-evolution readback — the other inevitable lake reality
+    * next to q191's corruption: files written before and after a
+    * column was added must read as ONE relation. Two parquet
+    * generations land in the same directory (gen1: doc_id/lang/
+    * n_chars for even ids; gen2: + a quality column for odd ids);
+    * the `mergeSchema` read unions the footers, gen1 rows surface
+    * the new column as NULL, and the aggregate proves both
+    * generations contribute: per-lang row count, rows carrying the
+    * new column, and its null-skipping sum. (S2's glob scan
+    * unit-covers the mechanism; this row puts end-to-end semantics
+    * under the oracle.) Oracle recomputes from the id-parity
+    * generation rule. */
+  val schemaEvolution: QueryDef = QueryDef.sql(
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gen2,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 ELSE 0 END)
+              AS BIGINT) AS quality_sum
+       FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q192_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", col("n_chars") * 2)
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    Tables.glob(s, s"$dir/gen=*")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("quality").isNotNull, 1).otherwise(0)).as("n_gen2"),
+        sum(coalesce(col("quality"), lit(0L))).as("quality_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** Fill-in-middle (FIM) transformation — the code/infilling
     * pretraining data op: split each document at its 1/3 and 2/3
     * character cuts and re-emit in PSM order
@@ -3922,6 +3959,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q182_text_source" -> textSource,
     "q187_partition_pruning" -> partitionPruning,
     "q191_malformed_tolerance" -> malformedTolerance,
+    "q192_schema_evolution" -> schemaEvolution,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q39_ngram_jaccard" -> ngramJaccard,
     "q177_editdist_neardup" -> editDistanceNearDup,
