@@ -571,6 +571,64 @@ object Advanced {
       .orderBy(col("column_name"))
   }
 
+  /** Exact interpolated multi-quantile per group — the EXACT
+    * counterpart of q64's approx_quantiles (Greenwald-Khanna sketch):
+    * Spark's `percentile` aggregate computes the same linear
+    * interpolation (rank p·(n−1), lerp between floor/ceil neighbors)
+    * as DuckDB's `quantile_cont`, so the oracle is a direct parity
+    * check on the formula. Exact percentile buffers each group's
+    * values — the right tool for bounded group cardinality (per-type
+    * event values here); at unbounded cardinality q64's sketch is
+    * the scale path, and having BOTH rows documents the tradeoff. */
+  val exactQuantiles: QueryDef = QueryDef.sql(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000
+           AS q25,
+         floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000
+           AS q50,
+         floor(quantile_cont(value, 0.90) * 1000000 + 0.5) / 1000000
+           AS q90
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r6(percentile(col("value"), lit(0.25))).as("q25"),
+        r6(percentile(col("value"), lit(0.50))).as("q50"),
+        r6(percentile(col("value"), lit(0.90))).as("q90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-GROUP exact-k deterministic sample — closes the sampling
+    * matrix's last cell (q58 per-stratum FRACTION, q140 global
+    * fixed-k, q185 weighted-systematic; this is per-stratum
+    * fixed-k): the k smallest content-independent md5(doc_id) hashes
+    * per lang, so every stratum yields exactly k rows regardless of
+    * its size — the balanced-eval-set construction. Rides the
+    * bounded-heap grouped top-k (negated hash → the DESC heap keeps
+    * the ascending-hash winners; ties to the smaller id on both
+    * engines), k rows per task per group across the shuffle — never
+    * a per-group sort. */
+  val groupedSample: QueryDef = QueryDef.sql(
+    """SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id FROM (
+         SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT), doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 5 ORDER BY lang, rank""") { (s, d) =>
+    val top5 = graft.ops.TopK.topk(5)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy(col("lang"))
+      .agg(top5(-col("hv").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Per-user CUSUM drift detection (Page's cumulative-sum control
     * chart — the sequential change-point detector KS-drift (q91)
     * cannot replace: KS compares whole distributions, CUSUM flags
@@ -1494,6 +1552,8 @@ object Advanced {
     "q184_triangle_cooccur" -> triangleCooccur,
     "q189_cusum_drift" -> cusumDrift,
     "q190_holt_forecast" -> holtForecast,
+    "q193_exact_quantiles" -> exactQuantiles,
+    "q194_grouped_sample" -> groupedSample,
     "q102_vector_stats" -> vectorStats,
     "q103_incremental_agg" -> incrementalAgg,
     "q104_hll_rollup" -> hllRollup,
