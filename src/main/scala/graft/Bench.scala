@@ -70,13 +70,14 @@ object Bench {
     // otherwise absorbs the micro-batch machinery's one-time JVM cost
     // (state-store provider, checkpoint/offset-log classes, streaming
     // planner) on top of its own fixed per-stream overhead. One
-    // minimal availableNow stream at the SMALLEST fixture warms the
-    // code paths; each timed stream still pays its own declared
-    // checkpoint/batch cost, which is the number the lane reports.
+    // minimal availableNow stream over the CONFIGURED fixture warms
+    // the code paths (sfDir, not a hardcoded sibling — the bench must
+    // run wherever SPARK_GRAFT_SF_DIR points); each timed stream
+    // still pays its own declared checkpoint/batch cost, which is the
+    // number the lane reports.
     if (names.exists(streamingLane)) {
       val q = graft.streaming.StreamOps.windowedCounts(
-          graft.streaming.StreamOps.eventsStream(spark,
-            "/root/testdata/sf0.001"))
+          graft.streaming.StreamOps.eventsStream(spark, sfDir))
         .writeStream.format("noop")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

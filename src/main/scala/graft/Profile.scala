@@ -88,20 +88,13 @@ object Profile {
               .as("event_type"), col("h"),
             (col("user_id") + col("r") * 1000000L).as("user_id"))
           .distinct()
-        val edges = rep.groupBy(col("event_type"), col("h"))
-          .agg(sort_array(collect_set(col("user_id"))).as("us"))
-          .select(explode(expr(
-            """flatten(transform(us, (u, i) ->
-               transform(slice(us, i + 2, size(us)),
-                 v -> struct(u AS u, v AS v))))""")).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 3).select(col("u"), col("v"))
-        ops.Graph.triangleCounts(edges)
+        ops.Graph.triangleCounts(ops.Graph.cooccurEdges(rep,
+          Seq("event_type", "h"), "user_id", minSupport = 3))
       }
       def consume(df: DataFrame): Unit =
         println("  tri total = " +
-          df.agg(sum(col("n_tri"))).collect()(0).getLong(0))
+          df.agg(coalesce(sum(col("n_tri")), lit(0L)))
+            .collect()(0).getLong(0))
       // replica counts from the CLI (default the 1x/10x pair); the
       // 100x tier is run the same way with `q184-scale 1 100`
       val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
@@ -125,7 +118,11 @@ object Profile {
           .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
           .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
             col("embedding"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_p186_$k"
+        // pid+sfDir-suffixed like the q82/q181 roundtrip rows, so
+        // concurrent JVMs / different fixture roots never share it
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_p186_" +
+          s"${k}_${Integer.toHexString(sfDir.hashCode)}_" +
+          ProcessHandle.current().pid()
         rep.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         SparkEntry.queries("q186_kmeans_assign")(spark, dir)
       }

@@ -63,6 +63,27 @@ object Graph {
     ranks
   }
 
+  /** Undirected co-occurrence edges (u < v) over a bucketed
+    * projection: pair expansion as row-local array algebra over the
+    * per-bucket SORTED user set (k² per bucket, k bounded by bucket
+    * cardinality — one shuffle fewer than the equivalent bucket
+    * self-join, and the sorted set gives u < v for free), kept when
+    * the pair shares at least `minSupport` distinct buckets.
+    *
+    * @param p (bucketCol*, user) projection, pre-distinct */
+  def cooccurEdges(p: DataFrame, bucketCols: Seq[String],
+      userCol: String, minSupport: Int): DataFrame =
+    p.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(col(userCol))).as("us"))
+      .select(explode(expr(
+        """flatten(transform(us, (u, i) ->
+           transform(slice(us, i + 2, size(us)),
+             v -> struct(u AS u, v AS v))))""")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(col("u"), col("v"))
+
   /** Per-node triangle counts by degree-ordered edge orientation
     * (Schank/Wagner; the node-iterator++ every distributed engine
     * uses): each undirected edge is directed from its lower-degree
@@ -75,7 +96,8 @@ object Graph {
     * between a web-scale graph finishing and its highest-degree hub
     * generating deg² wedges in one task. Three shuffles total (degree
     * agg, wedge self-join on apex, closing join on the far pair),
-    * all on node/pair keys.
+    * all on node/pair keys. Edge derivation shared with the scale
+    * probe via [[cooccurEdges]] so the two cannot drift apart.
     *
     * Orientation is computed JOIN-FREE (measured 1.6× end-to-end vs
     * the degree-relation double-join at sf0.1): each edge explodes

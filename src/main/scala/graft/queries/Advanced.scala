@@ -788,23 +788,13 @@ object Advanced {
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         col("user_id"))
       .distinct()
-    // pair expansion as row-local array algebra over the per-bucket
-    // sorted user set (k² per bucket, k bounded by bucket
-    // cardinality) — one shuffle fewer than the equivalent bucket
-    // self-join, and the sorted set gives u < v for free. NOT
-    // persisted: the two consumers of the edge relation share its
-    // aggregate exchange (ReusedExchange), same reasoning as
-    // pageRank's uncached edge subplan above.
-    val edges = p.groupBy(col("event_type"), col("h"))
-      .agg(sort_array(collect_set(col("user_id"))).as("us"))
-      .select(explode(expr(
-        """flatten(transform(us, (u, i) ->
-           transform(slice(us, i + 2, size(us)),
-             v -> struct(u AS u, v AS v))))""")).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3)
-      .select(col("u"), col("v"))
+    // edge derivation shared with the scale probe
+    // ([[graft.ops.Graph.cooccurEdges]]); NOT persisted — the two
+    // consumers of the edge relation share its aggregate exchange
+    // (ReusedExchange), same reasoning as pageRank's uncached edge
+    // subplan above.
+    val edges = graft.ops.Graph.cooccurEdges(p,
+      Seq("event_type", "h"), "user_id", minSupport = 3)
     graft.ops.Graph.triangleCounts(edges)
       .orderBy(col("user_id"))
   }

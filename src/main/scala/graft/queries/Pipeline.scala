@@ -2681,9 +2681,9 @@ object Pipeline {
     * schema), and re-parsed row-locally (first-tab split). Oracle
     * computes the same per-doc token/char stats off the parquet
     * source, so a line lost, mis-split, or double-escaped in either
-    * direction fails the hash. Newline-free text is asserted by the
-    * write (production corpora escape or length-prefix; the fixture
-    * contract guarantees it). */
+    * direction fails the hash. The fixture contract guarantees
+    * newline-free text (production corpora escape or length-prefix
+    * before a line-oriented export; nothing here asserts it). */
   val textSource: QueryDef = QueryDef.sql(
     """SELECT doc_id,
          CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_toks,
