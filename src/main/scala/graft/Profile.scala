@@ -86,7 +86,7 @@ object Profile {
           // (same bucket key would instead square the pair expansion)
           .select(concat(col("event_type"), lit("_"), col("r"))
               .as("event_type"), col("h"),
-            (col("user_id") + col("r") * 1000000L).as("user_id"))
+            (col("user_id") + col("r") * 10000000L).as("user_id"))
           .distinct()
         ops.Graph.triangleCounts(ops.Graph.cooccurEdges(rep,
           Seq("event_type", "h"), "user_id", minSupport = 3))

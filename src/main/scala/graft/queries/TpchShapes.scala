@@ -204,16 +204,16 @@ object TpchShapes {
     """WITH pv AS (SELECT l_partkey,
                      sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS v
                    FROM lineitem GROUP BY l_partkey),
-            t AS (SELECT CAST(round(avg(CAST(v AS DOUBLE)) * 1.3, 6)
-                    AS DOUBLE) AS thr FROM pv)
+            t AS (SELECT CAST(round(sum(v), 6) AS DOUBLE)
+                    / count(*) * 1.3 AS thr FROM pv)
        SELECT l_partkey, CAST(round(v, 6) AS DOUBLE) AS part_value
        FROM pv CROSS JOIN t WHERE CAST(v AS DOUBLE) > thr
        ORDER BY part_value DESC, l_partkey""") { (s, d) =>
     val pv = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(30,10)")).as("v"))
-    val thr = pv.agg(round(avg(col("v").cast("double")) * 1.3, 6)
-      .cast("double").as("thr"))
+    val thr = pv.agg((round(sum(col("v")), 6).cast("double")
+      / count(lit(1)) * lit(1.3)).as("thr"))
     pv.crossJoin(broadcast(thr))
       .filter(col("v").cast("double") > col("thr"))
       .select(col("l_partkey"), round(col("v"), 6).cast("double")
