@@ -1520,7 +1520,158 @@ object Advanced {
       .orderBy(col("doc_id"), col("tok"))
   }
 
+  /** 2-D skyline (pareto frontier) over part: the parts no other
+    * part dominates on (price lower, size higher) — non-strict
+    * domination with at least one strict side, so exact (price,
+    * size) ties all survive. The oracle states the semantics as the
+    * quadratic NOT EXISTS; the Spark plan is the O(n log n)
+    * decomposition: per-price max-size pre-aggregate, price-range
+    * buckets from a broadcast min/max, a 64-row bucket-prefix max
+    * (the only single-partition window — constant-size by
+    * construction), and a per-bucket running max over strictly
+    * cheaper prices (partitions bounded by bucket width). A row is
+    * on the frontier iff it reaches its price's max size and beats
+    * the running max over all strictly cheaper prices. No self-join
+    * anywhere — at 100 TB the dominant cost is the per-price
+    * aggregate's one shuffle. */
+  val paretoFrontier: QueryDef = QueryDef.sql(
+    """SELECT p_partkey, p_retailprice AS price, p_size
+       FROM part p
+       WHERE NOT EXISTS (SELECT 1 FROM part q
+         WHERE q.p_retailprice <= p.p_retailprice
+           AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice
+                OR q.p_size > p.p_size))
+       ORDER BY price, p_partkey""") { (s, d) =>
+    val nB = 64
+    val p = Tables.part(s, d).select(col("p_partkey"),
+      col("p_retailprice").as("price"), col("p_size"))
+    val mm = p.agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    val bucketed = p.crossJoin(broadcast(mm))
+      .withColumn("bk", when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(floor((col("price") - col("lo"))
+          / (col("hi") - col("lo")) * nB), lit(nB - 1))).cast("int"))
+    val perPrice = bucketed.groupBy(col("bk"), col("price"))
+      .agg(max(col("p_size")).as("pmax"))
+    val wPrefix = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perPrice.groupBy(col("bk"))
+      .agg(max(col("pmax")).as("bmax"))
+      .select(col("bk"), max(col("bmax")).over(wPrefix).as("prevb"))
+    val wIn = Window.partitionBy(col("bk")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = perPrice
+      .withColumn("inprev", max(col("pmax")).over(wIn))
+      .join(broadcast(prefix), Seq("bk"))
+      .select(col("price"), col("pmax"),
+        greatest(coalesce(col("inprev"), lit(Int.MinValue)),
+          coalesce(col("prevb"), lit(Int.MinValue))).as("prevmax"))
+    bucketed.join(thr, Seq("price"))
+      .filter(col("p_size") === col("pmax")
+        && col("p_size") > col("prevmax"))
+      .select(col("p_partkey"), col("price"), col("p_size"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
+  /** 2-hop reachability counts over the co-occurrence graph (same
+    * edge derivation as q184 via [[graft.ops.Graph.cooccurEdges]]):
+    * per user, the distinct-neighbor degree and the distinct nodes
+    * reachable in at most two hops — one frontier expansion of the
+    * iterative BFS every graph engine runs. The expansion is an
+    * edge-edge equi-join on the middle node; the per-hop `distinct`
+    * is what keeps the frontier a SET at scale (without it the
+    * wedge multiplicity compounds per hop). Hub fan-out is bounded
+    * here by the >= 3-bucket support filter; at web scale the same
+    * shape takes a degree cap or the q184 orientation trick. */
+  val kHopReach: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT DISTINCT event_type,
+                    date_trunc('hour', ts) AS h, user_id FROM events),
+       e AS (SELECT a.user_id AS u, b.user_id AS v
+             FROM p a JOIN p b ON a.event_type = b.event_type
+               AND a.h = b.h AND a.user_id < b.user_id
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+       ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       two AS (SELECT a.u AS src, b.v AS dst
+               FROM ee a JOIN ee b ON a.v = b.u WHERE a.u <> b.v),
+       reach AS (SELECT u AS src, v AS dst FROM ee
+                 UNION SELECT src, dst FROM two),
+       dg AS (SELECT u AS src, CAST(count(*) AS BIGINT) AS n_direct
+              FROM ee GROUP BY 1),
+       rc AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach2
+              FROM reach GROUP BY 1)
+       SELECT rc.src AS user_id, n_direct, n_reach2
+       FROM rc JOIN dg ON dg.src = rc.src ORDER BY 1""") { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    val e = graft.ops.Graph.cooccurEdges(p,
+      Seq("event_type", "h"), "user_id", minSupport = 3)
+    val ee = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = ee.groupBy(col("u").as("src"))
+      .agg(count(lit(1)).cast("long").as("n_direct"))
+    val two = ee.as("a").join(ee.as("b"), col("a.v") === col("b.u")
+        && col("a.u") =!= col("b.v"))
+      .select(col("a.u").as("src"), col("b.v").as("dst"))
+    val reach = ee.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(two).distinct()
+    reach.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_reach2"))
+      .join(deg, Seq("src"))
+      .select(col("src").as("user_id"), col("n_direct"),
+        col("n_reach2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-user event-time coverage: each event opens a 2-hour
+    * activity interval, overlapping intervals merge (interval
+    * UNION), and the output is the merged-interval count and total
+    * covered microseconds — the dataset-coverage audit shape, and
+    * the interval-algebra twin of q25's gap-based sessionization
+    * (sessionize clusters points by inter-event gap; this measures
+    * the union length of fixed-duration ranges). Classic sweep in
+    * ONE pass: the running max of prior interval ends over the
+    * start-ordered partition gives each row both its island-boundary
+    * flag and its marginal coverage (e − max(pmax, s), clamped at 0
+    * for the general contained-interval case), so a single per-user
+    * aggregate finishes — no island labeling, no second group-by.
+    * The aggregate's grouping key equals the window's partitioning
+    * key, so the whole query is ONE hash exchange (gated in
+    * PlanAuditSpec); all arithmetic is exact integer microseconds. */
+  val intervalCoverage: QueryDef = QueryDef.sql(
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 7200000000 AS e FROM events),
+       o AS (SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+             FROM iv)
+       SELECT user_id,
+              CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+              CAST(sum(greatest(e - greatest(coalesce(pmax, s), s), 0))
+                AS BIGINT) AS covered_us
+       FROM o GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("e"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(7200000000L))
+      .withColumn("pmax", max(col("e"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pmax").isNull || col("s") > col("pmax"), 1)
+          .otherwise(0)).cast("long").as("n_intervals"),
+        sum(greatest(col("e") - greatest(coalesce(col("pmax"),
+          col("s")), col("s")), lit(0L))).cast("long").as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q195_pareto_frontier" -> paretoFrontier,
+    "q196_khop_reach" -> kHopReach,
+    "q198_interval_coverage" -> intervalCoverage,
     "q180_map_breadth" -> mapBreadth,
     "q87_rolling_hour" -> rollingHour,
     "q173_ewma_smoothing" -> ewmaSmoothing,

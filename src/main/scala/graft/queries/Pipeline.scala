@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.text.TextOps
 import graft.vector.VectorOps
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2422,6 +2422,36 @@ object Pipeline {
     * Output is every matching doc in id order (not a float-ordered
     * top-k, which could flip on last-ulp score ties across engines).
     */
+  /** BM25 (Robertson/Okapi) scores for `terms` over a (doc_id, toks)
+    * relation, rows with score > 0 only. Corpus statistics (doc
+    * count, avg doc length, per-term document frequencies) come from
+    * ONE tiny aggregate broadcast back in-plan; scoring is then
+    * fully row-local codegen arithmetic. Shared by q78 (the full
+    * scored list) and q197 (the lexical lane of fused retrieval) so
+    * the two scorings cannot drift. */
+  private def bm25Scored(docs: DataFrame, terms: Seq[String],
+      k1: Double, bb: Double): DataFrame = {
+    val statAggs = Seq(count(lit(1)).cast("long").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("toks"), t).cast("int")).as(s"df$i")
+      }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    def tf(t: String): Column =
+      size(filter(col("toks"), x => x === lit(t))).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+          (col(s"df$i") + lit(0.5)) + lit(1)) *
+        tf(t) * lit(k1 + 1) /
+        (tf(t) + lit(k1) * (lit(1) - lit(bb) +
+          lit(bb) * size(col("toks")) / col("avgdl")))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+  }
+
   val bm25Score: QueryDef = {
     val terms = Seq("spark", "join", "stream")
     val (k1, bb) = (1.2, 0.75)
@@ -2448,26 +2478,101 @@ object Pipeline {
          FROM sc WHERE score > 0 ORDER BY doc_id""") { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val statAggs = Seq(count(lit(1)).cast("long").as("n_docs"),
-        avg(size(col("toks"))).as("avgdl")) ++
-        terms.zipWithIndex.map { case (t, i) =>
-          sum(array_contains(col("toks"), t).cast("int")).as(s"df$i")
-        }
-      val stats = docs.agg(statAggs.head, statAggs.tail: _*)
-      val withStats = docs.crossJoin(broadcast(stats))
-      def tf(t: String): Column =
-        size(filter(col("toks"), x => x === lit(t))).cast("double")
-      val score = terms.zipWithIndex.map { case (t, i) =>
-        log((col("n_docs") - col(s"df$i") + lit(0.5)) /
-            (col(s"df$i") + lit(0.5)) + lit(1)) *
-          tf(t) * lit(k1 + 1) /
-          (tf(t) + lit(k1) * (lit(1) - lit(bb) +
-            lit(bb) * size(col("toks")) / col("avgdl")))
-      }.reduce(_ + _)
-      withStats.withColumn("score", score)
-        .filter(col("score") > 0)
+      bm25Scored(docs, terms, k1, bb)
         .select(col("doc_id"), r6(col("score")).as("bm25"))
         .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Hybrid-retrieval fusion by reciprocal rank (RRF, Cormack et al.
+    * SIGIR'09): the semantic lane is exact cosine top-50 for a fixed
+    * query vector ([[graft.vector.VectorOps.bruteForceTopK]] —
+    * broadcast query, bounded-heap ranking), the lexical lane is
+    * BM25 top-50 for a fixed term set (the q78 scorer through the
+    * same bounded-heap TopK aggregate: partial per-partition heaps,
+    * only k rows cross the shuffle — never a global window sort).
+    * Fusion joins two <=50-row lists and takes the top 20 by
+    * rrf = sum 1/(60 + rank). Every rank is an integer from
+    * rounded-score ordering with an id tie-break, and the rrf sum is
+    * two fixed-order double terms, so the fused ordering is
+    * bit-identical across engines; absent-lane ranks surface as the
+    * 0 sentinel (no NULLs in the hashed output). */
+  val rrfFusion: QueryDef = {
+    val (k1, bb) = (1.2, 0.75)
+    def lane(t: String, i: Int): String =
+      s"""(ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1) *
+         len(list_filter(toks, x -> x = '$t')) * ${k1 + 1} /
+         (len(list_filter(toks, x -> x = '$t')) +
+          $k1 * (1 - $bb + $bb * len(toks) / avgdl)))"""
+    QueryDef.sql(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+         qv AS (SELECT v AS q_v FROM e WHERE vec_id = 0),
+         cs AS (SELECT vec_id AS id,
+                  floor((list_dot_product(q_v, e.v)
+                    / (sqrt(list_dot_product(q_v, q_v))
+                       * sqrt(list_dot_product(e.v, e.v))))
+                    * 1000000 + 0.5) / 1000000 AS cos
+                FROM e CROSS JOIN qv WHERE vec_id <> 0),
+         cr AS (SELECT id, CAST(row_number() OVER
+                  (ORDER BY cos DESC, id) AS BIGINT) AS r FROM cs),
+         crk AS (SELECT id, r FROM cr WHERE r <= 50),
+         t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents),
+         st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl,
+                  sum(CASE WHEN list_contains(toks, 'spark')
+                      THEN 1 ELSE 0 END) AS df0,
+                  sum(CASE WHEN list_contains(toks, 'join')
+                      THEN 1 ELSE 0 END) AS df1,
+                  sum(CASE WHEN list_contains(toks, 'stream')
+                      THEN 1 ELSE 0 END) AS df2
+                FROM t),
+         sc AS (SELECT doc_id,
+                  ${Seq("spark", "join", "stream").zipWithIndex
+                    .map { case (t, i) => lane(t, i) }.mkString(" + ")}
+                  AS score
+                FROM t, st),
+         sb AS (SELECT doc_id AS id,
+                  floor(score * 1000000 + 0.5) / 1000000 AS bm25
+                FROM sc WHERE score > 0),
+         br AS (SELECT id, CAST(row_number() OVER
+                  (ORDER BY bm25 DESC, id) AS BIGINT) AS r FROM sb),
+         brk AS (SELECT id, r FROM br WHERE r <= 50),
+         f AS (SELECT COALESCE(c.id, b.id) AS id,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + c.r), 0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r), 0)
+                   AS rrf,
+                 COALESCE(c.r, 0) AS cos_rank,
+                 COALESCE(b.r, 0) AS bm25_rank
+               FROM crk c FULL OUTER JOIN brk b ON c.id = b.id)
+         SELECT id AS doc_id,
+                floor(rrf * 1000000 + 0.5) / 1000000 AS rrf_score,
+                cos_rank, bm25_rank
+         FROM f ORDER BY rrf DESC, id LIMIT 20""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cosLane = VectorOps.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), 50)
+        .select(col("n_id").as("id"),
+          col("rank").cast("long").as("cos_rank"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val topk = graft.ops.TopK.topk(50)
+      val bmLane = bm25Scored(docs, Seq("spark", "join", "stream"),
+          k1, bb)
+        .agg(topk(r6(col("score")), col("doc_id")).as("__top"))
+        .select(posexplode(col("__top")).as(Seq("__i", "__s")))
+        .select(col("__s").getField("id").as("id"),
+          (col("__i") + 1).cast("long").as("bm25_rank"))
+      cosLane.join(bmLane, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("cos_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")),
+                lit(0.0))).as("rrf"),
+          coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
+          coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), r6(col("rrf")).as("rrf_score"),
+          col("cos_rank"), col("bm25_rank"))
     }
   }
 
@@ -4032,6 +4137,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q76_domain_budget" -> domainBudget,
     "q77_snapshot_diff" -> snapshotDiff,
     "q78_bm25_score" -> bm25Score,
+    "q197_rrf_fusion" -> rrfFusion,
     "q79_dup_spans" -> dupSpans,
     "q80_integrity_audit" -> integrityAudit,
     "q82_orc_roundtrip" -> orcRoundtrip,

@@ -298,6 +298,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 tier shapes: q195 windowed skyline (no self-join), " +
+      "q196 keyed expansion joins, q197 heap-ranked lanes, " +
+      "q198 single hash exchange") {
+    val q195 = executedPlan("q195_pareto_frontier")
+    // the skyline must run as the window decomposition, never the
+    // oracle's quadratic NOT EXISTS (which would plan a nested-loop
+    // or cartesian anti-join of part against itself)
+    assert(!q195.contains("CartesianProduct"))
+    assert(!q195.contains("SortMergeJoin"),
+      "q195's price-threshold join must broadcast at fixture scale")
+    assert(q195.contains("Window"),
+      "q195 lost the running-max window decomposition")
+    val q196 = executedPlan("q196_khop_reach")
+    assert(!q196.contains("CartesianProduct"))
+    assert(!q196.contains("BroadcastNestedLoopJoin"),
+      "q196's frontier expansion must stay an equi-join on the " +
+        "middle node")
+    val q197 = executedPlan("q197_rrf_fusion")
+    assert(!q197.contains("Window"),
+      "q197's lane rankings must ride the bounded-heap TopK " +
+        "aggregate, not a global window sort")
+    assert(q197.contains("ObjectHashAggregate"),
+      "q197 lost the TopK heap aggregate")
+    // count exchanges in the FINAL plan only (the AQE plan string
+    // repeats the whole tree under "== Initial Plan ==")
+    val q198 = executedPlan("q198_interval_coverage")
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(q198).size == 1,
+      "q198's window and aggregate must share ONE user_id exchange")
+  }
+
   test("q131's bloom screen filters grams BEFORE the benchmark join") {
     val plan = executedPlan("q131_bloom_contamination")
     // the might_contain filter must sit on the corpus gram stream
