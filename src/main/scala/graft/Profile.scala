@@ -136,6 +136,56 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "r9-scale") {
+      // round-9 scale probe: q196 (2-hop reach) and q198 (interval
+      // coverage) on k-fold replicated events. Replicas are fully
+      // disjoint (replica-suffixed bucket key AND 1e7-strided user
+      // ids), so edges/wedges/coverage scale by exactly k and the
+      // timing isolates each operator's volume scaling. Probes
+      // consume the operators' real output columns (SURVEY 13.14).
+      import org.apache.spark.sql.DataFrame
+      def repDir(k: Int): String = {
+        val rep = Tables.events(spark, sfDir)
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .select(
+            (col("event_id") + col("r") * 1000000000L).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("r") * 10000000L).as("user_id"),
+            concat(col("event_type"), lit("_"), col("r"))
+              .as("event_type"),
+            col("value"), col("props"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_p_r9_" +
+          s"${k}_${Integer.toHexString(sfDir.hashCode)}_" +
+          ProcessHandle.current().pid()
+        rep.write.mode("overwrite").parquet(s"$dir/events.parquet")
+        dir
+      }
+      def consume(df: DataFrame, cols: Seq[String]): Unit =
+        println("  sum = " + df.agg(sum(cols.map(col).reduce(_ + _)))
+          .collect()(0).get(0))
+      val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      ks.foreach { k =>
+        val dir = repDir(k)
+        // the real-cluster setting (§13.4 lesson): q196's wedge
+        // relation scales by k, so task inputs only stay
+        // fixture-sized if the shuffle width scales with the data —
+        // at a fixed 32, the 10x distinct leaves ~10M wedge rows per
+        // task and the hash aggregate spills
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(cpus.toInt, cpus.toInt * k).toString)
+        timed(s"q196 ${k}x")(consume(
+          SparkEntry.queries("q196_khop_reach")(spark, dir),
+          Seq("n_direct", "n_reach2")))
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        timed(s"q198 ${k}x")(consume(
+          SparkEntry.queries("q198_interval_coverage")(spark, dir),
+          Seq("n_intervals", "covered_us")))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
       // (same measurement discipline as Bench, without the full sweep)

@@ -3453,6 +3453,107 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("lang"))
   }
 
+  /** k-anonymity audit (k=5) over quasi-identifiers — the privacy
+    * governance check next to q52's PII scrub: every
+    * (event_type, day-of-week, value-decade) combination carried by
+    * fewer than k rows is a re-identification risk and is reported.
+    * One hash aggregate on the QI tuple + a post-agg filter
+    * (HAVING); the group count is bounded by the QI cardinality
+    * product, not the fact size, so the output stays tiny at any
+    * scale and the single shuffle carries only partial counts. */
+  val kAnonymity: QueryDef = QueryDef.sql(
+    """WITH g AS (SELECT event_type,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(floor(value / 10) AS BIGINT) AS vbucket,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2, 3)
+       SELECT event_type, dow, vbucket, cnt FROM g WHERE cnt < 5
+       ORDER BY event_type, dow, vbucket""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        dayofweek(col("ts")).cast("int").as("dow"),
+        floor(col("value") / 10).cast("long").as("vbucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < 5)
+      .orderBy(col("event_type"), col("dow"), col("vbucket"))
+  }
+
+  /** Dynamic partition overwrite — the lake mutation semantics next
+    * to q191/q192: a full partitioned write, then a second write
+    * carrying ONLY one partition's corrected rows (values negated)
+    * with `partitionOverwriteMode=dynamic`, which must replace just
+    * the partitions present in the incoming data and leave every
+    * other partition untouched (static overwrite would truncate the
+    * whole table — and fail the oracle, whose untouched-type counts
+    * are non-zero). At 100 TB this is THE idiom for late-arriving
+    * corrections: the rewrite cost is proportional to the dirty
+    * partitions, not the table. Readback aggregates per-row integer
+    * quantizations (floor(v·1e6 + 0.5)), so the sums are exact. */
+  val dynamicPartitionOverwrite: QueryDef = QueryDef.sql(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor((CASE WHEN event_type = 'purchase'
+             THEN -value ELSE value END) * 1000000 + 0.5) AS BIGINT))
+           AS BIGINT) AS qsum
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q200_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("value", -col("value"))
+      .write.partitionBy("event_type")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("long").as("qsum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Right-to-be-forgotten erasure + audit — the governance rewrite
+    * every lake eventually runs: a forget-set relation anti-joins
+    * the fact (broadcast here; at scale a shuffle anti-join on the
+    * same key), the scrubbed table is rewritten, and the AUDIT reads
+    * the rewrite back and proves residue = 0 with a semi-join
+    * against the same forget-set — the residue column is computed
+    * from the physical readback, not assumed. Output: per-type
+    * before/after counts and the (zero) residue. */
+  val erasureAudit: QueryDef = QueryDef.sql(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN user_id % 97 <> 13 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_after,
+         CAST(0 AS BIGINT) AS n_residue
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q201_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val forget = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 97 === 13)
+    ev.join(forget, Seq("user_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/scrubbed.parquet")
+    val back = s.read.parquet(s"$dir/scrubbed.parquet")
+    val residue = back.join(forget, Seq("user_id"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_residue"))
+    val before = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_before"))
+    val after = back.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_after"))
+    before.join(after, Seq("event_type"), "left")
+      .join(residue, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_residue"), lit(0L)).cast("long")
+          .as("n_residue"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fill-in-middle (FIM) transformation — the code/infilling
     * pretraining data op: split each document at its 1/3 and 2/3
     * character cuts and re-emit in PSM order
@@ -4138,6 +4239,9 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q77_snapshot_diff" -> snapshotDiff,
     "q78_bm25_score" -> bm25Score,
     "q197_rrf_fusion" -> rrfFusion,
+    "q199_k_anonymity" -> kAnonymity,
+    "q200_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
+    "q201_erasure_audit" -> erasureAudit,
     "q79_dup_spans" -> dupSpans,
     "q80_integrity_audit" -> integrityAudit,
     "q82_orc_roundtrip" -> orcRoundtrip,

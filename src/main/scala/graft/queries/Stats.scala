@@ -1,0 +1,437 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-profiling tier: the data-quality / EDA operators a
+  * training-data pipeline runs over a new corpus before committing
+  * compute to it (distribution drift, field dependence, digit
+  * anomalies, feature redundancy, temporal structure).
+  *
+  * Cross-engine determinism stance (SURVEY §13, Rounding.scala):
+  * fact-sized reductions are exact (integer counts or DECIMAL sums);
+  * floating math happens only on the tiny aggregated residue, as the
+  * identical IEEE op sequence on both engines, rounded via
+  * `Rounding.r6` (the floor form). Where a sum over a small
+  * uncertain-order set of doubles decides output (q202's cell
+  * fold), both engines fold in explicit key order.
+  */
+object Stats {
+
+  private def r6(c: Column): Column = graft.Rounding.r6(c)
+
+  /** Pearson correlation from exact sufficient statistics, computed
+    * in double only at the final (single-row) step. */
+  private def pearson(n: Column, sx: Column, sy: Column, sxx: Column,
+      syy: Column, sxy: Column): Column = {
+    val nd = n.cast("double")
+    val (dx, dy, dxy) =
+      (sxx.cast("double"), syy.cast("double"), sxy.cast("double"))
+    val (mx, my) = (sx.cast("double"), sy.cast("double"))
+    r6((nd * dxy - mx * my) /
+      sqrt((nd * dx - mx * mx) * (nd * dy - my * my)))
+  }
+
+  /** Population-stability-index drift between the first and second
+    * half of the month, per event_type — the standard ML-monitoring
+    * "did the feature distribution move?" check (q99's chi-square
+    * tests association; PSI quantifies shift against a reference
+    * window; q189's CUSUM is the sequential twin). Buckets are FIXED
+    * width (floor(value/10) clamped to [0,9]) — never quantile-based,
+    * so bucketing is an exact integer op and the only fact-sized
+    * stage is ONE hash aggregate to ≤ |types|×2×10 cells. Per-bucket
+    * shares are single IEEE divides of exact longs; each bucket's PSI
+    * contribution is rounded at 1e-6 and folded in explicit bucket
+    * order (the q186 fixed-order-fold recipe), so the ≤10-term double
+    * sum is order-identical cross-engine. */
+  val psiDrift: QueryDef = QueryDef.sql(
+    s"""WITH b AS (SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+             least(greatest(CAST(floor(value / 10) AS INTEGER), 0), 9)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2, 3),
+       tot AS (SELECT event_type AS et, half AS h,
+                 CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+       p AS (SELECT b.event_type, b.bucket,
+               sum(CASE WHEN b.half = 0
+                 THEN CAST(c AS DOUBLE) / n ELSE 0 END) AS p0,
+               sum(CASE WHEN b.half = 1
+                 THEN CAST(c AS DOUBLE) / n ELSE 0 END) AS p1
+             FROM b JOIN tot ON b.event_type = tot.et AND b.half = tot.h
+             GROUP BY 1, 2),
+       cell AS (SELECT event_type, bucket,
+           ${graft.Rounding.r6sql(
+             """(p1 - p0) * ln(greatest(p1, 0.0001)
+                / greatest(p0, 0.0001))""")} AS contrib
+         FROM p)
+       SELECT event_type,
+         ${graft.Rounding.r6sql(
+           "list_sum(list(contrib ORDER BY bucket))")} AS psi,
+         CAST(count(*) AS BIGINT) AS n_buckets
+       FROM cell GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val b = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("half"),
+        least(greatest(floor(col("value") / 10).cast("int"), lit(0)),
+          lit(9)).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = b.groupBy(col("event_type").as("et"),
+        col("half").as("h"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    val share = col("c").cast("double") / col("n")
+    val p = b.join(tot,
+        col("event_type") === col("et") && col("half") === col("h"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === 0, share).otherwise(0.0)).as("p0"),
+        sum(when(col("half") === 1, share).otherwise(0.0)).as("p1"))
+    p.select(col("event_type"), col("bucket"),
+        r6((col("p1") - col("p0")) *
+          log(greatest(col("p1"), lit(0.0001)) /
+            greatest(col("p0"), lit(0.0001)))).as("contrib"))
+      .groupBy(col("event_type"))
+      .agg(
+        r6(aggregate(
+          transform(array_sort(collect_list(struct(col("bucket"),
+            col("contrib")))), _.getField("contrib")),
+          lit(0.0), _ + _)).as("psi"),
+        count(lit(1)).cast("long").as("n_buckets"))
+      .orderBy(col("event_type"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences (the session-behavior model next to q110's
+    * attribution and q151's sessionization). ONE key shuffle
+    * (user_id) orders each user's bounded sequence for the lag;
+    * transition counts then aggregate on the 25-cell (from, to) key
+    * with map-side partials. Probabilities are a single IEEE divide
+    * of exact longs, rounded. Window determinism: (ts, event_id)
+    * total order per user, the q44 convention. */
+  val markovTransitions: QueryDef = QueryDef.sql(
+    s"""WITH s AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+       t AS (SELECT prev AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type AS ftype, CAST(sum(cnt) AS BIGINT)
+                 AS ft FROM t GROUP BY 1)
+       SELECT from_type, to_type, cnt,
+         ${graft.Rounding.r6sql(
+           "CAST(cnt AS DOUBLE) / CAST(ft AS DOUBLE)")} AS prob
+       FROM t JOIN tot ON t.from_type = tot.ftype
+       ORDER BY from_type, to_type""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = t.groupBy(col("from_type").as("ftype"))
+      .agg(sum(col("cnt")).cast("long").as("ft"))
+    t.join(tot, col("from_type") === col("ftype"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        r6(col("cnt").cast("double") / col("ft").cast("double"))
+          .as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Benford first-significant-digit profile of the value column —
+    * the classic synthetic-data / fraud smell test. Digit extraction
+    * is engine-portable by construction: floor(value*1e6) is the
+    * identical IEEE multiply+floor on both engines, the exact long
+    * renders identically as a string, and the first non-zero char is
+    * the first significant digit of any value ≥ 1e-6 — no log10
+    * (libm) anywhere. One hash aggregate to ≤ 9 cells. */
+  val benfordDigits: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT CAST(substr(ltrim(
+             CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR),
+             '0'), 1, 1) AS INTEGER) AS digit
+           FROM events WHERE value > 0),
+       c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+             FROM d GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+       SELECT digit, cnt,
+         ${graft.Rounding.r6sql(
+           "CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)")} AS share
+       FROM c, t ORDER BY digit""") { (s, d) =>
+    val c = Tables.events(s, d)
+      .filter(col("value") > 0)
+      .select(substring(ltrim(
+          floor(col("value") * 1000000).cast("long").cast("string"),
+          "0"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val t = c.agg(sum(col("cnt")).cast("long").as("n"))
+    c.crossJoin(t)
+      .select(col("digit"), col("cnt"),
+        r6(col("cnt").cast("double") / col("n").cast("double"))
+          .as("share"))
+      .orderBy(col("digit"))
+  }
+
+  /** Pairwise Pearson correlation of the lineitem numeric features —
+    * the feature-redundancy screen before training. All sufficient
+    * statistics (sums, squares, cross-products) accumulate as EXACT
+    * decimals in ONE full-scan aggregate (single reduce to one row —
+    * no shuffle of the fact, no per-pair rescans; the DuckDB oracle's
+    * 4-scan UNION form is numerically identical because the sums are
+    * exact). The 2-decimal fixture values cast losslessly to
+    * DECIMAL(15,2); products are DECIMAL(30,4) so every sum is
+    * order-free. Pairs unpivot from the one stats row. */
+  val featureCorr: QueryDef = QueryDef.sql(
+    s"""WITH q AS (SELECT CAST(l_quantity AS DECIMAL(15,2)) AS a,
+             CAST(l_extendedprice AS DECIMAL(15,2)) AS b,
+             CAST(l_discount AS DECIMAL(15,2)) AS c,
+             CAST(l_tax AS DECIMAL(15,2)) AS d FROM lineitem),
+       u AS (
+         SELECT 'quantity_extendedprice' AS pair,
+             CAST(count(*) AS BIGINT) AS n, sum(a) AS sx, sum(b) AS sy,
+             sum(CAST(a*a AS DECIMAL(30,4))) AS sxx,
+             sum(CAST(b*b AS DECIMAL(30,4))) AS syy,
+             sum(CAST(a*b AS DECIMAL(30,4))) AS sxy FROM q
+         UNION ALL SELECT 'quantity_discount',
+             CAST(count(*) AS BIGINT), sum(a), sum(c),
+             sum(CAST(a*a AS DECIMAL(30,4))),
+             sum(CAST(c*c AS DECIMAL(30,4))),
+             sum(CAST(a*c AS DECIMAL(30,4))) FROM q
+         UNION ALL SELECT 'extendedprice_discount',
+             CAST(count(*) AS BIGINT), sum(b), sum(c),
+             sum(CAST(b*b AS DECIMAL(30,4))),
+             sum(CAST(c*c AS DECIMAL(30,4))),
+             sum(CAST(b*c AS DECIMAL(30,4))) FROM q
+         UNION ALL SELECT 'discount_tax',
+             CAST(count(*) AS BIGINT), sum(c), sum(d),
+             sum(CAST(c*c AS DECIMAL(30,4))),
+             sum(CAST(d*d AS DECIMAL(30,4))),
+             sum(CAST(c*d AS DECIMAL(30,4))) FROM q)
+       SELECT pair, n, ${graft.Rounding.r6sql(
+         """(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))""")} AS corr
+       FROM u ORDER BY pair""") { (s, d) =>
+    val cols = Seq("a" -> "l_quantity", "b" -> "l_extendedprice",
+      "c" -> "l_discount", "d" -> "l_tax")
+    val q = Tables.lineitem(s, d).select(cols.map { case (n, src) =>
+      col(src).cast("decimal(15,2)").as(n)
+    }: _*)
+    val pairs = Seq(
+      ("quantity_extendedprice", "a", "b"),
+      ("quantity_discount", "a", "c"),
+      ("extendedprice_discount", "b", "c"),
+      ("discount_tax", "c", "d"))
+    val sums = cols.map(_._1).map(n => sum(col(n)).as(s"s_$n")) ++
+      (for ((x, y) <- Seq(("a", "a"), ("b", "b"), ("c", "c"),
+          ("d", "d"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")))
+        yield sum((col(x) * col(y)).cast("decimal(30,4)"))
+          .as(s"s_$x$y"))
+    val aggs = count(lit(1)).cast("long").as("n") +: sums
+    val g = q.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (name, x, y) =>
+      struct(lit(name).as("pair"), col("n"),
+        pearson(col("n"), col(s"s_$x"), col(s"s_$y"),
+          col(s"s_$x$x"), col(s"s_$y$y"), col(s"s_$x$y")).as("corr"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.pair").as("pair"), col("r.n").as("n"),
+        col("r.corr").as("corr"))
+      .orderBy(col("pair"))
+  }
+
+  /** Lag-1 autocorrelation of per-type daily event counts — the
+    * temporal-structure probe behind q175's Holt forecast (is there
+    * day-to-day memory worth modeling?). Fact touches ONE aggregate
+    * to ~150 (type, day) cells; the lag window and sufficient
+    * statistics run on that residue with exact long arithmetic
+    * (counts and their products stay < 2^53), one IEEE
+    * formula+sqrt at the end. */
+  val dailyAutocorr: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+       p AS (SELECT event_type, c AS y,
+               lag(c) OVER (PARTITION BY event_type ORDER BY day) AS x
+             FROM d),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+               sum(y*y) AS syy, sum(x*y) AS sxy
+             FROM p WHERE x IS NOT NULL GROUP BY 1)
+       SELECT event_type, n, ${graft.Rounding.r6sql(
+         """(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))""")}
+         AS autocorr
+       FROM s ORDER BY event_type""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val p = daily.select(col("event_type"), col("c").as("y"),
+        lag(col("c"), 1).over(w).as("x"))
+      .filter(col("x").isNotNull)
+    p.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        pearson(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")).as("autocorr"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-type OLS regression of value against hour-of-day — the
+    * closed-form trend fit (is there an intraday effect worth a
+    * feature?). The value is quantized at 1e-6 (exact integer
+    * micro-units, the q186 recipe) so every sufficient statistic is
+    * an EXACT integer sum accumulated in DECIMAL (longs would
+    * overflow near 100 TB row counts: 1e12 rows × 1e9 micro-units);
+    * slope/intercept are one IEEE formula on the 5-row residue. ONE
+    * fact-sized hash aggregate. */
+  val hourlyOls: QueryDef = QueryDef.sql(
+    s"""WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+             CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(v AS DECIMAL(38,0))) AS sv,
+               sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(x*v AS DECIMAL(38,0))) AS sxv
+             FROM q GROUP BY 1)
+       SELECT event_type, n,
+         ${graft.Rounding.r6sql(
+           """(CAST(n AS DOUBLE)*CAST(sxv AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sv AS DOUBLE))
+              / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / 1000000.0"""
+         )} AS slope,
+         ${graft.Rounding.r6sql(
+           """(CAST(sv AS DOUBLE)
+                - ((CAST(n AS DOUBLE)*CAST(sxv AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sv AS DOUBLE))
+                  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) / 1000000.0""")} AS intercept
+       FROM s ORDER BY event_type""") { (s, d) =>
+    val q = Tables.events(s, d).select(col("event_type"),
+      hour(col("ts")).cast("long").as("x"),
+      floor(col("value") * 1000000).cast("long").as("v"))
+    val g = q.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("v")).cast("decimal(38,0)")).as("sxv"))
+    val nd = col("n").cast("double")
+    val (sx, sv, sxx, sxv) = (col("sx").cast("double"),
+      col("sv").cast("double"), col("sxx").cast("double"),
+      col("sxv").cast("double"))
+    val slope = (nd * sxv - sx * sv) / (nd * sxx - sx * sx)
+    g.select(col("event_type"), col("n"),
+        r6(slope / 1000000.0).as("slope"),
+        r6((sv - slope * sx) / nd / 1000000.0).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gini coefficient of per-user activity — the contribution-
+    * inequality summary (is the corpus dominated by a few heavy
+    * sources?). The fact reduces to per-user counts on ONE key
+    * shuffle; the rank-weighted form then runs over the USER-
+    * cardinality residue (dimension-sized, like the customer table —
+    * documented bound, not fact-sized), where the single-partition
+    * rank window is bounded by |users|. All sums are exact integers;
+    * one IEEE formula at the end. */
+  val giniActivity: QueryDef = QueryDef.sql(
+    s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1),
+       r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i
+             FROM u),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(i*c) AS BIGINT) AS sic FROM r)
+       SELECT n, sc AS total_events,
+         ${graft.Rounding.r6sql(
+           """2.0 * CAST(sic AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)""")}
+         AS gini
+       FROM s""") { (s, d) =>
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.orderBy(col("c"), col("user_id"))
+    val r = u.select(col("c"), row_number().over(w).cast("long").as("i"))
+    val g = r.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("c")).cast("long").as("sc"),
+      sum(col("i") * col("c")).cast("long").as("sic"))
+    val (n, sc, sic) = (col("n").cast("double"),
+      col("sc").cast("double"), col("sic").cast("double"))
+    g.select(col("n"), col("sc").as("total_events"),
+      r6(lit(2.0) * sic / (n * sc) - (n + 1) / n).as("gini"))
+  }
+
+  /** Ordered conversion funnel view → click → purchase with
+    * per-stage time windows (click within 4 h of first view,
+    * purchase within 24 h of that click) — the product-analytics
+    * staple. Each stage is a conditional min-timestamp aggregate
+    * keyed on user_id; all three stages and both joins share the ONE
+    * user_id partitioning (a co-partitioned chain — no re-shuffle
+    * between stages), and stage outputs are user-cardinality sized.
+    * Timestamps compare exactly (microsecond integers); no floats
+    * anywhere. */
+  val funnel: QueryDef = QueryDef.sql(
+    """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+       t2 AS (SELECT e.user_id, min(ts) AS ts2 FROM events e
+             JOIN t1 ON e.user_id = t1.user_id
+             WHERE event_type = 'click' AND ts > ts1
+               AND ts <= ts1 + INTERVAL 4 HOUR GROUP BY 1),
+       t3 AS (SELECT e.user_id, min(ts) AS ts3 FROM events e
+             JOIN t2 ON e.user_id = t2.user_id
+             WHERE event_type = 'purchase' AND ts > ts2
+               AND ts <= ts2 + INTERVAL 24 HOUR GROUP BY 1)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+              (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+              (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase
+       """) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("ts1") &&
+        col("ts") <= col("ts1") + expr("INTERVAL 4 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("ts2") &&
+        col("ts") <= col("ts2") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts3"))
+    t1.agg(count(lit(1)).cast("long").as("n_view"))
+      .crossJoin(t2.agg(count(lit(1)).cast("long").as("n_click")))
+      .crossJoin(t3.agg(count(lit(1)).cast("long").as("n_purchase")))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q202_psi_drift" -> psiDrift,
+    "q203_markov_transitions" -> markovTransitions,
+    "q204_benford_digits" -> benfordDigits,
+    "q205_feature_corr" -> featureCorr,
+    "q206_daily_autocorr" -> dailyAutocorr,
+    "q208_hourly_ols" -> hourlyOls,
+    "q209_gini_activity" -> giniActivity,
+    "q210_funnel" -> funnel)
+}

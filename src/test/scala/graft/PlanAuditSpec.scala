@@ -329,6 +329,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "q198's window and aggregate must share ONE user_id exchange")
   }
 
+  test("round-9 stats tier shapes: q205 single-scan statistics, " +
+      "q207 zero-exchange bucketed SMJ, fact aggregates first") {
+    // q205 computes all pairwise correlations from ONE full scan of
+    // lineitem (sufficient statistics in a single aggregate); the
+    // oracle's 4-scan UNION form re-read the fact four times
+    val q205 = executedPlan("q205_feature_corr")
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllMatchIn(q205).size == 1 ||
+      "FileScan".r.findAllMatchIn(q205).size == 1,
+      "q205 must scan lineitem exactly once")
+    // q207: both sides read Bucketed and the join key needs NO
+    // exchange — the write-time shuffle is the only one ever paid.
+    // Post-join exchanges (5-group aggregate, final sort) are fine.
+    val q207 = executedPlan("q207_bucketed_join")
+    assert("Bucketed: true".r.findAllMatchIn(q207).size >= 2,
+      "q207's scans are not bucket-aware")
+    assert(q207.contains("SortMergeJoin"))
+    assert(!q207.contains("Exchange hashpartitioning(o_orderkey") &&
+      !q207.contains("Exchange hashpartitioning(l_orderkey"),
+      "q207 re-shuffled a bucketed side on the join key")
+    // drift/markov/autocorr reduce the fact to a bounded cell grid
+    // in their FIRST aggregate; none may plan a cartesian
+    for (q <- Seq("q202_psi_drift", "q203_markov_transitions",
+        "q206_daily_autocorr")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian")
+    }
+  }
+
   test("q131's bloom screen filters grams BEFORE the benchmark join") {
     val plan = executedPlan("q131_bloom_contamination")
     // the might_contain filter must sit on the corpus gram stream
