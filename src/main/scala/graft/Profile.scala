@@ -136,6 +136,55 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "q207-scale") {
+      // bucketed-join amortization probe: k-fold replicated
+      // orders+lineitem (orderkey-strided, fully disjoint), then
+      // (a) the plain parquet SMJ — pays the orderkey shuffle of
+      //     BOTH sides every query,
+      // (b) the one-time bucketBy write (the amortized cost), and
+      // (c) the bucketed zero-exchange join — what every subsequent
+      //     query pays.
+      // The q207 claim is (c) << (a) with (b) paid once; at 100 TB
+      // (a) re-shuffles the fact per query while (c) never does.
+      import org.apache.spark.sql.DataFrame
+      val k = if (args.length > 1) args(1).toInt else 10
+      val stride = 10000000L
+      def rep(df: DataFrame, key: String): DataFrame =
+        df.withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .withColumn(key, col(key) + col("r") * stride)
+          .drop("r")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_p_q207_" +
+        s"${k}_${Integer.toHexString(sfDir.hashCode)}_" +
+        ProcessHandle.current().pid()
+      rep(Tables.orders(spark, sfDir), "o_orderkey")
+        .write.mode("overwrite").parquet(s"$base/orders_plain")
+      rep(Tables.lineitem(spark, sfDir), "l_orderkey")
+        .write.mode("overwrite").parquet(s"$base/lineitem_plain")
+      val op = spark.read.parquet(s"$base/orders_plain")
+      val lp = spark.read.parquet(s"$base/lineitem_plain")
+      def revenueAgg(o: DataFrame, l: DataFrame): DataFrame =
+        o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_items"))
+      def consume(df: DataFrame): Unit =
+        println("  sum = " + df.agg(sum(col("n_items")))
+          .collect()(0).get(0))
+      timed(s"q207 plain SMJ ${k}x")(consume(revenueAgg(op, lp)))
+      val buckets = 32
+      timed(s"q207 bucket write ${k}x") {
+        op.write.mode("overwrite").option("path", s"$base/ob")
+          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"graft_p207_o_$k")
+        lp.write.mode("overwrite").option("path", s"$base/lb")
+          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"graft_p207_l_$k")
+      }
+      timed(s"q207 bucketed join ${k}x")(consume(revenueAgg(
+        spark.table(s"graft_p207_o_$k"), spark.table(s"graft_p207_l_$k"))))
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "r9-scale") {
       // round-9 scale probe: q196 (2-hop reach) and q198 (interval
       // coverage) on k-fold replicated events. Replicas are fully

@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Parity.defs ++ graft.queries.Relational.defs ++
       graft.queries.Pipeline.defs ++ graft.queries.Cached.defs ++
       graft.queries.Advanced.defs ++ graft.queries.TpchShapes.defs ++
-      graft.queries.Stats.defs ++ graft.queries.Bucketing.defs
+      graft.queries.Stats.defs ++ graft.queries.Bucketing.defs ++
+      graft.queries.Warehouse.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, v) => k -> v.fn }

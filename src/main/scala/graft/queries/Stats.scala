@@ -425,6 +425,185 @@ object Stats {
       .crossJoin(t3.agg(count(lit(1)).cast("long").as("n_purchase")))
   }
 
+  /** Gopher-style repetition quality signals per document: distinct-
+    * token ratio and top-bigram share (the two repetition screens a
+    * pretraining curation pass runs before quality scoring; the
+    * fixture corpus has no newlines, so the line-level variants
+    * collapse to these token-level ones). Bigram counting shuffles on
+    * (doc, bigram) with map-side partials; everything else is
+    * per-row. The flag compares the ROUNDED share so both engines
+    * test the same 6-decimal constant (q143 stance). */
+  val repetitionSignals: QueryDef = QueryDef.sql(
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ')
+             AS toks FROM documents),
+       b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM t WHERE len(toks) >= 2),
+       bc AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+              FROM b GROUP BY 1, 2),
+       agg AS (SELECT doc_id AS a_id, CAST(max(c) AS BIGINT) AS top_c,
+                 CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
+       tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+               FROM t)
+       SELECT doc_id, n_tok,
+         ${graft.Rounding.r6sql(
+           "CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)")}
+           AS distinct_ratio,
+         top_c AS top_bigram_count,
+         ${graft.Rounding.r6sql(
+           "CAST(top_c AS DOUBLE) / CAST(n_bg AS DOUBLE)")}
+           AS top_bigram_share,
+         CAST(CASE WHEN ${graft.Rounding.r6sql(
+           "CAST(top_c AS DOUBLE) / CAST(n_bg AS DOUBLE)")} > 0.05
+           THEN 1 ELSE 0 END AS INTEGER) AS flagged
+       FROM tok JOIN agg ON doc_id = a_id
+       ORDER BY doc_id""") { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      graft.text.TextOps.tokens(col("text")).as("toks"))
+    val bc = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val agg = bc.groupBy(col("doc_id").as("a_id"))
+      .agg(max(col("c")).cast("long").as("top_c"),
+        sum(col("c")).cast("long").as("n_bg"))
+    val tok = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val share = r6(col("top_c").cast("double") /
+      col("n_bg").cast("double"))
+    tok.join(agg, col("doc_id") === col("a_id"))
+      .select(col("doc_id"), col("n_tok"),
+        r6(col("n_distinct").cast("double") /
+          col("n_tok").cast("double")).as("distinct_ratio"),
+        col("top_c").as("top_bigram_count"),
+        share.as("top_bigram_share"),
+        when(share > 0.05, 1).otherwise(0).cast("int").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Classifier evaluation harness: confusion matrix +
+    * precision/recall/F1 for a deterministic linear probe
+    * (alternating ±1 weights over the embedding, the fixed-dim-order
+    * fold — identical double sequence on both engines, so the sign
+    * is bit-stable) scored against `label % 2`. The operator under
+    * test is the EVAL reduction itself — four conditional counts in
+    * ONE pass, metrics as single divides of exact longs — the shape
+    * every model-quality gate at 100 TB reduces to. */
+  val classifierEval: QueryDef = QueryDef.sql(
+    s"""WITH p AS (SELECT vec_id,
+             CASE WHEN list_sum(list_transform(
+                 range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                   * (CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+               THEN 1 ELSE 0 END AS pred,
+             CAST(label % 2 AS INTEGER) AS truth
+           FROM embeddings),
+       c AS (SELECT
+           CAST(sum(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred = 1 AND truth = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pred = 0 AND truth = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN pred = 0 AND truth = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+         FROM p)
+       SELECT tp, fp, fn, tn,
+         ${graft.Rounding.r6sql(
+           "CAST(tp AS DOUBLE) / (tp + fp)")} AS precision,
+         ${graft.Rounding.r6sql(
+           "CAST(tp AS DOUBLE) / (tp + fn)")} AS recall,
+         ${graft.Rounding.r6sql(
+           "2.0 * tp / (2.0 * tp + fp + fn)")} AS f1
+       FROM c""") { (s, d) =>
+    val v = graft.vector.VectorOps.toDouble(col("embedding"))
+    val score = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * when(i % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
+      lit(0.0), _ + _)
+    val p = Tables.embeddings(s, d).select(
+      when(score > 0, 1).otherwise(0).as("pred"),
+      (col("label") % 2).cast("int").as("truth"))
+    val c = p.agg(
+      sum(when(col("pred") === 1 && col("truth") === 1, 1)
+        .otherwise(0)).cast("long").as("tp"),
+      sum(when(col("pred") === 1 && col("truth") === 0, 1)
+        .otherwise(0)).cast("long").as("fp"),
+      sum(when(col("pred") === 0 && col("truth") === 1, 1)
+        .otherwise(0)).cast("long").as("fn"),
+      sum(when(col("pred") === 0 && col("truth") === 0, 1)
+        .otherwise(0)).cast("long").as("tn"))
+    val (tp, fp, fn, tn) = (col("tp").cast("double"),
+      col("fp").cast("double"), col("fn").cast("double"),
+      col("tn").cast("double"))
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      r6(tp / (tp + fp)).as("precision"),
+      r6(tp / (tp + fn)).as("recall"),
+      r6(lit(2.0) * tp / (lit(2.0) * tp + fp + fn)).as("f1"))
+  }
+
+  /** Classical seasonal decomposition (trend / weekly seasonal /
+    * remainder) of per-type daily counts — the STL-style shape next
+    * to q175's Holt and q189's CUSUM. The fact reduces to the ~150-
+    * cell daily grid in ONE aggregate; trend is a centered 7-day
+    * moving average (exact long sum / 7, null at edges), the
+    * day-of-week seasonal means fold their ≤4 residuals in explicit
+    * day order (the fixed-order-fold recipe — a plain avg over
+    * doubles would be partition-order dependent), and the remainder
+    * subtracts the ROUNDED seasonal so both engines difference the
+    * same 6-decimal value. */
+  val seasonalDecompose: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+       t AS (SELECT event_type, day, c,
+               CASE WHEN count(*) OVER w = 7
+                 THEN CAST(sum(c) OVER w AS DOUBLE) / 7 END AS trend
+             FROM d
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       s AS (SELECT event_type AS s_et,
+               CAST(dayofweek(day) AS INTEGER) AS dow,
+               ${graft.Rounding.r6sql(
+                 "list_sum(list(c - trend ORDER BY day)) / count(*)")}
+                 AS seasonal
+             FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+       SELECT event_type, CAST(day AS VARCHAR) AS day, c,
+         ${graft.Rounding.r6sql("trend")} AS trend, seasonal,
+         ${graft.Rounding.r6sql("c - trend - seasonal")} AS remainder
+       FROM t JOIN s ON event_type = s_et
+         AND CAST(dayofweek(day) AS INTEGER) = dow
+       WHERE trend IS NOT NULL
+       ORDER BY event_type, day""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = daily.select(col("event_type"), col("day"), col("c"),
+        when(count(lit(1)).over(w) === 7,
+          sum(col("c")).over(w).cast("double") / 7).as("trend"))
+      .filter(col("trend").isNotNull)
+    val seas = t.groupBy(col("event_type").as("s_et"),
+        dayofweek(col("day")).cast("int").as("dow"))
+      .agg(r6(aggregate(
+        transform(array_sort(collect_list(struct(col("day"),
+          (col("c") - col("trend")).as("resid")))),
+          _.getField("resid")),
+        lit(0.0), _ + _) / count(lit(1))).as("seasonal"))
+    t.join(seas, col("event_type") === col("s_et") &&
+        dayofweek(col("day")).cast("int") === col("dow"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("c"), r6(col("trend")).as("trend"), col("seasonal"),
+        r6(col("c") - col("trend") - col("seasonal")).as("remainder"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -433,5 +612,8 @@ object Stats {
     "q206_daily_autocorr" -> dailyAutocorr,
     "q208_hourly_ols" -> hourlyOls,
     "q209_gini_activity" -> giniActivity,
-    "q210_funnel" -> funnel)
+    "q210_funnel" -> funnel,
+    "q215_repetition_signals" -> repetitionSignals,
+    "q216_classifier_eval" -> classifierEval,
+    "q217_seasonal_decompose" -> seasonalDecompose)
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-idiom tier: the reshaping / multi-level-aggregation /
+  * dimension-versioning SQL surface (PIVOT, ROLLUP, the rank-family
+  * window functions, SCD type 2) that rounds out the relational
+  * catalog. Everything here is exact — integer counts, DECIMAL
+  * money sums, rational ranks — so no rounding subtleties beyond the
+  * standing r6 convention.
+  */
+object Warehouse {
+
+  private def r6(c: org.apache.spark.sql.Column) = graft.Rounding.r6(c)
+
+  /** PIVOT: per user-cohort event counts reshaped wide, one column
+    * per event_type. The value list is EXPLICIT (the 5 fixture
+    * types) — never inferred, which at 100 TB would force an extra
+    * distinct scan and an unbounded column count. Plan: one hash
+    * aggregate on (cohort, type) then the pivot projection; the wide
+    * result is |cohorts| rows. */
+  val pivotCounts: QueryDef = QueryDef.sql(
+    """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS view
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).cast("long").as("cohort"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)).cast("long"))
+      .na.fill(0L)
+      .orderBy(col("cohort"))
+  }
+
+  /** ROLLUP: customer account balance at nation, region, and grand-
+    * total grain in ONE pass — Spark expands the grouping sets inside
+    * a single aggregate (each input row feeds all three grains
+    * map-side) instead of three scans + union. Subtotal rows label as
+    * 'ALL' via coalesce (names are non-null, so the label is
+    * unambiguous); money sums in exact DECIMAL. */
+  val rollupAcctbal: QueryDef = QueryDef.sql(
+    """SELECT coalesce(r_name, 'ALL') AS region,
+         coalesce(n_name, 'ALL') AS nation,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 6)
+           AS DOUBLE) AS acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""") {
+    (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_cust"),
+        round(sum(col("c_acctbal").cast("decimal(30,10)")), 6)
+          .cast("double").as("acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("acctbal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Rank-family window breadth: ntile quartiles, percent_rank, and
+    * cume_dist over orders per priority, summarized per quartile.
+    * The window ORDER BY carries the orderkey tie-break so every
+    * rank is a total-order integer and the rational rank functions
+    * ((rank-1)/(n-1), rank/n) are exact cross-engine; the quartile
+    * summary bounds the output at |priorities|×4. */
+  val windowRankBreadth: QueryDef = QueryDef.sql(
+    s"""WITH w AS (SELECT o_orderpriority AS pri,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS quartile,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS pr,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS cd
+           FROM orders)
+       SELECT pri, quartile, CAST(count(*) AS BIGINT) AS n,
+         ${graft.Rounding.r6sql("max(pr)")} AS max_pr,
+         ${graft.Rounding.r6sql("max(cd)")} AS max_cd
+       FROM w GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy(col("pri"), col("quartile"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        r6(max(col("pr"))).as("max_pr"),
+        r6(max(col("cd"))).as("max_cd"))
+      .orderBy(col("pri"), col("quartile"))
+  }
+
+  /** SCD type 2 dimension build from an event stream: per-user
+    * status (event_type) change intervals with valid_from/valid_to
+    * and a current flag — the gaps-and-islands construction every
+    * warehouse runs to version dimensions. Both windows (change
+    * detection lag, interval-close lead) share ONE user_id
+    * partitioning with the (ts, event_id) total order, so the whole
+    * build is a single key shuffle; timestamps compare as exact
+    * microseconds. */
+  val scd2Build: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+       c AS (SELECT user_id, event_type AS status, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS valid_to
+           FROM s WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id, status, valid_from, valid_to,
+         CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS is_current
+       FROM c ORDER BY user_id, valid_from""") { (s, d) =>
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"),
+        lag(col("event_type"), 1).over(order).as("prev"))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(order).as("valid_to"))
+      .select(col("user_id"), col("status"), col("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q211_pivot_counts" -> pivotCounts,
+    "q212_rollup_acctbal" -> rollupAcctbal,
+    "q213_window_rank_breadth" -> windowRankBreadth,
+    "q214_scd2_build" -> scd2Build)
+}
