@@ -604,6 +604,70 @@ object Stats {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Market-basket association rules over (user, day) baskets:
+    * support / confidence / lift per event-type pair — the retail
+    * twin of q98's PMI collocations (PMI is log-lift on token
+    * pairs; this is the rule-mining formulation with its three
+    * standard metrics). Baskets dedupe on ONE (user, day, type)
+    * distinct; the pair join is WITHIN-basket only (equi-join on the
+    * basket key, ≤ |types| rows per basket — never a cross join of
+    * types against types globally); metrics are single IEEE
+    * divides of exact longs in an identical op sequence on both
+    * engines, rounded. */
+  val associationRules: QueryDef = QueryDef.sql(
+    s"""WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             event_type FROM events),
+       nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT)
+                AS n FROM b),
+       s1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+              FROM b GROUP BY 1),
+       p AS (SELECT a.event_type AS ante, c.event_type AS cons,
+               CAST(count(*) AS BIGINT) AS cab
+             FROM b a JOIN b c ON a.user_id = c.user_id
+               AND a.day = c.day AND a.event_type < c.event_type
+             GROUP BY 1, 2)
+       SELECT ante, cons, cab,
+         ${graft.Rounding.r6sql(
+           "CAST(cab AS DOUBLE) / CAST(n AS DOUBLE)")} AS support,
+         ${graft.Rounding.r6sql(
+           "CAST(cab AS DOUBLE) / CAST(sa.c AS DOUBLE)")}
+           AS confidence,
+         ${graft.Rounding.r6sql(
+           """(CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+              / (CAST(sa.c AS DOUBLE) * CAST(sc.c AS DOUBLE))""")}
+           AS lift
+       FROM p, nb JOIN s1 sa ON ante = sa.event_type
+         JOIN s1 sc ON cons = sc.event_type
+       ORDER BY ante, cons""") { (s, d) =>
+    val b = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type")).distinct()
+    val nb = b.agg(countDistinct(col("user_id"), col("day"))
+      .cast("long").as("n"))
+    val s1 = b.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val p = b.as("a").join(b.as("cc"),
+        col("a.user_id") === col("cc.user_id") &&
+        col("a.day") === col("cc.day") &&
+        col("a.event_type") < col("cc.event_type"))
+      .groupBy(col("a.event_type").as("ante"),
+        col("cc.event_type").as("cons"))
+      .agg(count(lit(1)).cast("long").as("cab"))
+    val withCounts = p.crossJoin(nb)
+      .join(s1.select(col("event_type").as("sa_t"),
+        col("c").as("sa_c")), col("ante") === col("sa_t"))
+      .join(s1.select(col("event_type").as("sc_t"),
+        col("c").as("sc_c")), col("cons") === col("sc_t"))
+    val (cab, n, sa, sc) = (col("cab").cast("double"),
+      col("n").cast("double"), col("sa_c").cast("double"),
+      col("sc_c").cast("double"))
+    withCounts.select(col("ante"), col("cons"), col("cab"),
+        r6(cab / n).as("support"),
+        r6(cab / sa).as("confidence"),
+        r6((cab * n) / (sa * sc)).as("lift"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -615,5 +679,8 @@ object Stats {
     "q210_funnel" -> funnel,
     "q215_repetition_signals" -> repetitionSignals,
     "q216_classifier_eval" -> classifierEval,
-    "q217_seasonal_decompose" -> seasonalDecompose)
+    "q217_seasonal_decompose" -> seasonalDecompose,
+    "q219_association_rules" -> associationRules)
+
+
 }

@@ -146,8 +146,64 @@ object Warehouse {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Migration reconciliation report — the full-outer diff every
+    * platform migration runs to certify a copy: matched /
+    * value-mismatch / missing-in-target / extra-in-target counts per
+    * type, keyed on the primary key. The "target" is the source with
+    * DETERMINISTIC injected faults (drops at id%31=7, value drift at
+    * id%37=5, extras at id%41=3), so the report's exact counts are
+    * oracle-checkable. ONE full-outer join on the key (both sides
+    * shuffle once, AQE handles size asymmetry); value comparison on
+    * 1e-6 integer quantizations, never raw doubles. */
+  val reconciliation: QueryDef = QueryDef.sql(
+    """WITH src AS (SELECT event_id, event_type, value FROM events),
+       tgt AS (
+         SELECT event_id, event_type,
+             CASE WHEN event_id % 37 = 5 THEN value + 1 ELSE value END
+               AS value
+           FROM events WHERE event_id % 31 <> 7
+         UNION ALL
+         SELECT event_id + 5000000000, event_type, value
+           FROM events WHERE event_id % 41 = 3),
+       j AS (SELECT coalesce(src.event_type, tgt.event_type)
+               AS event_type,
+             CASE WHEN src.event_id IS NULL THEN 'extra_target'
+                  WHEN tgt.event_id IS NULL THEN 'missing_target'
+                  WHEN floor(src.value * 1000000 + 0.5)
+                    <> floor(tgt.value * 1000000 + 0.5)
+                    THEN 'value_mismatch'
+                  ELSE 'matched' END AS status
+           FROM src FULL OUTER JOIN tgt
+             ON src.event_id = tgt.event_id)
+       SELECT event_type, status, CAST(count(*) AS BIGINT) AS n
+       FROM j GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val src = ev
+    val tgt = ev.filter(col("event_id") % 31 =!= 7)
+      .withColumn("value", when(col("event_id") % 37 === 5,
+        col("value") + 1).otherwise(col("value")))
+      .unionAll(ev.filter(col("event_id") % 41 === 3)
+        .withColumn("event_id", col("event_id") + 5000000000L))
+    val q = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000 + lit(0.5))
+    src.as("src").join(tgt.as("tgt"),
+        col("src.event_id") === col("tgt.event_id"), "full_outer")
+      .select(coalesce(col("src.event_type"), col("tgt.event_type"))
+          .as("event_type"),
+        when(col("src.event_id").isNull, "extra_target")
+          .when(col("tgt.event_id").isNull, "missing_target")
+          .when(q(col("src.value")) =!= q(col("tgt.value")),
+            "value_mismatch")
+          .otherwise("matched").as("status"))
+      .groupBy(col("event_type"), col("status"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("event_type"), col("status"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
+    "q218_reconciliation" -> reconciliation,
     "q212_rollup_acctbal" -> rollupAcctbal,
     "q213_window_rank_breadth" -> windowRankBreadth,
     "q214_scd2_build" -> scd2Build)
