@@ -212,24 +212,33 @@ object Profile {
       def consume(df: DataFrame, cols: Seq[String]): Unit =
         println("  sum = " + df.agg(sum(cols.map(col).reduce(_ + _)))
           .collect()(0).get(0))
-      val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
-        else Seq(1, 10)
+      // optional op filter ("q196"/"q198") before the k list, so the
+      // cheap sub-linear op can probe 100x without paying the heavy
+      // one's linear wedge cost in the same run
+      val rest = args.drop(1)
+      val opFilter = rest.headOption.filter(_.startsWith("q"))
+      val ks0 = rest.dropWhile(_.startsWith("q")).map(_.toInt).toSeq
+      val ks = if (ks0.nonEmpty) ks0 else Seq(1, 10)
+      def wants(op: String) = opFilter.forall(_ == op)
       ks.foreach { k =>
         val dir = repDir(k)
-        // the real-cluster setting (§13.4 lesson): q196's wedge
-        // relation scales by k, so task inputs only stay
-        // fixture-sized if the shuffle width scales with the data —
-        // at a fixed 32, the 10x distinct leaves ~10M wedge rows per
-        // task and the hash aggregate spills
-        spark.conf.set("spark.sql.shuffle.partitions",
-          math.max(cpus.toInt, cpus.toInt * k).toString)
-        timed(s"q196 ${k}x")(consume(
-          SparkEntry.queries("q196_khop_reach")(spark, dir),
-          Seq("n_direct", "n_reach2")))
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
-        timed(s"q198 ${k}x")(consume(
-          SparkEntry.queries("q198_interval_coverage")(spark, dir),
-          Seq("n_intervals", "covered_us")))
+        if (wants("q196")) {
+          // the real-cluster setting (§13.4 lesson): q196's wedge
+          // relation scales by k, so task inputs only stay
+          // fixture-sized if the shuffle width scales with the data —
+          // at a fixed 32, the 10x distinct leaves ~10M wedge rows
+          // per task and the hash aggregate spills
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.max(cpus.toInt, cpus.toInt * k).toString)
+          timed(s"q196 ${k}x")(consume(
+            SparkEntry.queries("q196_khop_reach")(spark, dir),
+            Seq("n_direct", "n_reach2")))
+          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        }
+        if (wants("q198"))
+          timed(s"q198 ${k}x")(consume(
+            SparkEntry.queries("q198_interval_coverage")(spark, dir),
+            Seq("n_intervals", "covered_us")))
       }
       spark.stop()
       return

@@ -201,9 +201,105 @@ object Warehouse {
       .orderBy(col("event_type"), col("status"))
   }
 
+  /** Floor-clamped running balance (inventory that cannot go
+    * negative) — the canonical NON-associative scan: b_t = max(0,
+    * b_{t-1} + x_t) has no direct window form, but the closed form
+    * b_t = cum_t − min(0, min_{s≤t} cum_s) turns it into TWO stacked
+    * windows on the SAME (user, time) key — one shuffle, linear
+    * per-partition scans, no mapGroups state needed. Deltas are
+    * exact integer micro-units (purchases add, errors subtract
+    * double), so every balance is an exact long. */
+  val cappedBalance: QueryDef = QueryDef.sql(
+    """WITH x AS (SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 1000000) AS BIGINT)
+             WHEN event_type = 'error'
+               THEN -2 * CAST(floor(value * 1000000) AS BIGINT)
+             ELSE 0 END AS delta
+         FROM events WHERE event_type IN ('purchase', 'error')),
+       c AS (SELECT user_id, ts, event_id,
+           sum(delta) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum
+         FROM x),
+       c2 AS (SELECT user_id, cum,
+           least(min(cum) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0)
+             AS floor_adj
+         FROM c),
+       f AS (SELECT user_id, cum - floor_adj AS balance FROM c2)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+         CAST(max(balance) AS BIGINT) AS peak_balance,
+         CAST(sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero
+       FROM f GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qv = floor(col("value") * 1000000).cast("long")
+    val x = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", qv)
+          .when(col("event_type") === "error", lit(-2) * qv)
+          .otherwise(0L).as("delta"))
+    val c = x.select(col("user_id"), col("ts"), col("event_id"),
+      sum(col("delta")).over(w).as("cum"))
+    val f = c.select(col("user_id"),
+        (col("cum") - least(min(col("cum")).over(w), lit(0L)))
+          .as("balance"))
+    f.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_moves"),
+        max(col("balance")).cast("long").as("peak_balance"),
+        sum(when(col("balance") === 0, 1).otherwise(0)).cast("long")
+          .as("n_zero"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact weighted median per group (extendedprice weighted by
+    * quantity, per returnflag) — the robust cost summary plain
+    * median can't give. Closed form: cumulative weight over the
+    * value order, first value whose cumulative weight reaches half
+    * the total — two windows on ONE group key, no sort of anything
+    * but the window's own. Prices quantize to exact cents with
+    * floor(x·100+0.5) (a bare CAST would round on DuckDB and
+    * truncate on Spark); ties on (v, wgt) cannot change the answer
+    * because every tied row carries the same v. */
+  val weightedMedian: QueryDef = QueryDef.sql(
+    """WITH x AS (SELECT l_returnflag AS grp,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+           CAST(l_quantity AS BIGINT) AS wgt FROM lineitem),
+       c AS (SELECT grp, v, wgt,
+           sum(wgt) OVER (PARTITION BY grp ORDER BY v, wgt
+             ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(wgt) OVER (PARTITION BY grp) AS tw
+         FROM x)
+       SELECT grp, CAST(min(v) AS BIGINT) AS wmedian_cents,
+         CAST(max(tw) AS BIGINT) AS total_weight
+       FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val wOrd = Window.partitionBy(col("grp"))
+      .orderBy(col("v"), col("wgt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val x = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+        .as("v"),
+      col("l_quantity").cast("long").as("wgt"))
+    x.select(col("grp"), col("v"),
+        sum(col("wgt")).over(wOrd).as("cw"),
+        sum(col("wgt")).over(wAll).as("tw"))
+      .filter(lit(2) * col("cw") >= col("tw"))
+      .groupBy(col("grp"))
+      .agg(min(col("v")).cast("long").as("wmedian_cents"),
+        max(col("tw")).cast("long").as("total_weight"))
+      .orderBy(col("grp"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
     "q218_reconciliation" -> reconciliation,
+    "q220_capped_balance" -> cappedBalance,
+    "q221_weighted_median" -> weightedMedian,
     "q212_rollup_acctbal" -> rollupAcctbal,
     "q213_window_rank_breadth" -> windowRankBreadth,
     "q214_scd2_build" -> scd2Build)
