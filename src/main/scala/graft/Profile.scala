@@ -148,7 +148,11 @@ object Profile {
       // (a) re-shuffles the fact per query while (c) never does.
       import org.apache.spark.sql.DataFrame
       val k = if (args.length > 1) args(1).toInt else 10
-      val stride = 10000000L
+      // data-derived stride (the q184-probe lesson, ADVICE r8): a
+      // fixed 1e7 overlaps TPC-H orderkeys from sf~1.7 up, silently
+      // inflating cross-replica matches
+      val stride = Tables.orders(spark, sfDir)
+        .agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1
       def rep(df: DataFrame, key: String): DataFrame =
         df.withColumn("r", explode(sequence(lit(0), lit(k - 1))))
           .withColumn(key, col(key) + col("r") * stride)

@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * The round driver re-runs queries in one long-lived session, so
   * the bucketed tables are written once per (session, fixture) and
-  * registered under fixture-hashed names; the broadcast threshold is
-  * pinned off for just this query (and restored) so the plan gate in
-  * PlanAuditSpec deterministically sees the bucketed SMJ, not a
-  * size-dependent broadcast.
+  * registered under fixture-hashed names; a MERGE join hint pins the
+  * sort-merge strategy so the plan gate in PlanAuditSpec
+  * deterministically sees the bucketed SMJ, not a size-dependent
+  * broadcast.
   */
 object Bucketing {
 
@@ -29,7 +29,10 @@ object Bucketing {
     * external tables under tmpdir, once per session+fixture. */
   def ensureBucketed(s: SparkSession, d: String): (String, String) = {
     val (ot, lt) = bucketedNames(s, d)
-    if (!s.catalog.tableExists(ot)) {
+    // gate on BOTH tables: a first attempt that died between the two
+    // writes must not leave the session half-initialized (overwrite
+    // mode makes the re-write of the surviving table safe)
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_q207_" +
         Integer.toHexString(d.hashCode) + "_" +
         ProcessHandle.current().pid()

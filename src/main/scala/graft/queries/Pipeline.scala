@@ -2413,15 +2413,6 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** BM25 retrieval scoring (Robertson/Okapi, k1=1.2 b=0.75) for a
-    * fixed query against the corpus — the classic IR ranking
-    * function from corpus statistics alone. Document frequencies,
-    * doc count, and average doc length come from ONE tiny aggregate
-    * broadcast back (in-plan, no driver round-trip); scoring is then
-    * fully row-local, term loop unrolled into codegen arithmetic.
-    * Output is every matching doc in id order (not a float-ordered
-    * top-k, which could flip on last-ulp score ties across engines).
-    */
   /** BM25 (Robertson/Okapi) scores for `terms` over a (doc_id, toks)
     * relation, rows with score > 0 only. Corpus statistics (doc
     * count, avg doc length, per-term document frequencies) come from
@@ -2452,6 +2443,11 @@ object Pipeline {
       .select(col("doc_id"), col("score"))
   }
 
+  /** q78: BM25 retrieval scoring (k1=1.2 b=0.75) for a fixed query
+    * against the corpus — the classic IR ranking function from
+    * corpus statistics alone (via [[bm25Scored]]). Output is every
+    * matching doc in id order (not a float-ordered top-k, which
+    * could flip on last-ulp score ties across engines). */
   val bm25Score: QueryDef = {
     val terms = Seq("spark", "join", "stream")
     val (k1, bb) = (1.2, 0.75)

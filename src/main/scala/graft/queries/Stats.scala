@@ -23,15 +23,18 @@ object Stats {
   private def r6(c: Column): Column = graft.Rounding.r6(c)
 
   /** Pearson correlation from exact sufficient statistics, computed
-    * in double only at the final (single-row) step. */
+    * in double only at the final (single-row) step. try_divide, not
+    * `/` (the VectorOps.cosine stance): a zero-variance group makes
+    * the denominator exactly 0.0, which throws under Spark 4's ANSI
+    * default while the DuckDB oracle naturally yields NULL. */
   private def pearson(n: Column, sx: Column, sy: Column, sxx: Column,
       syy: Column, sxy: Column): Column = {
     val nd = n.cast("double")
     val (dx, dy, dxy) =
       (sxx.cast("double"), syy.cast("double"), sxy.cast("double"))
     val (mx, my) = (sx.cast("double"), sy.cast("double"))
-    r6((nd * dxy - mx * my) /
-      sqrt((nd * dx - mx * mx) * (nd * dy - my * my)))
+    r6(try_divide(nd * dxy - mx * my,
+      sqrt((nd * dx - mx * mx) * (nd * dy - my * my))))
   }
 
   /** Population-stability-index drift between the first and second
@@ -148,12 +151,15 @@ object Stats {
     * identical IEEE multiply+floor on both engines, the exact long
     * renders identically as a string, and the first non-zero char is
     * the first significant digit of any value ≥ 1e-6 — no log10
-    * (libm) anywhere. One hash aggregate to ≤ 9 cells. */
+    * (libm) anywhere. The domain guard is value ≥ 1e-6 (not > 0):
+    * below the quantization grain the long is 0, whose stripped
+    * string is empty — a NULL digit on Spark but a hard DuckDB cast
+    * error. One hash aggregate to ≤ 9 cells. */
   val benfordDigits: QueryDef = QueryDef.sql(
     s"""WITH d AS (SELECT CAST(substr(ltrim(
              CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR),
              '0'), 1, 1) AS INTEGER) AS digit
-           FROM events WHERE value > 0),
+           FROM events WHERE value >= 0.000001),
        c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
              FROM d GROUP BY 1),
        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
@@ -162,7 +168,7 @@ object Stats {
            "CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)")} AS share
        FROM c, t ORDER BY digit""") { (s, d) =>
     val c = Tables.events(s, d)
-      .filter(col("value") > 0)
+      .filter(col("value") >= 0.000001)
       .select(substring(ltrim(
           floor(col("value") * 1000000).cast("long").cast("string"),
           "0"), 1, 1).cast("int").as("digit"))
@@ -340,7 +346,9 @@ object Stats {
     val (sx, sv, sxx, sxv) = (col("sx").cast("double"),
       col("sv").cast("double"), col("sxx").cast("double"),
       col("sxv").cast("double"))
-    val slope = (nd * sxv - sx * sv) / (nd * sxx - sx * sx)
+    // try_divide: a type whose events all share one hour-of-day has
+    // zero x-variance — DuckDB's double /0 is NULL, ANSI `/` throws
+    val slope = try_divide(nd * sxv - sx * sv, nd * sxx - sx * sx)
     g.select(col("event_type"), col("n"),
         r6(slope / 1000000.0).as("slope"),
         r6((sv - slope * sx) / nd / 1000000.0).as("intercept"))
@@ -541,10 +549,13 @@ object Stats {
     val (tp, fp, fn, tn) = (col("tp").cast("double"),
       col("fp").cast("double"), col("fn").cast("double"),
       col("tn").cast("double"))
+    // try_divide: a single-class prediction (tp+fp = 0) or an
+    // all-negative truth (tp+fn = 0) must yield NULL like the
+    // oracle's double /0, not an ANSI DIVIDE_BY_ZERO
     c.select(col("tp"), col("fp"), col("fn"), col("tn"),
-      r6(tp / (tp + fp)).as("precision"),
-      r6(tp / (tp + fn)).as("recall"),
-      r6(lit(2.0) * tp / (lit(2.0) * tp + fp + fn)).as("f1"))
+      r6(try_divide(tp, tp + fp)).as("precision"),
+      r6(try_divide(tp, tp + fn)).as("recall"),
+      r6(try_divide(lit(2.0) * tp, lit(2.0) * tp + fp + fn)).as("f1"))
   }
 
   /** Classical seasonal decomposition (trend / weekly seasonal /
