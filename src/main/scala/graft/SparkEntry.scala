@@ -21,7 +21,7 @@ object SparkEntry {
       graft.queries.Pipeline.defs ++ graft.queries.Cached.defs ++
       graft.queries.Advanced.defs ++ graft.queries.TpchShapes.defs ++
       graft.queries.Stats.defs ++ graft.queries.Bucketing.defs ++
-      graft.queries.Warehouse.defs
+      graft.queries.Warehouse.defs ++ graft.queries.Corpus.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, v) => k -> v.fn }

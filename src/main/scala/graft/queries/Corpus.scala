@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance tier: the source-level triage and documentation
+  * artifacts a curation pipeline emits before training — which
+  * sources duplicate each other, and the dataset-card summary row.
+  */
+object Corpus {
+
+  private def r6(c: org.apache.spark.sql.Column) = graft.Rounding.r6(c)
+
+  /** Source-vocabulary overlap: exact Jaccard between every source
+    * pair over their distinct BIGRAM vocabularies (unigram vocab is
+    * saturated on this corpus — every source shares all ~31 words —
+    * bigrams differentiate). This is corpus-level dedup triage:
+    * which SOURCES are near-copies, answered before any doc-level
+    * pass. The join is token-keyed (source-pair counts via the
+    * inverted index), never sources×sources×docs; per-source vocab
+    * is bounded by the token space, and the 190-pair output is
+    * dimension-sized. */
+  val sourceOverlap: QueryDef = QueryDef.sql(
+    s"""WITH t AS (SELECT source, string_split(trim(text), ' ')
+             AS toks FROM documents),
+       st AS (SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS tok
+             FROM t WHERE len(toks) >= 2),
+       sz AS (SELECT source AS sz_s, CAST(count(*) AS BIGINT) AS nv
+              FROM st GROUP BY 1),
+       p AS (SELECT a.source AS s1, b.source AS s2,
+               CAST(count(*) AS BIGINT) AS common
+             FROM st a JOIN st b ON a.tok = b.tok
+               AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT s1, s2, common,
+         ${graft.Rounding.r6sql(
+           "CAST(common AS DOUBLE) / (za.nv + zb.nv - common)")}
+           AS jaccard
+       FROM p JOIN sz za ON s1 = za.sz_s JOIN sz zb ON s2 = zb.sz_s
+       ORDER BY s1, s2""") { (s, d) =>
+    val t = Tables.documents(s, d).select(col("source"),
+      graft.text.TextOps.tokens(col("text")).as("toks"))
+    val st = t.filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2)))).as("tok"))
+      .distinct()
+    val sz = st.groupBy(col("source").as("sz_s"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val p = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).cast("long").as("common"))
+    p.join(sz.select(col("sz_s").as("za_s"), col("nv").as("za_nv")),
+        col("s1") === col("za_s"))
+      .join(sz.select(col("sz_s").as("zb_s"), col("nv").as("zb_nv")),
+        col("s2") === col("zb_s"))
+      .select(col("s1"), col("s2"), col("common"),
+        r6(col("common").cast("double") /
+          (col("za_nv") + col("zb_nv") - col("common")))
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** Dataset-card summary: the one-row corpus documentation artifact
+    * (doc/lang/source counts, token totals and range, exact-dup
+    * count, char volume) in ONE full-scan aggregate. Exact-dup
+    * counting distincts the md5 of the text, not the text — at
+    * 100 TB the shuffle carries 32-byte digests instead of
+    * multi-KB documents (same stance as q29's hash-group dedup). */
+  val datasetCard: QueryDef = QueryDef.sql(
+    s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+               AS n_tok,
+             md5(text) AS h
+           FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(min(n_tok) AS BIGINT) AS min_tokens,
+         CAST(max(n_tok) AS BIGINT) AS max_tokens,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(n_tok) AS DOUBLE) / count(*)")} AS mean_tokens,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM t""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tok"),
+        md5(col("text")).as("h"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        min(col("n_tok")).cast("long").as("min_tokens"),
+        max(col("n_tok")).cast("long").as("max_tokens"),
+        r6(sum(col("n_tok")).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).cast("long")
+          .as("n_exact_dups"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q222_source_overlap" -> sourceOverlap,
+    "q223_dataset_card" -> datasetCard)
+}
