@@ -679,6 +679,51 @@ object Stats {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** Time-weighted average (TWAP) of value per user — each reading
+    * holds until the next event, so its weight is the microseconds
+    * held (the metrics/finance averaging that plain avg gets wrong
+    * under irregular sampling). ONE user_id shuffle serves both the
+    * lead window and the aggregate; weights are exact integer
+    * microseconds, values exact 1e-6 quantizations, and the
+    * weighted sum accumulates in DECIMAL(38) because value·duration
+    * products reach ~1e20 — past long range even at fixture scale.
+    * The open last interval is excluded on both engines. */
+  val twap: QueryDef = QueryDef.sql(
+    s"""WITH s AS (SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events),
+       w AS (SELECT user_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS v,
+               epoch_us(nxt) - epoch_us(ts) AS dur
+             FROM s WHERE nxt IS NOT NULL),
+       a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(dur) AS BIGINT) AS total_us,
+               sum(CAST(v AS DECIMAL(38,0)) * dur) AS sv
+             FROM w GROUP BY 1)
+       SELECT user_id, n_intervals, total_us,
+         ${graft.Rounding.r6sql(
+           "CAST(sv AS DOUBLE) / total_us / 1000000.0")} AS twap
+       FROM a ORDER BY user_id""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("value"), col("ts"),
+        lead(col("ts"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"),
+        floor(col("value") * 1000000).cast("long").as("v"),
+        (unix_micros(col("nxt")) - unix_micros(col("ts"))).as("dur"))
+    iv.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_intervals"),
+        sum(col("dur")).cast("long").as("total_us"),
+        sum(col("v").cast("decimal(38,0)") * col("dur")).as("sv"))
+      .select(col("user_id"), col("n_intervals"), col("total_us"),
+        r6(col("sv").cast("double") / col("total_us") / 1000000.0)
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -691,7 +736,9 @@ object Stats {
     "q215_repetition_signals" -> repetitionSignals,
     "q216_classifier_eval" -> classifierEval,
     "q217_seasonal_decompose" -> seasonalDecompose,
-    "q219_association_rules" -> associationRules)
+    "q219_association_rules" -> associationRules,
+    "q224_twap" -> twap)
+
 
 
 }
