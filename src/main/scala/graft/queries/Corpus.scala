@@ -107,7 +107,51 @@ object Corpus {
         sum(col("n_chars")).cast("long").as("total_chars"))
   }
 
+  /** Blocklist filtering per source — the C4-style badword screen:
+    * flag every document containing any blocklist term, report the
+    * per-source contamination rate. The term list is modeled as a
+    * TABLE (not an IN-list) joined via explode(tokens) → BROADCAST
+    * left-semi — the shape that still works when the blocklist is
+    * 10k phrases: the token explosion is map-local, the semi-join
+    * never shuffles the corpus, and only the (source, doc_id)
+    * survivors reach the per-doc distinct. At fixture scale the
+    * 3-term list would also fit `arrays_overlap` with a literal
+    * array (zero extra shuffle), noted here as the degenerate-case
+    * shortcut; the broadcast-join form is the one that scales in
+    * blocklist size. */
+  val blocklistFilter: QueryDef = QueryDef.sql(
+    s"""WITH f AS (SELECT source, doc_id,
+           CASE WHEN list_has_any(string_split(trim(text),' '),
+             ['dup','slow','big']) THEN 1 ELSE 0 END AS hit
+         FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(hit) AS BIGINT) AS n_flagged,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(hit) AS DOUBLE)/count(*)")} AS flag_rate
+       FROM f GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import s.implicits._
+    val blocklist = Seq("dup", "slow", "big").toDF("term")
+    val docs = Tables.documents(s, d)
+    val flagged = docs
+      .select(col("source"), col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .join(broadcast(blocklist), col("tok") === col("term"),
+        "left_semi")
+      .select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_flagged"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        r6(coalesce(col("n_flagged"), lit(0L)).cast("double")
+          / col("n_docs")).as("flag_rate"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q222_source_overlap" -> sourceOverlap,
-    "q223_dataset_card" -> datasetCard)
+    "q223_dataset_card" -> datasetCard,
+    "q227_blocklist_filter" -> blocklistFilter)
 }

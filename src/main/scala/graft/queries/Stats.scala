@@ -724,6 +724,211 @@ object Stats {
       .orderBy(col("user_id"))
   }
 
+  /** Spearman rank correlation (value vs. time) per event_type — the
+    * robust monotone-trend screen (q205's Pearson is the linear
+    * twin; rank space is outlier-immune). Ties get AVERAGE ranks,
+    * carried as the integer doubled-rank d = 2*rank_min + tie_count
+    * - 1, so every sufficient statistic is an exact integer:
+    * products fit BIGINT at fixture group sizes (d ≤ 2n, d*d ≤ 4n²
+    * — long-safe below n ≈ 1.5e9; beyond that, cast d to DECIMAL
+    * before the multiply), sums accumulate in DECIMAL(38,0), and the
+    * only floating math is the single-row Pearson-on-ranks close
+    * (the shared `pearson` helper, r6 + try_divide). Both rank
+    * windows PARTITION BY the same key, so Spark plans ONE hash
+    * exchange on event_type with two sorts over it — rank-based
+    * stats at 100 TB cost exactly that sort, which is the honest
+    * price of exact ranks (the approximate path is q64's
+    * quantile sketch). */
+  val spearmanCorr: QueryDef = QueryDef.sql(
+    s"""WITH r AS (
+         SELECT event_type,
+           2*rank() OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(value*1000000+0.5) AS BIGINT))
+             + count(*) OVER (PARTITION BY event_type,
+                 CAST(floor(value*1000000+0.5) AS BIGINT)) - 1 AS dx,
+           2*rank() OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts))
+             + count(*) OVER (PARTITION BY event_type, epoch_us(ts))
+             - 1 AS dy
+         FROM events),
+       a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+           CAST(sum(dx) AS DECIMAL(38,0)) sx,
+           CAST(sum(dy) AS DECIMAL(38,0)) sy,
+           sum(CAST(dx*dx AS DECIMAL(38,0))) sxx,
+           sum(CAST(dy*dy AS DECIMAL(38,0))) syy,
+           sum(CAST(dx*dy AS DECIMAL(38,0))) sxy
+         FROM r GROUP BY 1)
+       SELECT event_type, n,
+         ${graft.Rounding.r6sql(
+           """(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))""")} AS rho
+       FROM a ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val base = Tables.events(s, d).select(col("event_type"),
+      vk.as("vk"), unix_micros(col("ts")).as("tk"))
+    val wx = Window.partitionBy(col("event_type")).orderBy(col("vk"))
+    val wxc = Window.partitionBy(col("event_type"), col("vk"))
+    val wy = Window.partitionBy(col("event_type")).orderBy(col("tk"))
+    val wyc = Window.partitionBy(col("event_type"), col("tk"))
+    val r = base.select(col("event_type"),
+      (lit(2L) * rank().over(wx).cast("long")
+        + count(lit(1)).over(wxc) - 1).as("dx"),
+      (lit(2L) * rank().over(wy).cast("long")
+        + count(lit(1)).over(wyc) - 1).as("dy"))
+    r.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("dx")).cast("decimal(38,0)").as("sx"),
+        sum(col("dy")).cast("decimal(38,0)").as("sy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        pearson(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("syy"), col("sxy")).as("rho"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Welch's two-sample t (click vs. purchase values) — the unequal-
+    * variance A/B significance test run before trusting a metric
+    * delta. Fact-sized work is ONE filtered aggregate to two rows of
+    * exact sufficient statistics (quantized sums in DECIMAL(38,0) —
+    * v² ≤ 4e16 is long-safe per row); the t statistic and
+    * Welch–Satterthwaite df are a fixed single-row IEEE sequence on
+    * both engines (sqrt is correctly rounded per IEEE-754, so it is
+    * bit-stable cross-engine — the transcendental caveat in SURVEY
+    * §13 does not apply to sqrt). try_divide guards the degenerate
+    * zero-variance / n=1 cases that ANSI mode would throw on. */
+  val welchTtest: QueryDef = QueryDef.sql(
+    s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS DECIMAL(38,0)) s,
+           sum(CAST(CAST(floor(value*1000000+0.5) AS BIGINT)
+               * CAST(floor(value*1000000+0.5) AS BIGINT)
+             AS DECIMAL(38,0))) ss
+         FROM events WHERE event_type IN ('click','purchase')
+         GROUP BY 1),
+       p AS (SELECT
+           max(CASE WHEN event_type='click' THEN n END) n1,
+           max(CASE WHEN event_type='click'
+             THEN CAST(s AS DOUBLE) END) s1,
+           max(CASE WHEN event_type='click'
+             THEN CAST(ss AS DOUBLE) END) ss1,
+           max(CASE WHEN event_type='purchase' THEN n END) n2,
+           max(CASE WHEN event_type='purchase'
+             THEN CAST(s AS DOUBLE) END) s2,
+           max(CASE WHEN event_type='purchase'
+             THEN CAST(ss AS DOUBLE) END) ss2
+         FROM g),
+       m AS (SELECT n1, n2,
+           s1/n1/1000000.0 AS m1, s2/n2/1000000.0 AS m2,
+           (ss1 - s1*s1/n1)/(n1-1)/1000000.0/1000000.0/n1 AS se1,
+           (ss2 - s2*s2/n2)/(n2-1)/1000000.0/1000000.0/n2 AS se2
+         FROM p)
+       SELECT n1, n2,
+         ${graft.Rounding.r6sql("(m1-m2)/sqrt(se1+se2)")} AS t_stat,
+         ${graft.Rounding.r6sql(
+           """(se1+se2)*(se1+se2)
+              / (se1*se1/(n1-1)+se2*se2/(n2-1))""")} AS df
+       FROM m""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val g = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), vk.as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("ss"))
+    val p = g.agg(
+      max(when(col("event_type") === "click", col("n"))).as("n1"),
+      max(when(col("event_type") === "click",
+        col("s").cast("double"))).as("s1"),
+      max(when(col("event_type") === "click",
+        col("ss").cast("double"))).as("ss1"),
+      max(when(col("event_type") === "purchase", col("n"))).as("n2"),
+      max(when(col("event_type") === "purchase",
+        col("s").cast("double"))).as("s2"),
+      max(when(col("event_type") === "purchase",
+        col("ss").cast("double"))).as("ss2"))
+    val m = p.select(col("n1"), col("n2"),
+      (col("s1") / col("n1") / 1000000.0).as("m1"),
+      (col("s2") / col("n2") / 1000000.0).as("m2"),
+      (try_divide(col("ss1") - col("s1") * col("s1") / col("n1"),
+        col("n1") - 1) / 1000000.0 / 1000000.0 / col("n1")).as("se1"),
+      (try_divide(col("ss2") - col("s2") * col("s2") / col("n2"),
+        col("n2") - 1) / 1000000.0 / 1000000.0 / col("n2")).as("se2"))
+    m.select(col("n1"), col("n2"),
+      r6(try_divide(col("m1") - col("m2"),
+        sqrt(col("se1") + col("se2")))).as("t_stat"),
+      r6(try_divide(
+        (col("se1") + col("se2")) * (col("se1") + col("se2")),
+        col("se1") * col("se1") / (col("n1") - 1)
+          + col("se2") * col("se2") / (col("n2") - 1))).as("df"))
+  }
+
+  /** Theil–Sen robust trend slope per event_type: the exact median
+    * of all pairwise slopes over the DAILY grid (q173's EWMA and
+    * q190's Holt are the parametric twins; the median-of-slopes
+    * estimator shrugs off the outlier days that bend OLS). The
+    * fact-sized stage is one (type, day) aggregate to a ~150-row
+    * grid of exact quantized longs; the pair self-join is
+    * grid×grid — ~435 pairs per type, CONSTANT in data volume, so
+    * the broadcast self-join costs the same at 100 TB as at sf0.001.
+    * Each slope is one IEEE divide of exact longs; the median picks
+    * the middle element(s) by total order (ties among equal doubles
+    * make row_number's tie order irrelevant) and averages ≤ 2
+    * values — a single commutative IEEE add cross-engine. */
+  val theilSen: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) AS dv
+         FROM events GROUP BY 1,2),
+       pr AS (SELECT a.event_type,
+           CAST(a.dv - b.dv AS DOUBLE)
+             / (datediff('day', b.day, a.day)) AS slope
+         FROM d a JOIN d b ON a.event_type=b.event_type
+           AND a.day > b.day),
+       rk AS (SELECT event_type, slope,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY slope) rn,
+           count(*) OVER (PARTITION BY event_type) cnt FROM pr)
+       SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_pairs,
+         ${graft.Rounding.r6sql("avg(slope)/1000000.0")} AS ts_slope
+       FROM rk WHERE rn*2 IN (cnt, cnt+1, cnt+2)
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val a = grid.select(col("event_type"), col("day").as("a_day"),
+      col("dv").as("a_dv"))
+    val b = grid.select(col("event_type").as("b_type"),
+      col("day").as("b_day"), col("dv").as("b_dv"))
+    val pr = a.join(broadcast(b),
+        col("event_type") === col("b_type")
+          && col("a_day") > col("b_day"))
+      .select(col("event_type"),
+        ((col("a_dv") - col("b_dv")).cast("double")
+          / datediff(col("a_day"), col("b_day"))).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+    val wc = Window.partitionBy(col("event_type"))
+    pr.select(col("event_type"), col("slope"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wc).as("cnt"))
+      .filter((col("rn") * 2 === col("cnt"))
+        || (col("rn") * 2 === col("cnt") + 1)
+        || (col("rn") * 2 === col("cnt") + 2))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).cast("long").as("n_pairs"),
+        r6(avg(col("slope")) / 1000000.0).as("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -737,7 +942,10 @@ object Stats {
     "q216_classifier_eval" -> classifierEval,
     "q217_seasonal_decompose" -> seasonalDecompose,
     "q219_association_rules" -> associationRules,
-    "q224_twap" -> twap)
+    "q224_twap" -> twap,
+    "q225_spearman_corr" -> spearmanCorr,
+    "q228_welch_ttest" -> welchTtest,
+    "q229_theilsen_slope" -> theilSen)
 
 
 

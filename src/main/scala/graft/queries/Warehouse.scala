@@ -295,8 +295,59 @@ object Warehouse {
       .orderBy(col("grp"))
   }
 
+  /** Hourly OHLC bars per event_type — the time-series downsampling
+    * idiom (open/high/low/close/volume per bar) every metrics
+    * warehouse materializes. The Spark plan is ONE hash aggregate:
+    * open/close are `min_by`/`max_by` keyed on struct(ts, event_id)
+    * — a total order, so ties are impossible and the bar is
+    * deterministic — which combine map-side like any other partial
+    * aggregate; no window sort is ever paid, which at 100 TB is the
+    * difference between a shuffle-to-32-ish-bars aggregate and a
+    * full per-key sort (the oracle's row_number formulation is the
+    * same answer, stated for clarity, not the plan to copy). Values
+    * are 1e-6-quantized longs so high/low/volume are exact; the bar
+    * key is emitted as epoch microseconds (BIGINT on both engines —
+    * the q85 no-native-temporal-output convention). */
+  val ohlcBars: QueryDef = QueryDef.sql(
+    """WITH q AS (SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v, ts, event_id
+         FROM events),
+       o AS (SELECT *,
+           row_number() OVER (PARTITION BY event_type, h
+             ORDER BY ts, event_id) rn_a,
+           row_number() OVER (PARTITION BY event_type, h
+             ORDER BY ts DESC, event_id DESC) rn_d FROM q)
+       SELECT event_type, epoch_us(h) AS bar_us,
+         CAST(max(CASE WHEN rn_a=1 THEN v END) AS BIGINT) AS open_v,
+         CAST(max(v) AS BIGINT) AS high_v,
+         CAST(min(v) AS BIGINT) AS low_v,
+         CAST(max(CASE WHEN rn_d=1 THEN v END) AS BIGINT) AS close_v,
+         CAST(sum(v) AS BIGINT) AS vol_v,
+         CAST(count(*) AS BIGINT) AS n
+       FROM o GROUP BY 1,2 ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        vk.as("v"), col("ts"), col("event_id"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(
+        min_by(col("v"), struct(col("ts"), col("event_id")))
+          .cast("long").as("open_v"),
+        max(col("v")).cast("long").as("high_v"),
+        min(col("v")).cast("long").as("low_v"),
+        max_by(col("v"), struct(col("ts"), col("event_id")))
+          .cast("long").as("close_v"),
+        sum(col("v")).cast("long").as("vol_v"),
+        count(lit(1)).cast("long").as("n"))
+      .select(col("event_type"), unix_micros(col("h")).as("bar_us"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("vol_v"), col("n"))
+      .orderBy(col("event_type"), col("bar_us"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
+    "q226_ohlc_bars" -> ohlcBars,
     "q218_reconciliation" -> reconciliation,
     "q220_capped_balance" -> cappedBalance,
     "q221_weighted_median" -> weightedMedian,
