@@ -150,8 +150,132 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Asymmetric containment near-dup: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * over distinct token-3-gram shingle sets — the screen that
+    * catches a document EMBEDDED in a larger one, which symmetric
+    * Jaccard (q30/q39) dilutes away. Pair candidates come from the
+    * inverted shingle index (a shingle-keyed self-join, never
+    * docs×docs); the top-10 output orders by the RAW containment
+    * double (the identical IEEE divide on both engines, so the
+    * LIMIT boundary is deterministic) with a (doc_a, doc_b) total
+    * tie-break, and only the emitted value is r6-rounded. */
+  val containmentTopk: QueryDef = QueryDef.sql(
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ')
+             AS toks FROM documents),
+       s AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS g
+             FROM t WHERE len(toks) >= 3),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) ns
+              FROM s GROUP BY 1),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS common
+             FROM s a JOIN s b ON a.g = b.g AND a.doc_id <> b.doc_id
+             GROUP BY 1,2),
+       c AS (SELECT doc_a, doc_b, common,
+               CAST(common AS DOUBLE)/sz.ns AS cont
+             FROM p JOIN sz ON p.doc_a = sz.doc_id)
+       SELECT doc_a, doc_b, common,
+         ${graft.Rounding.r6sql("cont")} AS containment
+       FROM c ORDER BY cont DESC, doc_a, doc_b LIMIT 10""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = t.select(col("doc_id"),
+      explode(graft.text.TextOps.shingles(col("toks"), 3)).as("g"))
+    val sz = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("ns"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val p = a.join(b, a("g") === b("g")
+        && col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+    p.join(sz, col("doc_a") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("common").cast("double") / col("ns")).as("cont"))
+      .orderBy(col("cont").desc, col("doc_a"), col("doc_b"))
+      .limit(10)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        r6(col("cont")).as("containment"))
+  }
+
+  /** Sorted-neighborhood blocking — the third dedup candidate-
+    * generation family next to LSH (q30/q38) and the inverted index
+    * (q230): sort the corpus by a blocking key (lang, n_chars,
+    * doc_id) and compare each document only to its next w=3
+    * neighbors. Global order comes from `Packing.withGlobalOffsets`
+    * (range shuffle + driver prefix-scan — the scalable exact-rank
+    * recipe, NO single-partition window), and the neighbor pairing
+    * is ONE equi-join on rank+k with k exploded from [1,3]; exact
+    * unigram-set Jaccard decides, thresholded on the raw double
+    * (identical IEEE divide both engines). The blocking key is
+    * carried as one lexicographic string (zero-padded numerics) so
+    * the composite order is a single range-partitionable column. */
+  val sortedNeighborhood: QueryDef = QueryDef.sql(
+    s"""WITH t AS (SELECT doc_id, lang, n_chars,
+             list_distinct(string_split(trim(text),' ')) AS toks
+           FROM documents),
+       o AS (SELECT doc_id, toks,
+           lead(doc_id, 1) OVER w AS d1, lead(toks, 1) OVER w AS t1,
+           lead(doc_id, 2) OVER w AS d2, lead(toks, 2) OVER w AS t2,
+           lead(doc_id, 3) OVER w AS d3, lead(toks, 3) OVER w AS t3
+         FROM t WINDOW w AS (ORDER BY lang, n_chars, doc_id)),
+       pairs AS (
+         SELECT doc_id AS a, d1 AS b, toks AS ta, t1 AS tb FROM o
+           WHERE d1 IS NOT NULL
+         UNION ALL SELECT doc_id, d2, toks, t2 FROM o
+           WHERE d2 IS NOT NULL
+         UNION ALL SELECT doc_id, d3, toks, t3 FROM o
+           WHERE d3 IS NOT NULL),
+       j AS (SELECT a, b,
+           CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+           CAST(len(ta) + len(tb) - len(list_intersect(ta, tb))
+             AS BIGINT) AS uni
+         FROM pairs)
+       SELECT a, b,
+         ${graft.Rounding.r6sql("CAST(inter AS DOUBLE)/uni")}
+           AS jaccard
+       FROM j WHERE CAST(inter AS DOUBLE)/uni >= 0.8
+       ORDER BY a, b""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(graft.text.TextOps.tokens(col("text")))
+          .as("toks"))
+      .select(col("doc_id"), col("toks"),
+        concat(col("lang"), lit("|"),
+          lpad(col("n_chars").cast("string"), 12, "0"), lit("|"),
+          lpad(col("doc_id").cast("string"), 12, "0")).as("bkey"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.ops.Packing
+      .withGlobalOffsets(t, "bkey", "one")
+      .select(col("doc_id"), col("toks"),
+        (col("offset") + 1).as("rn"))
+    val left = ranked.select(col("doc_id").as("a"),
+        col("toks").as("ta"), col("rn"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+      .select(col("a"), col("ta"), (col("rn") + col("k")).as("rn2"))
+    val right = ranked.select(col("doc_id").as("b"),
+      col("toks").as("tb"), col("rn").as("rn2"))
+    left.join(right, "rn2")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("inter"),
+        (size(col("ta")) + size(col("tb"))
+          - size(array_intersect(col("ta"), col("tb"))))
+          .cast("long").as("uni"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("a"), col("b"),
+        r6(col("inter").cast("double") / col("uni")).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q222_source_overlap" -> sourceOverlap,
     "q223_dataset_card" -> datasetCard,
-    "q227_blocklist_filter" -> blocklistFilter)
+    "q227_blocklist_filter" -> blocklistFilter,
+    "q230_containment_topk" -> containmentTopk,
+    "q231_sorted_neighborhood" -> sortedNeighborhood)
 }

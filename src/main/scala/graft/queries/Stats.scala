@@ -929,6 +929,192 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Linear interpolation over the hourly spine, per event_type —
+    * the gap-fill a time-series feature store applies where q107's
+    * zero-fill would bias downstream models. The spine is types ×
+    * sequence(global min..max hour) — a dimension-sized cross join
+    * off a ONE-ROW bounds aggregate, never a data-sized generator —
+    * left-joined to the (type, hour) aggregate; prev/next anchors
+    * come from two IGNORE-NULLS windows over the SAME (type, hour)
+    * partitioning (one exchange). Interpolated values are the fixed
+    * IEEE sequence pa + (na−pa)·(h−ph)/(nh−ph) on exact inputs
+    * (hour deltas are integers, anchors are divides of exact
+    * quantized longs), so both engines agree bit-for-bit before the
+    * final r6. Rows outside the first/last observation are emitted
+    * as 'edge' with NULL value, not extrapolated. */
+  val linearInterpolate: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(floor(value*1000000+0.5) AS BIGINT) vk FROM events),
+       hr AS (SELECT event_type, h, CAST(sum(vk) AS BIGINT) sv,
+               CAST(count(*) AS BIGINT) c FROM e GROUP BY 1,2),
+       bounds AS (SELECT min(h) h0, max(h) h1 FROM e),
+       types AS (SELECT DISTINCT event_type FROM e),
+       spine AS (SELECT event_type, unnest(range(h0, h1+1)) AS h
+                 FROM types, bounds),
+       joined AS (SELECT s.event_type, s.h,
+           CAST(hr.sv AS DOUBLE)/hr.c AS obs
+         FROM spine s LEFT JOIN hr
+           ON s.event_type=hr.event_type AND s.h=hr.h),
+       w AS (SELECT event_type, h, obs,
+           last_value(obs IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS pa,
+           last_value(CASE WHEN obs IS NOT NULL THEN h END
+             IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+           first_value(obs IGNORE NULLS) OVER (PARTITION BY
+             event_type ORDER BY h ROWS BETWEEN 1 FOLLOWING
+             AND UNBOUNDED FOLLOWING) AS na,
+           first_value(CASE WHEN obs IS NOT NULL THEN h END
+             IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+         FROM joined)
+       SELECT event_type, h,
+         CASE WHEN obs IS NOT NULL THEN 'obs'
+              WHEN pa IS NOT NULL AND na IS NOT NULL THEN 'interp'
+              ELSE 'edge' END AS src,
+         ${graft.Rounding.r6sql(
+           """CASE WHEN obs IS NOT NULL THEN obs/1000000.0
+              WHEN pa IS NOT NULL AND na IS NOT NULL
+                THEN (pa + (na - pa) * (h - ph) / (nh - ph))/1000000.0
+              ELSE NULL END""")} AS val
+       FROM w ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("h"), vk.as("vk"))
+    val hr = e.groupBy(col("event_type"), col("h"))
+      .agg(sum(col("vk")).cast("long").as("sv"),
+        count(lit(1)).cast("long").as("c"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val joined = spine.join(hr, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        (col("sv").cast("double") / col("c")).as("obs"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val hObs = when(col("obs").isNotNull, col("h"))
+    val anchored = joined.select(col("event_type"), col("h"),
+      col("obs"),
+      last(col("obs"), ignoreNulls = true).over(wPrev).as("pa"),
+      last(hObs, ignoreNulls = true).over(wPrev).as("ph"),
+      first(col("obs"), ignoreNulls = true).over(wNext).as("na"),
+      first(hObs, ignoreNulls = true).over(wNext).as("nh"))
+    anchored.select(col("event_type"), col("h"),
+      when(col("obs").isNotNull, lit("obs"))
+        .when(col("pa").isNotNull && col("na").isNotNull,
+          lit("interp"))
+        .otherwise(lit("edge")).as("src"),
+      r6(when(col("obs").isNotNull, col("obs") / 1000000.0)
+        .when(col("pa").isNotNull && col("na").isNotNull,
+          (col("pa") + (col("na") - col("pa")) * (col("h") - col("ph"))
+            / (col("nh") - col("ph"))) / 1000000.0)
+        .otherwise(lit(null))).as("val"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** Quantile normalization of per-type value distributions onto the
+    * GLOBAL distribution — the cross-feature calibration step (map
+    * each group's k-th of n values to the global value at the same
+    * quantile position). Both rank passes are exact: the per-type
+    * rank is an ordinary keyed window, and the GLOBAL rank reuses
+    * `Packing.withGlobalOffsets` (range shuffle + driver prefix
+    * scan — no single-partition window at any scale). The position
+    * map gidx = (2·rn−1)·N div (2·cnt) + 1 is all-integer `div`
+    * (≡ DuckDB `//` — the q185 recipe; (2n−1)·N stays long-safe
+    * below ~2e9 rows, documented), the reference lookup is ONE
+    * rank-keyed equi-join, and the output is a 5-row summary of
+    * exact long shift sums. */
+  val quantileNormalize: QueryDef = QueryDef.sql(
+    s"""WITH v AS (SELECT event_type, event_id,
+           CAST(floor(value*1000000+0.5) AS BIGINT) vk FROM events),
+       g AS (SELECT vk, row_number() OVER (ORDER BY vk, event_id)
+               rn_g FROM v),
+       t AS (SELECT event_type, vk,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY vk, event_id) rn,
+           count(*) OVER (PARTITION BY event_type) cnt,
+           count(*) OVER () n_all FROM v),
+       m AS (SELECT event_type, vk,
+           ((2*rn-1)*n_all) // (2*cnt) + 1 AS gidx FROM t),
+       j AS (SELECT m.event_type, m.vk, g.vk AS nvk
+             FROM m JOIN g ON g.rn_g = m.gidx)
+       SELECT event_type, CAST(count(*) AS BIGINT) n,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(nvk - vk) AS DOUBLE)/count(*)/1000000.0")}
+           AS mean_shift,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(abs(nvk - vk)) AS DOUBLE)/count(*)/1000000.0")}
+           AS mean_abs_shift
+       FROM j GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val v = Tables.events(s, d).select(col("event_type"),
+      col("event_id"), vk.as("vk"))
+    val g = graft.ops.Packing
+      .withGlobalOffsets(v.withColumn("one", lit(1L)), "vk", "one",
+        tieCols = Seq("event_id"))
+      .select(col("vk").as("nvk"), (col("offset") + 1).as("rn_g"))
+    val wt = Window.partitionBy(col("event_type"))
+      .orderBy(col("vk"), col("event_id"))
+    val wc = Window.partitionBy(col("event_type"))
+    val nAll = v.agg(count(lit(1)).cast("long").as("n_all"))
+    val m = v.select(col("event_type"), col("vk"),
+        row_number().over(wt).cast("long").as("rn"),
+        count(lit(1)).over(wc).as("cnt"))
+      .crossJoin(broadcast(nAll))
+      .select(col("event_type"), col("vk"),
+        expr("((2*rn-1)*n_all) div (2*cnt) + 1").as("gidx"))
+    m.join(g, col("gidx") === col("rn_g"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        r6(sum(col("nvk") - col("vk")).cast("double")
+          / count(lit(1)) / 1000000.0).as("mean_shift"),
+        r6(sum(abs(col("nvk") - col("vk"))).cast("double")
+          / count(lit(1)) / 1000000.0).as("mean_abs_shift"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Top event-path trigrams — sequence mining over per-user event
+    * streams (q203's Markov matrix is the 1-step summary; paths keep
+    * the order structure a funnel analysis needs). Two leads share
+    * the ONE (user, time) window shuffle; paths with a complete
+    * 3-window become strings counted in a map-side-combining
+    * aggregate, and the top-10 orders by (count DESC, path) — a
+    * total order, so the LIMIT boundary is deterministic even with
+    * tied counts (the fixture has several). lead(2) non-null implies
+    * lead(1) non-null within the same window, so no null guard on e2
+    * is needed on either engine. */
+  val pathTrigrams: QueryDef = QueryDef.sql(
+    """WITH o AS (SELECT user_id, event_type,
+           lead(event_type,1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) e2,
+           lead(event_type,2) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) e3
+         FROM events),
+       p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+             FROM o WHERE e3 IS NOT NULL)
+       SELECT path, CAST(count(*) AS BIGINT) n FROM p
+       GROUP BY 1 ORDER BY n DESC, path LIMIT 10""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat(col("event_type"), lit(">"), col("e2"),
+        lit(">"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -945,7 +1131,10 @@ object Stats {
     "q224_twap" -> twap,
     "q225_spearman_corr" -> spearmanCorr,
     "q228_welch_ttest" -> welchTtest,
-    "q229_theilsen_slope" -> theilSen)
+    "q229_theilsen_slope" -> theilSen,
+    "q232_linear_interpolate" -> linearInterpolate,
+    "q233_quantile_normalize" -> quantileNormalize,
+    "q235_path_trigrams" -> pathTrigrams)
 
 
 
