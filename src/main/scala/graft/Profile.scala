@@ -243,6 +243,14 @@ object Profile {
           timed(s"q198 ${k}x")(consume(
             SparkEntry.queries("q198_interval_coverage")(spark, dir),
             Seq("n_intervals", "covered_us")))
+        if (wants("q233"))
+          // global exact rank via withGlobalOffsets: the range
+          // shuffle + rank-keyed join are both ~linear in N; the
+          // probe pins that (a super-linear reading would mean the
+          // range partitioner or the gidx join skewed)
+          timed(s"q233 ${k}x")(consume(
+            SparkEntry.queries("q233_quantile_normalize")(spark, dir),
+            Seq("n", "mean_abs_shift")))
       }
       spark.stop()
       return

@@ -2774,6 +2774,54 @@ object Pipeline {
       .orderBy(col("d"))
   }
 
+  /** Dynamic partition pruning — the RUNTIME twin of q187's static
+    * pruning: the fact table is day-partitioned, and the days to
+    * keep are not a literal but the output of a dimension query
+    * ("the 3 busiest purchase days"), so the planner cannot prune at
+    * analysis time. Spark instead reuses the broadcast of the dim
+    * side as a partition filter on the fact scan (`dynamicpruning`
+    * subquery in PartitionFilters — PlanAuditSpec gates the shape),
+    * touching only 3 of ~30 day directories. At 100 TB this is THE
+    * mechanism that makes "join fact to a filtered dim" cost
+    * proportional to the selected partitions instead of the whole
+    * fact. The hot-day pick orders by (count DESC, day) — total,
+    * so the LIMIT-3 cut is deterministic. */
+  val dynamicPartitionPruning: QueryDef = QueryDef.sql(
+    s"""WITH hot AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             count(*) c
+           FROM events WHERE event_type='purchase'
+           GROUP BY 1 ORDER BY c DESC, d LIMIT 3)
+       SELECT e.event_type, CAST(count(*) AS BIGINT) n,
+         ${graft.Rounding.r6sql(
+           """CAST(sum(CAST(floor(e.value*1000000+0.5) AS BIGINT))
+              AS DOUBLE)/1000000.0""")} AS revenue
+       FROM events e JOIN hot
+         ON CAST(CAST(e.ts AS DATE) AS VARCHAR) = hot.d
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q236_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    new graft.sources.PartitionedParquetSink(dir, Seq("d"))
+      .write(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd").as("d")),
+        "events_day", org.apache.spark.sql.SaveMode.Overwrite)
+    val fact = s.read.parquet(s"$dir/events_day")
+    val hot = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("d"))
+      .limit(3)
+      .select(col("d"))
+    fact.join(broadcast(hot), "d")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        r6(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("double") / 1000000.0).as("revenue"))
+      .orderBy(col("event_type"))
+  }
+
   /** Raw-line corpus ingest through the text source — the
     * plain-text/WET shape of the format family (parquet q-everywhere,
     * ORC q82, JSONL q128, CSV q172, binary files q181): documents
@@ -4160,6 +4208,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q181_binaryfile_ingest" -> binaryFileIngest,
     "q182_text_source" -> textSource,
     "q187_partition_pruning" -> partitionPruning,
+    "q236_dynamic_partition_pruning" -> dynamicPartitionPruning,
     "q191_malformed_tolerance" -> malformedTolerance,
     "q192_schema_evolution" -> schemaEvolution,
     "q38_embedding_neardup_lsh" -> embeddingNearDupLsh,

@@ -345,9 +345,76 @@ object Warehouse {
       .orderBy(col("event_type"), col("bar_us"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation over purchase
+    * events — the marketing-warehouse staple: quintile-score each
+    * user on the three dimensions, label the 5×5×5 segment, report
+    * segment sizes and average spend. The fact-sized stage is ONE
+    * filtered per-user aggregate; the three ntile windows then run
+    * on the USER-cardinality residue (the q209 dimension-sized
+    * window bound — at 100 TB user count, swap exact ntile for q64's
+    * quantile sketch cut points). Every ntile orders with a user_id
+    * tie-break (total order → deterministic bucket for ties, the
+    * q213 lesson), recency anchors to the max purchase day IN the
+    * data (in-plan one-row broadcast, not wall-clock), and spend
+    * stays an exact quantized long until the final r6 divide. */
+  val rfmSegments: QueryDef = QueryDef.sql(
+    s"""WITH p AS (SELECT user_id, max(CAST(ts AS DATE)) last_day,
+           CAST(count(*) AS BIGINT) freq,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) money
+         FROM events WHERE event_type='purchase' GROUP BY 1),
+       mx AS (SELECT max(last_day) d1 FROM p),
+       s AS (SELECT user_id,
+               CAST(datediff('day', last_day, d1) AS BIGINT) recency,
+               freq, money FROM p, mx),
+       sc AS (SELECT
+           CAST(ntile(5) OVER (ORDER BY recency, user_id)
+             AS BIGINT) r,
+           CAST(ntile(5) OVER (ORDER BY freq DESC, user_id)
+             AS BIGINT) f,
+           CAST(ntile(5) OVER (ORDER BY money DESC, user_id)
+             AS BIGINT) m,
+           money FROM s)
+       SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
+           || '-' || CAST(m AS VARCHAR) AS segment,
+         CAST(count(*) AS BIGINT) n_users,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(money) AS DOUBLE)/count(*)/1000000.0")}
+           AS avg_money
+       FROM sc GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).cast("long").as("freq"),
+        sum(vk).cast("long").as("money"))
+    val mx = p.agg(max(col("last_day")).as("d1"))
+    val sc = p.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("d1"), col("last_day")).cast("long")
+          .as("recency"),
+        col("freq"), col("money"))
+    val wr = Window.orderBy(col("recency"), col("user_id"))
+    val wf = Window.orderBy(col("freq").desc, col("user_id"))
+    val wm = Window.orderBy(col("money").desc, col("user_id"))
+    sc.select(ntile(5).over(wr).cast("long").as("r"),
+        ntile(5).over(wf).cast("long").as("f"),
+        ntile(5).over(wm).cast("long").as("m"), col("money"))
+      .select(concat(col("r").cast("string"), lit("-"),
+          col("f").cast("string"), lit("-"),
+          col("m").cast("string")).as("segment"), col("money"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        r6(sum(col("money")).cast("double") / count(lit(1))
+          / 1000000.0).as("avg_money"))
+      .orderBy(col("segment"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
     "q226_ohlc_bars" -> ohlcBars,
+    "q234_rfm_segments" -> rfmSegments,
     "q218_reconciliation" -> reconciliation,
     "q220_capped_balance" -> cappedBalance,
     "q221_weighted_median" -> weightedMedian,

@@ -570,6 +570,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q187's event_type predicate must prune partitions:\n${scan.get}")
   }
 
+  test("q236 prunes fact partitions DYNAMICALLY from the hot-day dim " +
+      "broadcast") {
+    val p = executedPlan("q236_dynamic_partition_pruning")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("events_day"))
+    assert(scan.isDefined, s"q236 lost its partitioned read-back:\n$p")
+    assert(scan.get.contains("dynamicpruning")
+        || p.contains("SubqueryBroadcast"),
+      "q236's day filter must be a runtime (dynamicpruning) subquery " +
+        s"on the fact scan, not a post-scan filter:\n${scan.get}")
+  }
+
+  test("round-9 tranche shapes: q226 one-pass bars (no window sort), " +
+      "q227 broadcast semi-join, q231/q233 range-partitioned global " +
+      "rank (no single-partition window)") {
+    val bars = executedPlan("q226_ohlc_bars")
+    assert(!bars.contains("RunningWindowFunction")
+        && !bars.contains("Window "),
+      s"q226 must be a pure aggregate — min_by/max_by, no window:\n$bars")
+    val bl = executedPlan("q227_blocklist_filter")
+    assert(bl.contains("BroadcastHashJoin"),
+      s"q227's blocklist must broadcast:\n$bl")
+    assert(bl.contains("LeftSemi"),
+      s"q227's token-term join must stay a semi-join:\n$bl")
+    val sn = executedPlan("q231_sorted_neighborhood")
+    assert(sn.contains("rangepartitioning"),
+      "q231's global order must ride repartitionByRange (the " +
+        s"withGlobalOffsets recipe), not a single-partition sort:\n$sn")
+    val qn = executedPlan("q233_quantile_normalize")
+    assert(qn.contains("rangepartitioning"),
+      s"q233's global rank must ride repartitionByRange:\n$qn")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
