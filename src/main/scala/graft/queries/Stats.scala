@@ -1115,6 +1115,231 @@ object Stats {
       .limit(10)
   }
 
+  /** Trailing-24h distinct active users per hour — the rolling-DAU
+    * engagement curve. Window-function COUNT(DISTINCT) over a frame
+    * doesn't exist in either engine; the scalable identity is
+    * expand-dedupe-count: dedupe to (user, hour), replicate each
+    * row into the 24 trailing hours it should count toward (a
+    * bounded row-local explode), dedupe (user, hh), count per hour.
+    * Two hash exchanges total, both on bounded keys; at 100 TB the
+    * sketch alternative is a per-hour HLL union (q104), this is the
+    * exact path. Spine bounds clip partially-covered lead-in hours
+    * via a one-row broadcast, so every output hour means the same
+    * thing. */
+  val trailingDau: QueryDef = QueryDef.sql(
+    """WITH uh AS (SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+         FROM events),
+       ex AS (SELECT DISTINCT user_id, h + o AS hh
+              FROM uh, (SELECT unnest(range(0, 24)) AS o)),
+       b AS (SELECT min(h) h0, max(h) h1 FROM uh)
+       SELECT hh AS hour, CAST(count(*) AS BIGINT) AS dau24
+       FROM ex, b WHERE hh BETWEEN h0 AND h1
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val uh = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val ex = uh
+      .select(col("user_id"), col("h"),
+        explode(sequence(lit(0L), lit(23L))).as("o"))
+      .select(col("user_id"), (col("h") + col("o")).as("hh"))
+      .distinct()
+    val b = uh.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    ex.crossJoin(broadcast(b))
+      .filter(col("hh") >= col("h0") && col("hh") <= col("h1"))
+      .groupBy(col("hh"))
+      .agg(count(lit(1)).cast("long").as("dau24"))
+      .select(col("hh").as("hour"), col("dau24"))
+      .orderBy(col("hour"))
+  }
+
+  /** Kaplan–Meier log-survival of signup→first-purchase delay, with
+    * right-censoring at each non-converting user's last event — the
+    * time-to-event estimator behind conversion-lag and churn curves.
+    * Subjects assemble on ONE user_id-keyed join chain; the risk
+    * table is a day-keyed residue (≤ observation-window days), so
+    * the two global windows (risk-set countdown, cumulative hazard)
+    * run on dimension-sized input (the q209 bound). Output is
+    * LOG-survival: each step's ln(1−d/n) is r6-rounded and then
+    * cumulatively summed in day order (the q202 rounded-contrib
+    * fixed-fold recipe) — no exp, so no transcendental decides
+    * anything beyond the same per-term 1e-6-rounded ln both engines
+    * agree on. Terminal cells (n_i = d_i, S→0) are excluded on both
+    * sides rather than emitting −inf. */
+  val survivalKm: QueryDef = QueryDef.sql(
+    s"""WITH su AS (SELECT user_id, min(ts) st FROM events
+             WHERE event_type='signup' GROUP BY 1),
+       pu AS (SELECT e.user_id, min(e.ts) pt FROM events e
+              JOIN su ON e.user_id=su.user_id
+              WHERE e.event_type='purchase' AND e.ts >= su.st
+              GROUP BY 1),
+       le AS (SELECT user_id, max(ts) lt FROM events GROUP BY 1),
+       subj AS (SELECT su.user_id,
+           CASE WHEN pu.pt IS NOT NULL THEN
+               CAST(datediff('day', CAST(su.st AS DATE),
+                 CAST(pu.pt AS DATE)) AS BIGINT)
+             ELSE CAST(datediff('day', CAST(su.st AS DATE),
+                 CAST(le.lt AS DATE)) AS BIGINT) END AS t,
+           CASE WHEN pu.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+         FROM su LEFT JOIN pu ON su.user_id=pu.user_id
+         JOIN le ON su.user_id=le.user_id),
+       n0 AS (SELECT CAST(count(*) AS BIGINT) total FROM subj),
+       d AS (SELECT t, CAST(sum(ev) AS BIGINT) d_i,
+               CAST(count(*) AS BIGINT) out_i FROM subj GROUP BY 1),
+       r AS (SELECT t, d_i, CAST(total - coalesce(sum(out_i) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 1 PRECEDING), 0) AS BIGINT) AS n_i
+             FROM d, n0),
+       c AS (SELECT t, d_i, n_i,
+           CASE WHEN d_i > 0 AND n_i > d_i THEN
+             ${graft.Rounding.r6sql(
+               "ln(CAST(n_i - d_i AS DOUBLE) / n_i)")}
+             ELSE 0.0 END AS contrib
+         FROM r)
+       SELECT t, d_i, n_i,
+         ${graft.Rounding.r6sql(
+           """sum(contrib) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)""")} AS ln_surv
+       FROM c WHERE d_i > 0 AND n_i > d_i ORDER BY t""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("ts") >= col("st"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    val le = ev.groupBy(col("user_id")).agg(max(col("ts")).as("lt"))
+    val subj = su.join(pu, Seq("user_id"), "left")
+      .join(le, "user_id")
+      .select(
+        when(col("pt").isNotNull,
+          datediff(to_date(col("pt")), to_date(col("st"))))
+          .otherwise(datediff(to_date(col("lt")), to_date(col("st"))))
+          .cast("long").as("t"),
+        when(col("pt").isNotNull, 1L).otherwise(0L).as("ev"))
+    val n0 = subj.agg(count(lit(1)).cast("long").as("total"))
+    val dd = subj.groupBy(col("t"))
+      .agg(sum(col("ev")).cast("long").as("d_i"),
+        count(lit(1)).cast("long").as("out_i"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = dd.crossJoin(broadcast(n0))
+      .select(col("t"), col("d_i"),
+        (col("total") - coalesce(sum(col("out_i")).over(wPrev),
+          lit(0L))).cast("long").as("n_i"))
+    val c = r.select(col("t"), col("d_i"), col("n_i"),
+      when(col("d_i") > 0 && col("n_i") > col("d_i"),
+        r6(log((col("n_i") - col("d_i")).cast("double")
+          / col("n_i"))))
+        .otherwise(0.0).as("contrib"))
+    c.select(col("t"), col("d_i"), col("n_i"),
+        r6(sum(col("contrib")).over(wCum)).as("ln_surv"))
+      .filter(col("d_i") > 0 && col("n_i") > col("d_i"))
+      .orderBy(col("t"))
+  }
+
+  /** High-value audience overlap: exact Jaccard between event types'
+    * user sets, restricted to value > 150 interactions (the
+    * unrestricted sets saturate on this fixture — every user touches
+    * every type). Same inverted-index discipline as q222/q230: the
+    * pair counts come from a user-keyed self-join of the deduped
+    * (type, user) relation — each user contributes at most C(5,2)
+    * pairs — never a types×types×users expansion. Set sizes and
+    * intersections are exact longs; the Jaccard is one IEEE
+    * divide, r6-rounded. */
+  val audienceOverlap: QueryDef = QueryDef.sql(
+    s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+             WHERE value > 150),
+       sz AS (SELECT event_type, CAST(count(*) AS BIGINT) nu
+              FROM tu GROUP BY 1),
+       p AS (SELECT a.event_type t1, b.event_type t2,
+               CAST(count(*) AS BIGINT) common
+             FROM tu a JOIN tu b ON a.user_id=b.user_id
+               AND a.event_type < b.event_type GROUP BY 1,2)
+       SELECT t1, t2, common, za.nu AS n1, zb.nu AS n2,
+         ${graft.Rounding.r6sql(
+           "CAST(common AS DOUBLE)/(za.nu + zb.nu - common)")}
+           AS jaccard
+       FROM p JOIN sz za ON p.t1=za.event_type
+       JOIN sz zb ON p.t2=zb.event_type
+       ORDER BY 1,2""") { (s, d) =>
+    val tu = Tables.events(s, d).filter(col("value") > 150)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sz = tu.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("nu"))
+    val a = tu.select(col("event_type").as("t1"), col("user_id"))
+    val b = tu.select(col("event_type").as("t2"), col("user_id"))
+    val p = a.join(b, Seq("user_id")).filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).cast("long").as("common"))
+    p.join(broadcast(sz.select(col("event_type").as("t1"),
+        col("nu").as("n1"))), "t1")
+      .join(broadcast(sz.select(col("event_type").as("t2"),
+        col("nu").as("n2"))), "t2")
+      .select(col("t1"), col("t2"), col("common"), col("n1"),
+        col("n2"),
+        r6(col("common").cast("double")
+          / (col("n1") + col("n2") - col("common"))).as("jaccard"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  /** Mutual information between event_type and the fixed-width value
+    * bucket — the feature-dependence screen in BITS-free nats (q99's
+    * chi-square tests significance; MI measures the information
+    * shared). The only fact-sized stage is the 50-cell contingency
+    * aggregate (q202's fixed-width buckets — never quantile); margins
+    * and the total are residue re-aggregates, each cell's
+    * p·ln(p/(px·py)) is r6-rounded, and the ≤50-term fold runs in
+    * explicit (type, bucket) order via the q202 sorted-struct
+    * aggregate — order-identical cross-engine despite ln. */
+  val mutualInformation: QueryDef = QueryDef.sql(
+    s"""WITH b AS (SELECT event_type,
+           least(greatest(CAST(floor(value/10) AS INTEGER),0),9)
+             AS bucket,
+           CAST(count(*) AS BIGINT) c FROM events GROUP BY 1,2),
+       n0 AS (SELECT CAST(sum(c) AS BIGINT) n FROM b),
+       mx AS (SELECT event_type, CAST(sum(c) AS BIGINT) cx
+              FROM b GROUP BY 1),
+       my AS (SELECT bucket, CAST(sum(c) AS BIGINT) cy
+              FROM b GROUP BY 1),
+       cell AS (SELECT b.event_type, b.bucket,
+           ${graft.Rounding.r6sql(
+             """(CAST(c AS DOUBLE)/n) * ln( (CAST(c AS DOUBLE)*n)
+                / (CAST(cx AS DOUBLE)*cy) )""")} AS contrib
+         FROM b JOIN mx USING (event_type) JOIN my USING (bucket),
+           n0)
+       SELECT ${graft.Rounding.r6sql(
+           "list_sum(list(contrib ORDER BY event_type, bucket))")}
+           AS mi_nats,
+         CAST(count(*) AS BIGINT) AS n_cells
+       FROM cell""") { (s, d) =>
+    val b = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        least(greatest(floor(col("value") / 10).cast("int"), lit(0)),
+          lit(9)).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val n0 = b.agg(sum(col("c")).cast("long").as("n"))
+    val mx = b.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("cx"))
+    val my = b.groupBy(col("bucket"))
+      .agg(sum(col("c")).cast("long").as("cy"))
+    val cell = b.join(mx, "event_type").join(my, "bucket")
+      .crossJoin(broadcast(n0))
+      .select(col("event_type"), col("bucket"),
+        r6((col("c").cast("double") / col("n"))
+          * log((col("c").cast("double") * col("n"))
+            / (col("cx").cast("double") * col("cy")))).as("contrib"))
+    cell.agg(
+      r6(aggregate(
+        transform(array_sort(collect_list(struct(col("event_type"),
+          col("bucket"), col("contrib")))),
+          _.getField("contrib")),
+        lit(0.0), _ + _)).as("mi_nats"),
+      count(lit(1)).cast("long").as("n_cells"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -1134,7 +1359,11 @@ object Stats {
     "q229_theilsen_slope" -> theilSen,
     "q232_linear_interpolate" -> linearInterpolate,
     "q233_quantile_normalize" -> quantileNormalize,
-    "q235_path_trigrams" -> pathTrigrams)
+    "q235_path_trigrams" -> pathTrigrams,
+    "q237_trailing_dau" -> trailingDau,
+    "q238_survival_km" -> survivalKm,
+    "q239_audience_overlap" -> audienceOverlap,
+    "q240_mutual_information" -> mutualInformation)
 
 
 
