@@ -73,6 +73,16 @@ object Graph {
     * @param p (bucketCol*, user) projection, pre-distinct */
   def cooccurEdges(p: DataFrame, bucketCols: Seq[String],
       userCol: String, minSupport: Int): DataFrame =
+    cooccurPairCounts(p, bucketCols, userCol)
+      .filter(col("w") >= minSupport)
+      .select(col("u"), col("v"))
+
+  /** The pair-count relation behind [[cooccurEdges]] — (u, v, w)
+    * with w = shared-bucket count — exposed separately so callers
+    * with a DATA-DERIVED support threshold (q243's 2×mean cut) can
+    * filter in-plan instead of baking a constant in. */
+  def cooccurPairCounts(p: DataFrame, bucketCols: Seq[String],
+      userCol: String): DataFrame =
     p.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_set(col(userCol))).as("us"))
       .select(explode(expr(
@@ -81,8 +91,33 @@ object Graph {
              v -> struct(u AS u, v AS v))))""")).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minSupport)
-      .select(col("u"), col("v"))
+
+  /** Min-label propagation with a FIXED iteration budget — the
+    * deterministic community/component sweep (one node-keyed
+    * shuffle per round; labels monotonically decrease, so k rounds
+    * give every node the minimum label within k hops — exact
+    * connected components once k reaches the diameter). Like
+    * [[pageRank]], the edge subplan is deliberately NOT cached:
+    * each round's neighbor-min join shuffles it on the same key, so
+    * Spark plans one Exchange and reuses it. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val ed = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val nodes = ed.select(col("u").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val m = ed
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u")).agg(min(col("lbl")).as("minl"))
+      labels = labels
+        .join(m.select(col("u").as("node"), col("minl")),
+          Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("minl"), col("lbl")))
+            .as("lbl"))
+    }
+    labels
+  }
 
   /** Per-node triangle counts by degree-ordered edge orientation
     * (Schank/Wagner; the node-iterator++ every distributed engine

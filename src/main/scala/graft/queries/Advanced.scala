@@ -1668,7 +1668,155 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** One-pass observed ingest — Spark's `Observation` API
+    * (CollectMetricsExec): the audit metrics a pipeline publishes
+    * alongside its output, collected as a SIDE-OBSERVATION of the
+    * single ingest scan instead of a second pass over the fact —
+    * at 100 TB the difference between auditing for free and paying
+    * the scan twice. The query runs the observed scan to a noop
+    * sink, then emits the observation as the one-row result; the
+    * oracle recomputes the same aggregates directly, so a metric
+    * silently dropped or double-counted by the observation path
+    * fails the hash. */
+  val observedIngest: QueryDef = QueryDef.sql(
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_null_props,
+         CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_high,
+         CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+           AS BIGINT) AS sum_micro,
+         CAST(min(CAST(floor(value*1000000+0.5) AS BIGINT))
+           AS BIGINT) AS min_micro,
+         CAST(max(CAST(floor(value*1000000+0.5) AS BIGINT))
+           AS BIGINT) AS max_micro
+       FROM events""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(s, d)
+      .observe(obs,
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("props").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_null_props"),
+        sum(when(col("value") > 150, 1L).otherwise(0L))
+          .cast("long").as("n_high"),
+        sum(vk).cast("long").as("sum_micro"),
+        min(vk).cast("long").as("min_micro"),
+        max(vk).cast("long").as("max_micro"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_null_props").asInstanceOf[Long],
+      m("n_high").asInstanceOf[Long],
+      m("sum_micro").asInstanceOf[Long],
+      m("min_micro").asInstanceOf[Long],
+      m("max_micro").asInstanceOf[Long]))
+      .toDF("n_rows", "n_null_props", "n_high", "sum_micro",
+        "min_micro", "max_micro")
+  }
+
+  /** Pre-join explosion audit — the diagnostic run BEFORE a
+    * many-to-many join at scale: per-key counts on both sides,
+    * exact predicted output rows Σ nₐ·n_b, the hottest key's
+    * contribution, and the unmatched-key counts. One aggregate per
+    * side (both dimension-keyed) and a key-residue full-outer join;
+    * the prediction that says "this join emits 600k rows from
+    * 25 keys" is what stops a 100 TB nationkey-style join from
+    * being discovered at executor-OOM time. */
+  val joinExplosionAudit: QueryDef = QueryDef.sql(
+    """WITH ca AS (SELECT c_nationkey k, CAST(count(*) AS BIGINT) na
+           FROM customer GROUP BY 1),
+       cb AS (SELECT s_nationkey k, CAST(count(*) AS BIGINT) nb
+              FROM supplier GROUP BY 1),
+       f AS (SELECT coalesce(ca.k, cb.k) k, coalesce(na,0) na,
+               coalesce(nb,0) nb
+             FROM ca FULL JOIN cb ON ca.k=cb.k)
+       SELECT CAST(count(*) AS BIGINT) n_keys,
+         CAST(sum(na*nb) AS BIGINT) predicted_rows,
+         CAST(max(na*nb) AS BIGINT) max_key_rows,
+         CAST(sum(CASE WHEN na>0 AND nb=0 THEN 1 ELSE 0 END)
+           AS BIGINT) a_only,
+         CAST(sum(CASE WHEN nb>0 AND na=0 THEN 1 ELSE 0 END)
+           AS BIGINT) b_only
+       FROM f""") { (s, d) =>
+    val ca = Tables.customer(s, d).groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).cast("long").as("na"))
+    val cb = Tables.supplier(s, d).groupBy(col("s_nationkey").as("k"))
+      .agg(count(lit(1)).cast("long").as("nb"))
+    ca.join(cb, Seq("k"), "full")
+      .select(coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("na") * col("nb")).cast("long").as("predicted_rows"),
+        max(col("na") * col("nb")).cast("long").as("max_key_rows"),
+        sum(when(col("na") > 0 && col("nb") === 0, 1L)
+          .otherwise(0L)).cast("long").as("a_only"),
+        sum(when(col("nb") > 0 && col("na") === 0, 1L)
+          .otherwise(0L)).cast("long").as("b_only"))
+  }
+
+  /** Community detection by min-label propagation with a fixed
+    * 3-round budget over the user co-occurrence graph, with a
+    * SCALE-INVARIANT edge cut (keep pairs whose shared-bucket count
+    * ≥ 2× the mean — a fixed absolute support saturates to one
+    * giant component as SF grows, the TESTDATA.md drift lesson).
+    * Exercises [[graft.ops.Graph.labelPropagation]]: one node-keyed
+    * shuffle per round, labels monotonically decreasing (exact
+    * k-hop minima — deterministic whatever the join order), edge
+    * subplan planned once via exchange reuse like pageRank's. The
+    * oracle unrolls the same three rounds as chained CTEs. Output
+    * is the community size histogram. */
+  val labelPropagation: QueryDef = {
+    def lpIter(k: Int): String =
+      s"""l$k AS (
+         SELECT c.node, least(c.lbl, coalesce(m.minl, c.lbl)) AS lbl
+         FROM l${k - 1} c LEFT JOIN (
+           SELECT ed.u AS node, min(p.lbl) AS minl
+           FROM ed JOIN l${k - 1} p ON p.node = ed.v
+           GROUP BY 1) m ON m.node = c.node)"""
+    QueryDef.sql(
+      s"""WITH p AS (SELECT DISTINCT event_type,
+             date_trunc('hour', ts) AS h, user_id FROM events),
+         pc AS (SELECT a.user_id u, b.user_id v,
+                 CAST(count(*) AS BIGINT) c
+               FROM p a JOIN p b ON a.event_type = b.event_type
+                 AND a.h = b.h AND a.user_id < b.user_id
+               GROUP BY 1, 2),
+         thr AS (SELECT 2.0*avg(c) t FROM pc),
+         e AS (SELECT u, v FROM pc, thr WHERE c >= t),
+         ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         n AS (SELECT DISTINCT u AS node FROM ed),
+         l0 AS (SELECT node, node AS lbl FROM n),
+         ${lpIter(1)}, ${lpIter(2)}, ${lpIter(3)},
+         cs AS (SELECT lbl, CAST(count(*) AS BIGINT) csize
+                FROM l3 GROUP BY 1)
+         SELECT csize, CAST(count(*) AS BIGINT) n_comms
+         FROM cs GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val p = Tables.events(s, d)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val pc = graft.ops.Graph.cooccurPairCounts(p,
+        Seq("event_type", "h"), "user_id")
+      val thr = pc.agg((lit(2.0)
+        * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+      val e = pc.crossJoin(broadcast(thr))
+        .filter(col("w").cast("double") >= col("t"))
+        .select(col("u"), col("v"))
+      graft.ops.Graph.labelPropagation(e, 3)
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).cast("long").as("csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).cast("long").as("n_comms"))
+        .orderBy(col("csize"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q241_observed_ingest" -> observedIngest,
+    "q242_join_explosion_audit" -> joinExplosionAudit,
+    "q243_label_propagation" -> labelPropagation,
     "q195_pareto_frontier" -> paretoFrontier,
     "q196_khop_reach" -> kHopReach,
     "q198_interval_coverage" -> intervalCoverage,
