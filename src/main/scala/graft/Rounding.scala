@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions.{floor, lit}
   * larger magnitudes — e.g. revenue sums whose double SUMMATION
   * ORDER noise already exceeds 1e-6 — aggregate in DECIMAL instead
   * (see q10) and only then round.
+  *
+  * The failure mode past the domain is ASYMMETRIC (q245 lesson):
+  * DuckDB's floor(double) stays a DOUBLE and merely loses grain,
+  * but Spark's floor(double) returns LONG and saturates at
+  * Long.MaxValue — a squared micro-residual (~1e17) comes back as
+  * 9.22e12 on the Spark side only, silently zeroing a variance.
+  * Rescale to value units BEFORE rounding anything that can square
+  * past ~9e9.
   */
 object Rounding {
   def r6(c: Column): Column =

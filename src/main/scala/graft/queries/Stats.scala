@@ -1340,6 +1340,147 @@ object Stats {
       count(lit(1)).cast("long").as("n_cells"))
   }
 
+  /** 7-day ROLLING OLS slope per event_type — the windowed model
+    * fit (q208 fits one global line; operations wants "what's the
+    * trend RIGHT NOW", refit every day over the trailing week). All
+    * five sufficient statistics are frame window-sums of exact
+    * integers over the daily grid (x = epoch day, y = quantized
+    * daily sum; n·Σxy stays long-safe while daily micro-sums are
+    * < ~1e15 — beyond that, per-row products go DECIMAL), sharing
+    * ONE (type, day) sort; the slope is a single IEEE divide of two
+    * exact longs, and partial lead-in frames (n < 7) are excluded
+    * so every slope means the same window. */
+  val rollingOls: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) AS x,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) AS y
+         FROM events GROUP BY 1,2),
+       w AS (SELECT event_type, x,
+           CAST(count(*) OVER f AS BIGINT) n,
+           CAST(sum(x) OVER f AS BIGINT) sx,
+           CAST(sum(y) OVER f AS BIGINT) sy,
+           CAST(sum(x*x) OVER f AS BIGINT) sxx,
+           CAST(sum(x*y) OVER f AS BIGINT) sxy
+         FROM d WINDOW f AS (PARTITION BY event_type ORDER BY x
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT event_type, x AS day_idx,
+         ${graft.Rounding.r6sql(
+           """CAST(n*sxy - sx*sy AS DOUBLE)
+              / CAST(n*sxx - sx*sx AS DOUBLE) / 1000000.0""")}
+           AS slope
+       FROM w WHERE n = 7 ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("x"))
+      .agg(sum(vk).cast("long").as("y"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(-6, Window.currentRow)
+    g.select(col("event_type"), col("x"),
+        count(lit(1)).over(f).cast("long").as("n"),
+        sum(col("x")).over(f).cast("long").as("sx"),
+        sum(col("y")).over(f).cast("long").as("sy"),
+        sum(col("x") * col("x")).over(f).cast("long").as("sxx"),
+        sum(col("x") * col("y")).over(f).cast("long").as("sxy"))
+      .filter(col("n") === 7)
+      .select(col("event_type"), col("x").as("day_idx"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") / 1000000.0).as("slope"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  /** Day-of-week-adjusted anomaly days — seasonal-residual flagging
+    * (q217 decomposes; this DECIDES): residual = daily sum − that
+    * type's same-weekday mean, flagged when |residual| exceeds 2σ of
+    * the type's residual population. The weekday key is only ever a
+    * GROUPING key (Spark's Sunday=1 vs DuckDB's Sunday=0 numbering
+    * groups identically, so the difference is immaterial —
+    * the key is never output). Residuals are doubles built by the
+    * same exact-long-divide sequence on both engines; σ comes from
+    * r6-rounded residual contributions folded in explicit day order
+    * (q202 recipe) over the ~30-day residue, so the 2σ cut —
+    * a selection-deciding float comparison — sees bit-identical
+    * operands cross-engine. */
+  val dowAnomaly: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) AS di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) AS dv
+         FROM events GROUP BY 1,2,3),
+       dw AS (SELECT *, dayofweek(day) AS dow FROM d),
+       m AS (SELECT event_type AS et, dow AS dw2,
+               CAST(sum(dv) AS BIGINT) s, CAST(count(*) AS BIGINT) c
+             FROM dw GROUP BY 1,2),
+       r AS (SELECT dw.event_type, dw.di, dw.dv,
+           (CAST(dw.dv AS DOUBLE) - CAST(m.s AS DOUBLE)/m.c)
+             / 1000000.0 AS resid
+         FROM dw JOIN m ON dw.event_type=m.et AND dw.dow=m.dw2),
+       s AS (SELECT event_type,
+           ${graft.Rounding.r6sql(
+             s"list_sum(list(${graft.Rounding.r6sql("resid")} ORDER BY di))")}
+             AS sr,
+           ${graft.Rounding.r6sql(
+             s"list_sum(list(${graft.Rounding.r6sql("resid*resid")} ORDER BY di))")}
+             AS srr,
+           CAST(count(*) AS BIGINT) n FROM r GROUP BY 1)
+       SELECT r.event_type, r.di AS day_idx,
+         ${graft.Rounding.r6sql("resid")} AS resid_val,
+         CASE WHEN abs(resid) > 2.0*sqrt((srr - sr*sr/n)/(n-1))
+           THEN 1 ELSE 0 END AS is_anomaly
+       FROM r JOIN s ON r.event_type=s.event_type
+       WHERE abs(resid) > 2.0*sqrt((srr - sr*sr/n)/(n-1))
+       ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+      .withColumn("dow", dayofweek(col("day")))
+    val m = g.groupBy(col("event_type").as("et"),
+        col("dow").as("dw2"))
+      .agg(sum(col("dv")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("c"))
+    // residuals in VALUE units (micro residuals square past r6's
+    // 2^53/1e6 domain — Spark's floor(double) is a LONG and clamps
+    // at Long.MaxValue there, silently zeroing the variance)
+    val r = g.join(m, col("event_type") === col("et")
+        && col("dow") === col("dw2"))
+      .select(col("event_type"), col("di"),
+        ((col("dv").cast("double")
+          - col("s").cast("double") / col("c")) / 1000000.0)
+          .as("resid"))
+    val st = r.groupBy(col("event_type").as("s_et"))
+      .agg(
+        r6(aggregate(
+          transform(array_sort(collect_list(struct(col("di"),
+            r6(col("resid")).as("v")))), _.getField("v")),
+          lit(0.0), _ + _)).as("sr"),
+        r6(aggregate(
+          transform(array_sort(collect_list(struct(col("di"),
+            r6(col("resid") * col("resid")).as("v")))),
+            _.getField("v")),
+          lit(0.0), _ + _)).as("srr"),
+        count(lit(1)).cast("long").as("n"))
+    val sigma = lit(2.0) * sqrt((col("srr")
+      - col("sr") * col("sr") / col("n")) / (col("n") - 1))
+    r.join(broadcast(st), col("event_type") === col("s_et"))
+      .filter(abs(col("resid")) > sigma)
+      .select(col("event_type"), col("di").as("day_idx"),
+        r6(col("resid")).as("resid_val"),
+        when(abs(col("resid")) > sigma, 1).otherwise(0)
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -1363,7 +1504,9 @@ object Stats {
     "q237_trailing_dau" -> trailingDau,
     "q238_survival_km" -> survivalKm,
     "q239_audience_overlap" -> audienceOverlap,
-    "q240_mutual_information" -> mutualInformation)
+    "q240_mutual_information" -> mutualInformation,
+    "q244_rolling_ols" -> rollingOls,
+    "q245_dow_anomaly" -> dowAnomaly)
 
 
 

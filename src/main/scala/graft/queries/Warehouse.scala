@@ -411,10 +411,78 @@ object Warehouse {
       .orderBy(col("segment"))
   }
 
+  /** LTV triangle: cumulative purchase revenue per weekly signup
+    * cohort by weeks-since-signup — the lifetime-value artifact next
+    * to q97's retention matrix (retention counts PRESENCE, LTV
+    * accumulates MONEY). Signup dates and revenue share ONE
+    * user_id-keyed join; the (cohort, age) aggregate is
+    * dimension-sized, and the cumulative window runs per cohort on
+    * that residue. Week age is all-integer datediff div 7 (the q185
+    * div≡// recipe); money stays exact micro-longs; per-user LTV is
+    * the only divide, r6-rounded; cohort emits as VARCHAR per the
+    * date-output convention. */
+  val ltvTriangle: QueryDef = QueryDef.sql(
+    s"""WITH su AS (SELECT user_id, min(CAST(ts AS DATE)) sd
+             FROM events WHERE event_type='signup' GROUP BY 1),
+       co AS (SELECT user_id, CAST(date_trunc('week', sd) AS DATE)
+               cohort, sd FROM su),
+       cs AS (SELECT cohort, CAST(count(*) AS BIGINT) n_users
+              FROM co GROUP BY 1),
+       w AS (SELECT co.cohort,
+               (datediff('day', co.sd, CAST(e.ts AS DATE))) // 7
+                 AS age_w,
+               CAST(floor(e.value*1000000+0.5) AS BIGINT) v
+             FROM co JOIN events e ON e.user_id=co.user_id
+             WHERE e.event_type='purchase'
+               AND datediff('day', co.sd, CAST(e.ts AS DATE)) >= 0),
+       a AS (SELECT cohort, CAST(age_w AS BIGINT) age_w,
+               CAST(sum(v) AS BIGINT) rev FROM w GROUP BY 1,2)
+       SELECT CAST(a.cohort AS VARCHAR) cohort, age_w, cs.n_users,
+         CAST(sum(rev) OVER (PARTITION BY a.cohort ORDER BY age_w)
+           AS BIGINT) cum_rev_micro,
+         ${graft.Rounding.r6sql(
+           """CAST(sum(rev) OVER (PARTITION BY a.cohort
+              ORDER BY age_w) AS DOUBLE)/cs.n_users/1000000.0""")}
+           AS ltv_per_user
+       FROM a JOIN cs ON a.cohort=cs.cohort ORDER BY 1,2""") { (s, d) =>
+    val su = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("sd"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("sd"))).as("cohort"),
+        col("sd"))
+    val cs = su.groupBy(col("cohort"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val a = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(datediff(to_date(col("ts")), col("sd")) >= 0)
+      .select(col("cohort"),
+        expr("datediff(to_date(ts), sd) div 7").cast("long")
+          .as("age_w"),
+        vk.as("v"))
+      .groupBy(col("cohort"), col("age_w"))
+      .agg(sum(col("v")).cast("long").as("rev"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("age_w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.join(cs, "cohort")
+      .select(col("cohort").cast("string").as("cohort_s"),
+        col("cohort"), col("age_w"), col("n_users"),
+        sum(col("rev")).over(wc).cast("long").as("cum_rev_micro"),
+        r6(sum(col("rev")).over(wc).cast("double")
+          / col("n_users") / 1000000.0).as("ltv_per_user"))
+      .select(col("cohort_s").as("cohort"), col("age_w"),
+        col("n_users"), col("cum_rev_micro"), col("ltv_per_user"))
+      .orderBy(col("cohort"), col("age_w"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
     "q226_ohlc_bars" -> ohlcBars,
     "q234_rfm_segments" -> rfmSegments,
+    "q246_ltv_triangle" -> ltvTriangle,
     "q218_reconciliation" -> reconciliation,
     "q220_capped_balance" -> cappedBalance,
     "q221_weighted_median" -> weightedMedian,
