@@ -1481,6 +1481,305 @@ object Stats {
       .orderBy(col("event_type"), col("day_idx"))
   }
 
+  /** Hampel filter over the daily grid: flag days whose quantized
+    * daily sum departs from the centered 7-day rolling MEDIAN by
+    * more than 3× the rolling MAD — the robust twin of q245's
+    * mean/σ residual screen (one wild day poisons a mean-based
+    * window; the median/MAD window shrugs it off). Everything is
+    * exact micro-longs: the frame is materialized as a 7-element
+    * array (row-local sort of 7 longs, not a shuffle), median and
+    * MAD are element-4 selections, and the 3×MAD cut compares
+    * integers — no float anywhere. At 100 TB the window runs on the
+    * dimension-sized daily residue. */
+  val hampelOutliers: QueryDef = QueryDef.sql(
+    """WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) AS di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) AS dv
+         FROM events GROUP BY 1,2),
+       w AS (SELECT event_type, di, dv,
+           list(dv) OVER (PARTITION BY event_type ORDER BY di
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fr
+         FROM d),
+       m AS (SELECT event_type, di, dv,
+           list_sort(fr)[4] AS med,
+           list_sort(list_transform(fr,
+             x -> abs(x - list_sort(fr)[4])))[4] AS mad
+         FROM w WHERE len(fr) = 7)
+       SELECT event_type, di AS day_idx, dv AS day_val_micro,
+         med AS med_micro, mad AS mad_micro
+       FROM m WHERE abs(dv - med) > 3*mad AND mad > 0
+       ORDER BY 1, 2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("di"))
+      .rowsBetween(-3, 3)
+    g.withColumn("fr", collect_list(col("dv")).over(f))
+      .filter(size(col("fr")) === 7)
+      .withColumn("med", element_at(array_sort(col("fr")), 4))
+      .withColumn("mad", element_at(array_sort(
+        transform(col("fr"), x => abs(x - col("med")))), 4))
+      .filter(abs(col("dv") - col("med")) > lit(3L) * col("mad")
+        && col("mad") > 0)
+      .select(col("event_type"), col("di").as("day_idx"),
+        col("dv").as("day_val_micro"), col("med").as("med_micro"),
+        col("mad").as("mad_micro"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  /** Deterministic multiplier-bootstrap CI for the per-type mean: 200
+    * resamples materialized as integer weights {0,1,1,2} (mean 1)
+    * from a pure-integer hash of (event_id, replicate), so both
+    * engines draw the SAME resamples with no RNG. One map-side
+    * 200× expansion feeds a (type, replicate) partial aggregate —
+    * at 100 TB the expansion never shuffles (weights are computed
+    * in the scan projection) and the shuffled relation is
+    * |types|×200 rows. Replicate means are exact-long divides; the
+    * CI is an order-statistic selection (6th / 195th of 200 sorted
+    * means), not an interpolation. */
+  val bootstrapCi: QueryDef = QueryDef.sql(
+    s"""WITH reps AS (SELECT unnest(generate_series(0, 199)) AS rb),
+       x AS (SELECT e.event_type, reps.rb,
+           CAST(floor(e.value*1000000+0.5) AS BIGINT) v,
+           ((e.event_id * 2654435761 + reps.rb * 97) % 1000003) % 4
+             AS h4
+         FROM events e CROSS JOIN reps),
+       w AS (SELECT event_type, rb,
+           CAST(sum(v * (CASE h4 WHEN 0 THEN 0 WHEN 3 THEN 2
+             ELSE 1 END)) AS BIGINT) sv,
+           CAST(sum(CASE h4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END)
+             AS BIGINT) sw
+         FROM x GROUP BY 1,2),
+       m AS (SELECT event_type,
+           list_sort(list(CAST(sv AS DOUBLE)/sw/1000000.0)) ms
+         FROM w WHERE sw > 0 GROUP BY 1)
+       SELECT event_type, CAST(len(ms) AS BIGINT) AS n_boot,
+         ${graft.Rounding.r6sql("ms[6]")} AS ci_lo,
+         ${graft.Rounding.r6sql("ms[195]")} AS ci_hi
+       FROM m ORDER BY 1""") { (s, d) =>
+    val wt = when(col("h4") === 0, 0L).when(col("h4") === 3, 2L)
+      .otherwise(1L)
+    val x = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+      .withColumn("rb", explode(sequence(lit(0L), lit(199L))))
+      .withColumn("h4",
+        ((col("event_id") * lit(2654435761L) + col("rb") * lit(97L))
+          % lit(1000003L)) % lit(4L))
+    val w = x.groupBy(col("event_type"), col("rb"))
+      .agg(sum(col("v") * wt).cast("long").as("sv"),
+        sum(wt).cast("long").as("sw"))
+    w.filter(col("sw") > 0)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(
+        col("sv").cast("double") / col("sw") / lit(1000000.0)))
+        .as("ms"))
+      .select(col("event_type"),
+        size(col("ms")).cast("long").as("n_boot"),
+        r6(element_at(col("ms"), 6)).as("ci_lo"),
+        r6(element_at(col("ms"), 195)).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One-way ANOVA F across event types on the quantized value —
+    * the k-group extension of q228's two-sample Welch t. Sufficient
+    * statistics are exact: per-group Σv and n are longs, the global
+    * Σv² is an exact DECIMAL(38) integer sum (v² exceeds 2^53, so a
+    * double sum would be order-dependent — the decimal sum is
+    * order-free), and the five per-group s²/n terms fold in explicit
+    * event_type order. F itself is a fixed sequence of IEEE ops on
+    * those exact inputs. One fact pass, one-row result. */
+  val anovaF: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT event_type,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events),
+       g AS (SELECT event_type, CAST(sum(v) AS BIGINT) s,
+               CAST(count(*) AS BIGINT) n FROM e GROUP BY 1),
+       tot AS (SELECT CAST(sum(s) AS BIGINT) st,
+           CAST(sum(n) AS BIGINT) nt, CAST(count(*) AS BIGINT) k,
+           list_sum(list(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n
+             ORDER BY event_type)) sb_raw
+         FROM g),
+       ssw AS (SELECT CAST(sum(CAST(v AS DECIMAL(19,0))
+             * CAST(v AS DECIMAL(19,0))) AS DOUBLE) svv FROM e)
+       SELECT k-1 AS df_between, nt-k AS df_within,
+         ${graft.Rounding.r6sql(
+           """((sb_raw - CAST(st AS DOUBLE)*st/nt)/(k-1))
+              / ((svv - sb_raw)/(nt-k))""")} AS f_stat
+       FROM tot, ssw""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+    val g = e.groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("n"))
+    val tot = g.agg(sum(col("s")).cast("long").as("st"),
+      sum(col("n")).cast("long").as("nt"),
+      count(lit(1)).cast("long").as("k"),
+      aggregate(transform(array_sort(collect_list(struct(
+          col("event_type"),
+          (col("s").cast("double") * col("s").cast("double")
+            / col("n")).as("t")))), _.getField("t")),
+        lit(0.0), _ + _).as("sb_raw"))
+    val ssw = e.agg(sum(col("v").cast("decimal(19,0)")
+        * col("v").cast("decimal(19,0)")).cast("double").as("svv"))
+    tot.crossJoin(ssw)
+      .select((col("k") - 1).as("df_between"),
+        (col("nt") - col("k")).as("df_within"),
+        r6(((col("sb_raw")
+            - col("st").cast("double") * col("st") / col("nt"))
+            / (col("k") - 1))
+          / ((col("svv") - col("sb_raw"))
+            / (col("nt") - col("k")))).as("f_stat"))
+  }
+
+  /** SAX symbolization of the daily series: z-normalize each type's
+    * quantized daily sums against that type's own mean/σ, then map
+    * to the 4-symbol alphabet at the standard Gaussian quartile
+    * breakpoints (±0.6745, 0) and emit one word per (type, week) in
+    * day order — the discretization under motif mining / symbolic
+    * anomaly matching. σ uses the exact-decimal Σdv² (dv² > 2^53)
+    * and sqrt, the one transcendental that IS correctly rounded per
+    * IEEE-754, so the breakpoint comparisons see bit-identical z on
+    * both engines. try_divide guards the σ=0 degenerate type (both
+    * engines then emit the 'd' branch). */
+  val saxSymbols: QueryDef = QueryDef.sql(
+    """WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) AS di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) AS dv
+         FROM events GROUP BY 1,2),
+       st AS (SELECT event_type AS et, CAST(sum(dv) AS BIGINT) s,
+           CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(dv AS DECIMAL(19,0))
+             * CAST(dv AS DECIMAL(19,0))) AS DOUBLE) svv
+         FROM d GROUP BY 1),
+       z AS (SELECT event_type, di, di // 7 AS wk,
+           (CAST(dv AS DOUBLE) - CAST(s AS DOUBLE)/n)
+             / sqrt((svv - CAST(s AS DOUBLE)*s/n)/(n-1)) AS zz
+         FROM d JOIN st ON event_type = et WHERE n >= 2),
+       sym AS (SELECT event_type, wk, di,
+           CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0 THEN 'b'
+                WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS sy
+         FROM z)
+       SELECT event_type, CAST(wk AS BIGINT) AS week_idx,
+         string_agg(sy, '' ORDER BY di) AS sax_word
+       FROM sym GROUP BY 1,2 ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val st = dg.groupBy(col("event_type").as("et"))
+      .agg(sum(col("dv")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("dv").cast("decimal(19,0)")
+          * col("dv").cast("decimal(19,0)")).cast("double")
+          .as("svv"))
+    val z = dg.join(broadcast(st), col("event_type") === col("et"))
+      .filter(col("n") >= 2)
+      .select(col("event_type"), col("di"),
+        expr("di div 7").as("wk"),
+        try_divide(
+          col("dv").cast("double")
+            - col("s").cast("double") / col("n"),
+          sqrt((col("svv")
+            - col("s").cast("double") * col("s") / col("n"))
+            / (col("n") - 1))).as("zz"))
+    val sy = when(col("zz") < -0.6745, "a")
+      .when(col("zz") < 0, "b")
+      .when(col("zz") < 0.6745, "c").otherwise("d")
+    z.withColumn("sy", sy)
+      .groupBy(col("event_type"), col("wk"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("di"), col("sy")))), _.getField("sy")), "")
+        .as("sax_word"))
+      .select(col("event_type"), col("wk").cast("long")
+        .as("week_idx"), col("sax_word"))
+      .orderBy(col("event_type"), col("week_idx"))
+  }
+
+  /** Exact 1-Wasserstein (earth-mover) distance between the value
+    * distributions of the two user_id-parity cohorts, per event_type
+    * — the magnitude-aware drift metric next to q91's KS (sup-gap)
+    * and q202's PSI (binned): W1 = ∫|F_A − F_B| integrates HOW FAR
+    * mass moved, not just whether it did. Entirely exact: quantized
+    * values, cumulative counts via one window over the per-type
+    * distinct-value residue, each |ΔF| term cross-multiplied to the
+    * integer |cca·n_b − ccb·n_a|·gap and summed in DECIMAL(38) —
+    * the single divide happens once per type at the end. */
+  val wassersteinDrift: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT event_type, user_id % 2 AS cohort,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events),
+       n AS (SELECT event_type,
+           CAST(sum(CASE WHEN cohort=0 THEN 1 ELSE 0 END) AS BIGINT)
+             na,
+           CAST(sum(CASE WHEN cohort=1 THEN 1 ELSE 0 END) AS BIGINT)
+             nb
+         FROM e GROUP BY 1),
+       c AS (SELECT event_type, v,
+           CAST(sum(CASE WHEN cohort=0 THEN 1 ELSE 0 END) AS BIGINT)
+             ca,
+           CAST(sum(CASE WHEN cohort=1 THEN 1 ELSE 0 END) AS BIGINT)
+             cb
+         FROM e GROUP BY 1,2),
+       cum AS (SELECT event_type, v,
+           CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+             AS BIGINT) cca,
+           CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+             AS BIGINT) ccb,
+           lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+         FROM c),
+       t AS (SELECT cum.event_type, na, nb,
+           CAST(sum(CAST(abs(cca*nb - ccb*na) AS DECIMAL(19,0))
+             * CAST(nv - v AS DECIMAL(19,0))) AS DECIMAL(38,0)) num
+         FROM cum JOIN n ON cum.event_type = n.event_type
+         WHERE nv IS NOT NULL GROUP BY 1,2,3)
+       SELECT event_type, na AS n_a, nb AS n_b,
+         ${graft.Rounding.r6sql(
+           "CAST(num AS DOUBLE)/na/nb/1000000.0")} AS w1_dist
+       FROM t ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).as("cohort"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+    val cnt = e.groupBy(col("event_type").as("n_et"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L))
+        .cast("long").as("na"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L))
+          .cast("long").as("nb"))
+    val c = e.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L))
+        .cast("long").as("ca"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L))
+          .cast("long").as("cb"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cum = c.select(col("event_type"), col("v"),
+      sum(col("ca")).over(win).cast("long").as("cca"),
+      sum(col("cb")).over(win).cast("long").as("ccb"),
+      lead(col("v"), 1).over(win).as("nv"))
+    cum.join(broadcast(cnt), col("event_type") === col("n_et"))
+      .filter(col("nv").isNotNull)
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(sum(abs(col("cca") * col("nb") - col("ccb") * col("na"))
+          .cast("decimal(19,0)")
+        * (col("nv") - col("v")).cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("num"))
+      .select(col("event_type"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        r6(col("num").cast("double") / col("na") / col("nb")
+          / lit(1000000.0)).as("w1_dist"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -1506,7 +1805,12 @@ object Stats {
     "q239_audience_overlap" -> audienceOverlap,
     "q240_mutual_information" -> mutualInformation,
     "q244_rolling_ols" -> rollingOls,
-    "q245_dow_anomaly" -> dowAnomaly)
+    "q245_dow_anomaly" -> dowAnomaly,
+    "q247_hampel_outliers" -> hampelOutliers,
+    "q248_bootstrap_ci" -> bootstrapCi,
+    "q249_anova_f" -> anovaF,
+    "q250_sax_symbols" -> saxSymbols,
+    "q251_wasserstein_drift" -> wassersteinDrift)
 
 
 
