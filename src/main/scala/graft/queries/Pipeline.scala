@@ -4191,6 +4191,150 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("doc_id"))
   }
 
+  /** l-diversity audit over the (event_type, iso-weekday)
+    * quasi-identifier grid — the companion to q199's k-anonymity
+    * (k counts GROUP SIZE; l counts how many DISTINCT sensitive
+    * values hide inside the group — a large group whose members all
+    * share one sensitive value is still re-identifiable). Sensitive
+    * attribute is the user's segment (user_id mod 10); one exact
+    * count-distinct per QI cell, dimension-sized output. Weekday is
+    * emitted as ISO (Mon=1) — Spark's weekday()+1 ≡ DuckDB's
+    * isodow() — because engine-native dayofweek numberings differ
+    * (the q245 lesson, here the key IS output). */
+  val lDiversity: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT event_type,
+           isodow(CAST(date_trunc('day', ts) AS DATE)) AS dw,
+           user_id % 10 AS seg
+         FROM events),
+       g AS (SELECT event_type, CAST(dw AS BIGINT) dw,
+           CAST(count(*) AS BIGINT) n_rows,
+           CAST(count(DISTINCT seg) AS BIGINT) l_div
+         FROM e GROUP BY 1,2)
+       SELECT event_type, dw AS iso_dow, n_rows, l_div,
+         CASE WHEN l_div >= 5 THEN 1 ELSE 0 END AS meets_l5
+       FROM g ORDER BY 1,2""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (weekday(to_date(date_trunc("day", col("ts")))) + 1)
+          .cast("long").as("dw"),
+        (col("user_id") % 10).as("seg"))
+      .groupBy(col("event_type"), col("dw"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("seg")).cast("long").as("l_div"))
+      .select(col("event_type"), col("dw").as("iso_dow"),
+        col("n_rows"), col("l_div"),
+        when(col("l_div") >= 5, 1).otherwise(0).as("meets_l5"))
+      .orderBy(col("event_type"), col("iso_dow"))
+  }
+
+  /** T5-style span-corruption mask plan: deterministic span starts
+    * from a pure-integer hash of (doc_id, token position) (~1/7 of
+    * positions), span length 1–3 from a second hash, clipped to the
+    * document, then OVERLAPPING SPANS MERGED by the gaps-and-islands
+    * window (q198's interval-coverage recipe applied per doc) so the
+    * emitted mask plan is canonical — the artifact a denoising
+    * pretraining job materializes next to the corpus. Everything is
+    * row-local or per-doc-windowed: tokenize → posexplode → filter →
+    * two windows partitioned by doc — no fact-sized shuffle beyond
+    * the doc key. */
+  val spanCorruption: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') toks
+             FROM documents),
+       p AS (SELECT doc_id, len(toks) AS nt,
+           unnest(generate_series(0, len(toks)-1)) AS pos
+         FROM t WHERE len(toks) >= 1),
+       st AS (SELECT doc_id, nt, pos,
+           pos + ((doc_id + pos) % 3) AS e0
+         FROM p
+         WHERE ((doc_id*73 + pos*2654435761) % 1000003) % 7 = 0),
+       sp AS (SELECT doc_id, nt, pos AS s,
+           CASE WHEN e0 > nt-1 THEN nt-1 ELSE e0 END AS e
+         FROM st),
+       isl AS (SELECT doc_id, nt, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS brk
+         FROM sp),
+       grp AS (SELECT doc_id, nt, s, e,
+           CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY s)
+             AS BIGINT) gid
+         FROM isl),
+       m AS (SELECT doc_id, nt, gid, min(s) ms, max(e) me
+             FROM grp GROUP BY 1,2,3)
+       SELECT doc_id, CAST(count(*) AS BIGINT) n_spans,
+         CAST(sum(me - ms + 1) AS BIGINT) masked_tokens,
+         floor(CAST(sum(me - ms + 1) AS DOUBLE)/nt*1000000+0.5)
+           /1000000 AS mask_ratio
+       FROM m GROUP BY doc_id, nt ORDER BY doc_id""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nt"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("nt"), col("pos").cast("long").as("pos"))
+    val st = toks
+      .filter(((col("doc_id") * 73 + col("pos") * lit(2654435761L))
+        % 1000003L) % 7L === 0)
+      .select(col("doc_id"), col("nt"), col("pos").as("s"),
+        least(col("pos") + (col("doc_id") + col("pos")) % 3,
+          col("nt") - 1).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    st.withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(wPrev),
+          lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("brk")).over(wCum).cast("long"))
+      .groupBy(col("doc_id"), col("nt"), col("gid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"), col("nt"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("me") - col("ms") + 1).cast("long")
+          .as("masked_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("masked_tokens"),
+        r6(col("masked_tokens").cast("double") / col("nt"))
+          .as("mask_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming last-write-wins upsert via mapGroupsWithState — the
+    * CDC-compaction state op (q139 is the batch window form; this
+    * keeps ONE (ts, event_id, value) triple per user in the state
+    * store, replaced whenever a later (ts, event_id) arrives —
+    * bounded state = one row per live key at any scale). The memory
+    * sink collects per-batch snapshots in update mode, so a final
+    * batch-side latest-per-user selection canonicalizes the output
+    * under ANY micro-batch split (AvailableNow may deliver the file
+    * in one batch today and several after a lake re-chunk). */
+  val streamUpsert: QueryDef = QueryDef.sql(
+    """WITH latest AS (
+         SELECT user_id, value, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) rk
+         FROM events WHERE event_type IN ('purchase','signup','click'))
+       SELECT user_id, event_id AS last_event_id,
+         floor(value*1000000+0.5)/1000000 AS last_value
+       FROM latest WHERE rk=1 ORDER BY user_id""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val q = graft.streaming.StreamOps.lwwUpsert(
+        graft.streaming.StreamOps.eventsStream(s, d)
+          .filter(col("event_type")
+            .isin("purchase", "signup", "click")))
+      .writeStream.format("memory").queryName("graft_q256_sink")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("last_event_id").desc)
+    s.table("graft_q256_sink")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("last_event_id"),
+        r6(col("last_value")).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -4285,6 +4429,9 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q78_bm25_score" -> bm25Score,
     "q197_rrf_fusion" -> rrfFusion,
     "q199_k_anonymity" -> kAnonymity,
+    "q252_l_diversity" -> lDiversity,
+    "q254_span_corruption" -> spanCorruption,
+    "q256_stream_upsert" -> streamUpsert,
     "q200_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
     "q201_erasure_audit" -> erasureAudit,
     "q79_dup_spans" -> dupSpans,

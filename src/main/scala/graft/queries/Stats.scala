@@ -1780,6 +1780,105 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Equi-height histogram construction — the ANALYZE-stats artifact
+    * a cost-based optimizer keeps per column: 8 buckets per
+    * event_type over the quantized value, each upper bound the
+    * smallest v whose cumulative count covers i/8 of the rows. The
+    * ceil is avoided by the all-integer cross-multiplication
+    * cm·8 ≥ i·n (the q185 recipe), so boundary selection never
+    * touches a float. One (type, v) aggregate, one window over the
+    * distinct-value residue, an 8-way row-local expansion —
+    * dimension-sized everywhere past the first aggregate. */
+  val equiHeightHistogram: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT event_type,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events),
+       c AS (SELECT event_type, v, CAST(count(*) AS BIGINT) n
+             FROM e GROUP BY 1,2),
+       cum AS (SELECT event_type, v,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v)
+             AS BIGINT) cm
+         FROM c),
+       t AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) nt
+             FROM e GROUP BY 1),
+       b AS (SELECT event_type, i.i AS bucket_i, min(v) AS ub
+         FROM cum JOIN t ON event_type = et
+         CROSS JOIN (SELECT unnest(generate_series(1,8)) AS i) i
+         WHERE cm * 8 >= i.i * nt
+         GROUP BY 1,2)
+       SELECT event_type, CAST(bucket_i AS BIGINT) bucket_i,
+         ub AS upper_micro
+       FROM b ORDER BY 1,2""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+    val c = e.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cum = c.select(col("event_type"), col("v"),
+      sum(col("n")).over(win).cast("long").as("cm"))
+    val t = e.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).cast("long").as("nt"))
+    cum.join(broadcast(t), col("event_type") === col("et"))
+      .withColumn("i", explode(sequence(lit(1L), lit(8L))))
+      .filter(col("cm") * 8 >= col("i") * col("nt"))
+      .groupBy(col("event_type"), col("i"))
+      .agg(min(col("v")).as("upper_micro"))
+      .select(col("event_type"), col("i").cast("long")
+        .as("bucket_i"), col("upper_micro"))
+      .orderBy(col("event_type"), col("bucket_i"))
+  }
+
+  /** Column-entropy profile: Shannon entropy (nats) of event_type
+    * and of the value-decile bucket — the information-density row a
+    * data-profiling pass records per column (q100 profiles
+    * nulls/cardinality; this measures how EVENLY the mass spreads).
+    * Counts are exact; each −p·ln p contribution is r6-rounded and
+    * folded in explicit key order (the q240 MI recipe — ln is not
+    * correctly-rounded by libm, so contributions are pinned before
+    * the fold). Output is one row per profiled column. */
+  val columnEntropy: QueryDef = QueryDef.sql(
+    s"""WITH s AS (
+         SELECT 'event_type' AS col_name, event_type AS k FROM events
+         UNION ALL
+         SELECT 'value_decile',
+           CAST((CAST(floor(value*1000000+0.5) AS BIGINT) * 10)
+             // 327530001 AS VARCHAR) FROM events),
+       c AS (SELECT col_name, k, CAST(count(*) AS BIGINT) n
+             FROM s GROUP BY 1,2),
+       t AS (SELECT col_name AS cn, CAST(sum(n) AS BIGINT) nt
+             FROM c GROUP BY 1),
+       h AS (SELECT col_name, CAST(count(*) AS BIGINT) n_distinct,
+           list_sum(list(${graft.Rounding.r6sql(
+             "-(CAST(n AS DOUBLE)/nt) * ln(CAST(n AS DOUBLE)/nt)")}
+             ORDER BY k)) ent
+         FROM c JOIN t ON col_name = cn GROUP BY 1)
+       SELECT col_name, n_distinct,
+         ${graft.Rounding.r6sql("ent")} AS entropy_nats
+       FROM h ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val stacked = ev.select(lit("event_type").as("col_name"),
+        col("event_type").as("k"))
+      .unionByName(ev.select(lit("value_decile").as("col_name"),
+        expr(s"cast((cast(floor(value*1000000+0.5) as bigint) * 10)"
+          + " div 327530001 as string)").as("k")))
+    val c = stacked.groupBy(col("col_name"), col("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val t = c.groupBy(col("col_name").as("cn"))
+      .agg(sum(col("n")).cast("long").as("nt"))
+    val p = col("n").cast("double") / col("nt")
+    c.join(broadcast(t), col("col_name") === col("cn"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        aggregate(transform(array_sort(collect_list(struct(col("k"),
+            r6(-p * log(p)).as("contrib")))), _.getField("contrib")),
+          lit(0.0), _ + _).as("ent"))
+      .select(col("col_name"), col("n_distinct"),
+        r6(col("ent")).as("entropy_nats"))
+      .orderBy(col("col_name"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -1810,7 +1909,9 @@ object Stats {
     "q248_bootstrap_ci" -> bootstrapCi,
     "q249_anova_f" -> anovaF,
     "q250_sax_symbols" -> saxSymbols,
-    "q251_wasserstein_drift" -> wassersteinDrift)
+    "q251_wasserstein_drift" -> wassersteinDrift,
+    "q253_equiheight_histogram" -> equiHeightHistogram,
+    "q255_column_entropy" -> columnEntropy)
 
 
 

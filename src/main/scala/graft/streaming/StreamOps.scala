@@ -120,6 +120,36 @@ object StreamOps {
       }.toDF("user_id", "n_events", "total_value")
   }
 
+  /** Last-write-wins upsert state op: keep exactly ONE
+    * (ts_us, event_id, value) triple per user, replaced whenever a
+    * strictly later (ts, event_id) arrives — the streaming form of
+    * CDC compaction (batch twin: q139's row_number window). State is
+    * one fixed-size row per live key, partitioned by key across
+    * executors; no watermark needed because the state never grows
+    * with input, only with key cardinality. Emits the current best
+    * per key each micro-batch (update mode). */
+  def lwwUpsert(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long, Double)]) =>
+          var best = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, 0.0))
+          rows.foreach { r =>
+            if (r._2 > best._1 || (r._2 == best._1 && r._3 > best._2))
+              best = (r._2, r._3, r._4)
+          }
+          state.update(best)
+          (user, best._1, best._2, best._3)
+      }.toDF("user_id", "ts_us", "last_event_id", "last_value")
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: per-user
     * sessions close after `gapMinutes` of event-time silence
     * (EventTimeTimeout — state is dropped when the watermark passes
