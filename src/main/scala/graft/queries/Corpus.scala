@@ -272,8 +272,42 @@ object Corpus {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Export-shard balance audit: docs assigned to 64 output shards
+    * by a deterministic integer hash of doc_id, with each shard's
+    * doc count, char mass, and its balance ratio vs the even split —
+    * the pre-flight check before a 100 TB shard-export job (a 3×
+    * shard is a straggler writer and a hot downstream reader). One
+    * exact aggregate over the corpus; ratios from exact longs. */
+  val shardBalance: QueryDef = QueryDef.sql(
+    s"""WITH s AS (SELECT (doc_id * 2654435761) % 64 AS shard,
+           n_chars FROM documents),
+       g AS (SELECT CAST(shard AS BIGINT) shard,
+           CAST(count(*) AS BIGINT) n_docs,
+           CAST(sum(n_chars) AS BIGINT) n_chars FROM s GROUP BY 1),
+       t AS (SELECT CAST(sum(n_chars) AS BIGINT) tc,
+           CAST(count(*) AS BIGINT) ns FROM g)
+       SELECT shard, n_docs, g.n_chars,
+         ${graft.Rounding.r6sql(
+           "CAST(g.n_chars AS DOUBLE)*ns/tc")} AS balance_ratio
+       FROM g, t ORDER BY shard""") { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(((col("doc_id") * lit(2654435761L)) % 64).as("shard"),
+        col("n_chars"))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+    val t = g.agg(sum(col("n_chars")).cast("long").as("tc"),
+      count(lit(1)).cast("long").as("ns"))
+    g.crossJoin(broadcast(t))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        graft.Rounding.r6(col("n_chars").cast("double") * col("ns")
+          / col("tc")).as("balance_ratio"))
+      .orderBy(col("shard"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q222_source_overlap" -> sourceOverlap,
+    "q261_shard_balance" -> shardBalance,
     "q223_dataset_card" -> datasetCard,
     "q227_blocklist_filter" -> blocklistFilter,
     "q230_containment_topk" -> containmentTopk,

@@ -4335,9 +4335,86 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("user_id"))
   }
 
+  /** XML roundtrip — Spark 4's built-in XML source exercised as the
+    * third interchange format next to q172 (CSV) and q128 (JSONL):
+    * the corpus is written as XML (entity-escaping &<> in text),
+    * read back under an explicit schema, and hash-aggregated per
+    * lang against the oracle computed on the original parquet — a
+    * broken escape, dropped row, or type coercion shifts the
+    * md5-prefix hashsum. Same one-writer-one-reader shape as a
+    * lake's interchange-export job. */
+  val xmlRoundtrip: QueryDef = QueryDef.sql(
+    """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+              AS BIGINT) AS text_hashsum
+       FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q257_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("rowTag", "doc").format("xml").save(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING," +
+        " source STRING, n_chars BIGINT")
+      .option("rowTag", "doc").format("xml").load(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long")).cast("long").as("text_hashsum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Balanced class downsampling — the imbalance fix applied before
+    * training: every event_type keeps exactly n_min rows (the
+    * smallest class's count), chosen as the n_min lowest by a
+    * deterministic integer hash of event_id (tie-broken by the id
+    * itself), so both engines — and any two cluster runs — keep the
+    * SAME rows with no RNG. One rank window per class partition +
+    * an in-plan one-row broadcast of n_min; emitted as per-class
+    * aggregates of the kept set. */
+  val balancedDownsample: QueryDef = QueryDef.sql(
+    """WITH e AS (SELECT event_type, event_id,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v,
+           (event_id * 2654435761) % 1000003 AS h
+         FROM events),
+       n AS (SELECT CAST(min(cnt) AS BIGINT) nmin
+         FROM (SELECT count(*) cnt FROM e GROUP BY event_type)),
+       r AS (SELECT event_type, v, h,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY h, event_id) AS rk
+         FROM e)
+       SELECT event_type, CAST(count(*) AS BIGINT) n_kept,
+         CAST(sum(v) AS BIGINT) kept_value_micro,
+         CAST(max(h) AS BIGINT) max_h
+       FROM r, n WHERE rk <= nmin GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"),
+        ((col("event_id") * lit(2654435761L)) % lit(1000003L))
+          .as("h"))
+    val nmin = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).cast("long").as("nmin"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    e.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(nmin))
+      .filter(col("rk") <= col("nmin"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col("v")).cast("long").as("kept_value_micro"),
+        max(col("h")).cast("long").as("max_h"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
+    "q257_xml_roundtrip" -> xmlRoundtrip,
+    "q259_balanced_downsample" -> balancedDownsample,
     "q26_text_stats" -> textStats,
     "q27_lang_id" -> langId,
     "q28_fingerprint" -> fingerprint,

@@ -478,8 +478,105 @@ object Warehouse {
       .orderBy(col("cohort"), col("age_w"))
   }
 
+  /** Lorenz decile table — revenue concentration as the table behind
+    * q209's Gini scalar: customers ranked into deciles by total
+    * quantized spend (ties broken by custkey so ntile is total-order
+    * deterministic), each decile's exact revenue and cumulative
+    * share. The global sort runs on the |customers| residue, never
+    * the fact; the cumulative window on 10 rows. */
+  val lorenzDeciles: QueryDef = QueryDef.sql(
+    s"""WITH r AS (SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice*1000000+0.5) AS BIGINT))
+             AS BIGINT) rev
+         FROM orders GROUP BY 1),
+       d AS (SELECT o_custkey, rev,
+           ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+         FROM r),
+       g AS (SELECT CAST(decile AS BIGINT) decile,
+           CAST(count(*) AS BIGINT) n_cust,
+           CAST(sum(rev) AS BIGINT) rev_micro FROM d GROUP BY 1),
+       t AS (SELECT CAST(sum(rev_micro) AS BIGINT) tot FROM g)
+       SELECT decile, n_cust, rev_micro,
+         ${graft.Rounding.r6sql(
+           """CAST(sum(rev_micro) OVER (ORDER BY decile) AS DOUBLE)
+              / tot""")} AS cum_share
+       FROM g, t ORDER BY decile""") { (s, d) =>
+    val r = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("rev"))
+    val dec = r.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("rev"), col("o_custkey"))))
+    val g = dec.groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).cast("long").as("n_cust"),
+        sum(col("rev")).cast("long").as("rev_micro"))
+    val t = g.agg(sum(col("rev_micro")).cast("long").as("tot"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(t))
+      .select(col("decile"), col("n_cust"), col("rev_micro"),
+        r6(sum(col("rev_micro")).over(wc).cast("double")
+          / col("tot")).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** Functional-dependency violation audit — the profiling pass a
+    * warehouse runs before declaring constraints: for each candidate
+    * X→Y, how many X values map to MORE than one Y (0 violations =
+    * the FD holds and can back a constraint or a join-elimination
+    * rule). Three candidates spanning hold (c_nationkey→n_regionkey
+    * through the nation dim) and fail (l_partkey→l_suppkey,
+    * o_custkey→o_orderpriority). Each audit is one exact
+    * distinct-count aggregate on its own key — no row explosion,
+    * dimension-sized outputs unioned. */
+  val fdViolations: QueryDef = QueryDef.sql(
+    """WITH fd1 AS (SELECT 'l_partkey->l_suppkey' AS fd,
+           CAST(count(*) AS BIGINT) n_lhs,
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             n_violating
+         FROM (SELECT l_partkey, count(DISTINCT l_suppkey) nv
+               FROM lineitem GROUP BY 1)),
+       fd2 AS (SELECT 'o_custkey->o_orderpriority',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) nv
+               FROM orders GROUP BY 1)),
+       fd3 AS (SELECT 'c_nationkey->n_regionkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM (SELECT c_nationkey, count(DISTINCT n_regionkey) nv
+               FROM customer JOIN nation ON n_nationkey = c_nationkey
+               GROUP BY 1))
+       SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+       SELECT * FROM fd3 ORDER BY 1""") { (s, d) =>
+    def audit(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        name: String): org.apache.spark.sql.DataFrame =
+      grouped.agg(count(lit(1)).cast("long").as("n_lhs"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"),
+          col("n_violating"))
+    val fd1 = audit(Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nv"))
+      .groupBy(), "l_partkey->l_suppkey")
+    val fd2 = audit(Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("nv"))
+      .groupBy(), "o_custkey->o_orderpriority")
+    val fd3 = audit(Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("n_regionkey")).as("nv"))
+      .groupBy(), "c_nationkey->n_regionkey")
+    fd1.unionByName(fd2).unionByName(fd3).orderBy(col("fd"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
+    "q258_lorenz_deciles" -> lorenzDeciles,
+    "q260_fd_violations" -> fdViolations,
     "q226_ohlc_bars" -> ohlcBars,
     "q234_rfm_segments" -> rfmSegments,
     "q246_ltv_triangle" -> ltvTriangle,
