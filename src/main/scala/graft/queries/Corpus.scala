@@ -305,9 +305,66 @@ object Corpus {
       .orderBy(col("shard"))
   }
 
+  /** Per-source KL divergence of the doc-length distribution from
+    * the corpus-wide one — the drift lens q202 (PSI) applies to
+    * events, pointed at corpus composition: a source whose length
+    * profile diverges hard from the blend is over-contributing
+    * shorts or longs and distorts the token budget. Fixed-width
+    * length buckets (all-integer), exact counts, r6-pinned
+    * p·ln(p/q) contributions folded in bucket order; zero-p buckets
+    * vanish and q > 0 by construction (the blend contains every
+    * source). */
+  val sourceLengthKl: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT source,
+           least(n_chars // 200, 9) AS bkt FROM documents),
+       p AS (SELECT source, CAST(bkt AS BIGINT) bkt,
+           CAST(count(*) AS BIGINT) np FROM d GROUP BY 1,2),
+       ps AS (SELECT source AS s2, CAST(sum(np) AS BIGINT) ns
+              FROM p GROUP BY 1),
+       q AS (SELECT CAST(bkt AS BIGINT) bkt,
+           CAST(count(*) AS BIGINT) nq FROM d GROUP BY 1),
+       qt AS (SELECT CAST(sum(nq) AS BIGINT) nt FROM q),
+       kl AS (SELECT source, list_sum(list(${graft.Rounding.r6sql(
+         """(CAST(np AS DOUBLE)/ns)
+            * ln((CAST(np AS DOUBLE)/ns) / (CAST(nq AS DOUBLE)/nt))""")}
+           ORDER BY p.bkt)) klv, CAST(sum(np) AS BIGINT) n_docs
+         FROM p JOIN ps ON source = s2 JOIN q ON p.bkt = q.bkt, qt
+         GROUP BY 1)
+       SELECT source, n_docs, ${graft.Rounding.r6sql("klv")}
+         AS kl_nats
+       FROM kl ORDER BY 1""") { (s, d) =>
+    val r6 = graft.Rounding.r6 _
+    val dd = Tables.documents(s, d)
+      .select(col("source"),
+        least(expr("n_chars div 200"), lit(9L)).cast("long")
+          .as("bkt"))
+    val p = dd.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).cast("long").as("np"))
+    val ps = p.groupBy(col("source").as("s2"))
+      .agg(sum(col("np")).cast("long").as("ns"))
+    val q = dd.groupBy(col("bkt").as("qb"))
+      .agg(count(lit(1)).cast("long").as("nq"))
+    val qt = q.agg(sum(col("nq")).cast("long").as("nt"))
+    val pp = col("np").cast("double") / col("ns")
+    val qq = col("nq").cast("double") / col("nt")
+    p.join(ps, col("source") === col("s2"))
+      .join(broadcast(q), col("bkt") === col("qb"))
+      .crossJoin(broadcast(qt))
+      .groupBy(col("source"))
+      .agg(
+        aggregate(transform(array_sort(collect_list(struct(
+            col("bkt"), r6(pp * log(pp / qq)).as("contrib")))),
+            _.getField("contrib")), lit(0.0), _ + _).as("klv"),
+        sum(col("np")).cast("long").as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        r6(col("klv")).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q222_source_overlap" -> sourceOverlap,
     "q261_shard_balance" -> shardBalance,
+    "q265_source_length_kl" -> sourceLengthKl,
     "q223_dataset_card" -> datasetCard,
     "q227_blocklist_filter" -> blocklistFilter,
     "q230_containment_topk" -> containmentTopk,

@@ -1879,6 +1879,211 @@ object Stats {
       .orderBy(col("col_name"))
   }
 
+  /** Behavioral-diversity histogram: Shannon entropy of each user's
+    * event-type mix, bucketed at 0.05-nat granularity — the
+    * engagement-breadth profile (a user who only clicks scores 0; a
+    * uniform 5-type user scores ln 5). Per-user folds run over ≤5
+    * r6-pinned contributions in type order (q240 recipe), so the
+    * bucket boundary — a selection-deciding float floor — sees
+    * bit-identical entropy cross-engine. Fact shuffles once on
+    * (user, type); everything after is user-residue sized. */
+  val userTypeEntropy: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) n FROM events GROUP BY 1,2),
+       u AS (SELECT user_id AS u2, CAST(sum(n) AS BIGINT) nt
+             FROM c GROUP BY 1),
+       h AS (SELECT user_id,
+           list_sum(list(${graft.Rounding.r6sql(
+             "-(CAST(n AS DOUBLE)/nt) * ln(CAST(n AS DOUBLE)/nt)")}
+             ORDER BY event_type)) ent
+         FROM c JOIN u ON user_id = u2 GROUP BY 1)
+       SELECT CAST(floor(ent/0.05) AS BIGINT) bucket,
+         CAST(count(*) AS BIGINT) n_users
+       FROM h GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val u = c.groupBy(col("user_id").as("u2"))
+      .agg(sum(col("n")).cast("long").as("nt"))
+    val p = col("n").cast("double") / col("nt")
+    c.join(u, col("user_id") === col("u2"))
+      .groupBy(col("user_id"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("event_type"), r6(-p * log(p)).as("contrib")))),
+          _.getField("contrib")), lit(0.0), _ + _).as("ent"))
+      .groupBy(floor(col("ent") / 0.05).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Bigram next-event prediction with a TEMPORAL train/test split —
+    * the eval loop over q203's Markov transitions: train the
+    * majority-next-type table on the first half of the day span
+    * (split = all-integer midpoint, in-plan broadcast), score exact
+    * accuracy on the second half. Transition sequencing is one
+    * (user; ts, event_id) window shared by both halves; the argmax
+    * is total-order deterministic (count desc, type asc). */
+  val markovAccuracy: QueryDef = QueryDef.sql(
+    """WITH seq AS (SELECT user_id, event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) nxt
+         FROM events),
+       bounds AS (SELECT (CAST(min(di) AS BIGINT)
+           + CAST(max(di) AS BIGINT)) // 2 AS split FROM seq),
+       tr AS (SELECT event_type p, nxt n2, CAST(count(*) AS BIGINT) c
+         FROM seq, bounds WHERE nxt IS NOT NULL AND di <= split
+         GROUP BY 1,2),
+       pred AS (SELECT p, n2 AS predicted FROM (
+           SELECT p, n2, row_number() OVER (PARTITION BY p
+             ORDER BY c DESC, n2) rk FROM tr) WHERE rk=1),
+       test AS (SELECT seq.event_type p, seq.nxt n2
+         FROM seq, bounds WHERE nxt IS NOT NULL AND di > split)
+       SELECT test.p AS prev_type, CAST(count(*) AS BIGINT) n_test,
+         CAST(sum(CASE WHEN test.n2 = pred.predicted THEN 1 ELSE 0
+           END) AS BIGINT) n_correct,
+         floor(CAST(sum(CASE WHEN test.n2 = pred.predicted THEN 1
+           ELSE 0 END) AS DOUBLE)/count(*)*1000000+0.5)/1000000
+           AS accuracy
+       FROM test JOIN pred ON test.p = pred.p
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+    val bounds = seq.agg(
+      ((min(col("di")) + max(col("di"))) / 2).cast("long")
+        .as("split"))
+    val withSplit = seq.crossJoin(broadcast(bounds))
+    val tr = withSplit.filter(col("di") <= col("split"))
+      .groupBy(col("event_type").as("p"), col("nxt").as("n2"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val rk = Window.partitionBy(col("p"))
+      .orderBy(col("c").desc, col("n2"))
+    val pred = tr.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("p").as("pp"), col("n2").as("predicted"))
+    withSplit.filter(col("di") > col("split"))
+      .select(col("event_type").as("p"), col("nxt").as("n2"))
+      .join(broadcast(pred), col("p") === col("pp"))
+      .groupBy(col("p").as("prev_type"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("n2") === col("predicted"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"),
+        r6(sum(when(col("n2") === col("predicted"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)))
+          .as("accuracy"))
+      .orderBy(col("prev_type"))
+  }
+
+  /** Seasonal MASE on the daily grid: the error of the
+    * seasonal-naive forecast (value 7 days ago) relative to the
+    * one-step naive (yesterday) — MASE < 1 means weekly seasonality
+    * carries real signal, the go/no-go check before fitting q190's
+    * Holt model. Both error sums are exact micro-long |Δ| over lag
+    * windows sharing ONE (type, day) sort; gaps in the grid are
+    * excluded by lag-index checks so both engines evaluate the same
+    * terms; the single divide is try-guarded and r6-rounded. */
+  val maseSeasonal: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       l AS (SELECT event_type, di, dv,
+           lag(dv, 7) OVER (PARTITION BY event_type ORDER BY di) p7,
+           lag(dv, 1) OVER (PARTITION BY event_type ORDER BY di) p1,
+           lag(di, 7) OVER (PARTITION BY event_type ORDER BY di) d7,
+           lag(di, 1) OVER (PARTITION BY event_type ORDER BY di) d1
+         FROM d),
+       e AS (SELECT event_type,
+           CAST(sum(CASE WHEN d7 = di - 7 THEN abs(dv - p7) END)
+             AS BIGINT) e7,
+           CAST(sum(CASE WHEN d7 = di - 7 AND d1 = di - 1
+             THEN abs(dv - p1) END) AS BIGINT) e1,
+           CAST(sum(CASE WHEN d7 = di - 7 THEN 1 END) AS BIGINT) n7
+         FROM l GROUP BY 1)
+       SELECT event_type, n7 AS n_eval,
+         ${graft.Rounding.r6sql(
+           "CAST(e7 AS DOUBLE)/NULLIF(e1, 0)")} AS mase
+       FROM e ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+    val l = dg.select(col("event_type"), col("di"), col("dv"),
+      lag(col("dv"), 7).over(w).as("p7"),
+      lag(col("dv"), 1).over(w).as("p1"),
+      lag(col("di"), 7).over(w).as("d7"),
+      lag(col("di"), 1).over(w).as("d1"))
+    val ok7 = col("d7") === col("di") - 7
+    l.groupBy(col("event_type"))
+      .agg(sum(when(ok7, abs(col("dv") - col("p7")))).cast("long")
+          .as("e7"),
+        sum(when(ok7 && col("d1") === col("di") - 1,
+          abs(col("dv") - col("p1")))).cast("long").as("e1"),
+        sum(when(ok7, 1L)).cast("long").as("n_eval"))
+      .select(col("event_type"), col("n_eval"),
+        r6(try_divide(col("e7").cast("double"),
+          when(col("e1") === 0, lit(null)).otherwise(col("e1"))
+            .cast("double"))).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-bounded funnel: click→purchase conversion WITHIN ONE HOUR,
+    * by ISO weekday of the click — q210 counts stage presence ever;
+    * production funnels require the conversion window. Per-user
+    * click×purchase pairing (bounded by per-user event counts, never
+    * a cross-corpus join), EXISTS collapsed as max over the click
+    * grain, exact counts, one r6 divide per weekday row. */
+  val timedFunnel: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT user_id, event_id, epoch_us(ts) us,
+           isodow(CAST(date_trunc('day', ts) AS DATE)) dw
+         FROM events WHERE event_type = 'click'),
+       p AS (SELECT user_id AS pu, epoch_us(ts) pus FROM events
+         WHERE event_type = 'purchase'),
+       conv AS (SELECT c.user_id, c.event_id, c.dw,
+           max(CASE WHEN pus >= us AND pus <= us + 3600000000
+             THEN 1 ELSE 0 END) converted
+         FROM c LEFT JOIN p ON c.user_id = pu
+         GROUP BY 1,2,3)
+       SELECT CAST(dw AS BIGINT) iso_dow,
+         CAST(count(*) AS BIGINT) n_clicks,
+         CAST(sum(converted) AS BIGINT) n_converted,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(converted) AS DOUBLE)/count(*)")} AS conv_rate
+       FROM conv GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (weekday(to_date(date_trunc("day", col("ts")))) + 1)
+          .cast("long").as("dw"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"))
+    c.join(p, col("user_id") === col("pu"), "left")
+      .groupBy(col("user_id"), col("event_id"), col("dw"))
+      .agg(max(when(col("pus") >= col("us")
+        && col("pus") <= col("us") + 3600000000L, 1)
+        .otherwise(0)).as("converted"))
+      .groupBy(col("dw").as("iso_dow"))
+      .agg(count(lit(1)).cast("long").as("n_clicks"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        r6(sum(col("converted")).cast("double") / count(lit(1)))
+          .as("conv_rate"))
+      .orderBy(col("iso_dow"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -1911,7 +2116,11 @@ object Stats {
     "q250_sax_symbols" -> saxSymbols,
     "q251_wasserstein_drift" -> wassersteinDrift,
     "q253_equiheight_histogram" -> equiHeightHistogram,
-    "q255_column_entropy" -> columnEntropy)
+    "q255_column_entropy" -> columnEntropy,
+    "q262_user_type_entropy" -> userTypeEntropy,
+    "q263_markov_accuracy" -> markovAccuracy,
+    "q264_mase_seasonal" -> maseSeasonal,
+    "q266_timed_funnel" -> timedFunnel)
 
 
 
