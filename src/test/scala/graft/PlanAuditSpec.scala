@@ -603,6 +603,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q233's global rank must ride repartitionByRange:\n$qn")
   }
 
+  test("round-9 tranches: bootstrap expansion stays map-side, " +
+      "residue joins broadcast, no cartesian/nested-loop joins " +
+      "anywhere a 1-row broadcast isn't intended") {
+    // q248: the 200x replicate explosion must happen in the scan
+    // stage (Generate before any Exchange) and be collapsed by a
+    // PARTIAL aggregate before the (type, rb) shuffle — the whole
+    // point of the multiplier bootstrap at 100 TB.
+    val boot = executedPlan("q248_bootstrap_ci")
+    assert(boot.contains("Generate explode"),
+      s"q248 must expand replicates via explode:\n$boot")
+    val genIdx = boot.indexOf("Generate explode")
+    val exIdx = boot.indexOf("Exchange")
+    assert(exIdx >= 0 && exIdx < genIdx,
+      "q248's explode must sit BELOW the first exchange in the " +
+        s"plan tree (map-side expansion, partial agg above it):\n$boot")
+    assert(!boot.contains("SortMergeJoin")
+      && !boot.contains("CartesianProduct"))
+    // q251/q253/q263: dimension-sized side of each join broadcasts.
+    for (q <- Seq("q251_wasserstein_drift", "q253_equiheight_histogram",
+        "q263_markov_accuracy")) {
+      val p = executedPlan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q's residue join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not sort-merge a dimension-sized join:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+    // q247/q244: the rolling windows run on the daily-grid residue,
+    // AFTER the fact aggregate — partial agg below the exchange.
+    val ham = executedPlan("q247_hampel_outliers")
+    assert(ham.contains("Window"),
+      s"q247 must plan a frame window:\n$ham")
+    assert(ham.indexOf("HashAggregate") >= 0,
+      s"q247's daily grid must be a hash aggregate:\n$ham")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
