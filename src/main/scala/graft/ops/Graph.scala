@@ -100,6 +100,57 @@ object Graph {
     * [[pageRank]], the edge subplan is deliberately NOT cached:
     * each round's neighbor-min join shuffles it on the same key, so
     * Spark plans one Exchange and reuses it. */
+  /** k-core decomposition PROFILE under a fixed peeling budget:
+    * starting from the undirected edge set, each round removes
+    * every node of degree < k and the edges touching it, emitting
+    * (round, n_nodes, n_edges) for round 0 and after each of
+    * `rounds` peels — the shrinking-core audit (how fast the graph
+    * collapses under peeling measures its cohesion; a graph whose
+    * profile flatlines early HAS a k-core). Each round is one
+    * degree aggregate + two semi-joins on the node key; every
+    * intermediate edge set is persisted (tiny residue — the q188
+    * round-boundary lesson) so later rounds and the count union
+    * never re-derive earlier rounds' subplans.
+    *
+    * @param edges undirected (u, v) with u < v, no parallel edges */
+  def kCoreProfile(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // ONE aggregate per profile row: the directed union has every
+    // edge twice, so n_edges = rows/2 and both stats share a scan.
+    // (Two structures were measured and rejected at sf0.1: the
+    // two-branch crossJoin profile costs an extra aggregate + BNLJ
+    // per round — 24.7 s; reusing a PERSISTED per-round degree
+    // relation for both the profile and the peel filter chains four
+    // lazy caches through the semi-join build sides and AQE
+    // re-plans each layer — 45-59 s. This shape: ~18 s, of which
+    // ~8 s is the unavoidable pair expansion.)
+    def profileRow(e: DataFrame, r: Int): DataFrame =
+      e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .agg(count_distinct(col("n")).cast("long").as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"))
+    var e = edges.select(col("u"), col("v")).persist()
+    var out = profileRow(e, 0)
+    for (r <- 1 to rounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      val next = e
+        .join(keep.select(col("n").as("ku")),
+          col("u") === col("ku"), "left_semi")
+        .join(keep.select(col("n").as("kv")),
+          col("v") === col("kv"), "left_semi")
+        .persist()
+      out = out.unionByName(profileRow(next, r))
+      e = next
+    }
+    out.orderBy(col("round"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val ed = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))

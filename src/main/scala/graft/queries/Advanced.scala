@@ -1813,7 +1813,70 @@ object Advanced {
     }
   }
 
+  /** 3-core decomposition profile over the co-occurrence graph
+    * (same 2×mean-cut edges as q243): per peeling round, how many
+    * nodes and edges survive removing degree-<3 nodes — the cohesion
+    * audit (a profile that flatlines has a real core; one that
+    * collapses to zero was held together by chains). Emitting the
+    * PROFILE rather than the surviving node list keeps the result
+    * non-degenerate at every SF (the sf0.001 graph has no 3-core —
+    * that collapse IS the answer). [[graft.ops.Graph.kCoreProfile]]
+    * persists each round's tiny edge residue so the count union
+    * never re-derives the pair expansion. Oracle: MATERIALIZED CTE
+    * peel rounds (without the hint DuckDB inlines the pair join
+    * into every round — quadratic re-evaluation). */
+  val kCoreProfileQ: QueryDef = {
+    def peelSql(i: Int): String = {
+      val p = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) deg
+            FROM (SELECT u AS n FROM $p UNION ALL SELECT v FROM $p)
+            GROUP BY 1),
+          k$i AS MATERIALIZED (SELECT n FROM d$i WHERE deg >= 3),
+          e$i AS MATERIALIZED (SELECT e.u, e.v FROM $p e
+            JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n)"""
+    }
+    def countSql(i: Int): String =
+      s"""SELECT CAST($i AS BIGINT) round,
+          (SELECT CAST(count(DISTINCT n) AS BIGINT)
+           FROM (SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i))
+            n_nodes,
+          (SELECT CAST(count(*) AS BIGINT) FROM e$i) n_edges"""
+    QueryDef.sql(
+      s"""WITH p AS MATERIALIZED (SELECT DISTINCT event_type,
+             date_trunc('hour', ts) AS h, user_id FROM events),
+         pc AS MATERIALIZED (SELECT a.user_id u, b.user_id v,
+             CAST(count(*) AS BIGINT) c
+           FROM p a JOIN p b ON a.event_type = b.event_type
+             AND a.h = b.h AND a.user_id < b.user_id GROUP BY 1, 2),
+         thr AS (SELECT 2.0*avg(c) t FROM pc),
+         e0 AS MATERIALIZED (SELECT u, v FROM pc, thr WHERE c >= t),
+         ${peelSql(1)}, ${peelSql(2)}, ${peelSql(3)}
+         ${Seq(0, 1, 2, 3).map(countSql).mkString(
+           "SELECT * FROM (", " UNION ALL ", ")")}
+         ORDER BY round""") { (s, d) =>
+      val p = Tables.events(s, d)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      // q243 leaves pc uncached (exchange reuse dedupes it inside
+      // ONE plan); here kCoreProfile's own persist() of the edge set
+      // puts a cache boundary between thr's scan of pc and e0's, so
+      // exchange reuse cannot fire across it — cache pc explicitly
+      // or the pair expansion (the q184 cost class) runs twice
+      // (measured 18.7 s → 7.8 s at sf0.1).
+      val pc = graft.ops.Graph.cooccurPairCounts(p,
+        Seq("event_type", "h"), "user_id").persist()
+      val thr = pc.agg((lit(2.0)
+        * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+      val e = pc.crossJoin(broadcast(thr))
+        .filter(col("w").cast("double") >= col("t"))
+        .select(col("u"), col("v"))
+      graft.ops.Graph.kCoreProfile(e, 3, 3)
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q267_kcore_profile" -> kCoreProfileQ,
     "q241_observed_ingest" -> observedIngest,
     "q242_join_explosion_audit" -> joinExplosionAudit,
     "q243_label_propagation" -> labelPropagation,

@@ -361,10 +361,71 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Heaps'-law vocabulary-growth curve: distinct vocabulary vs
+    * tokens ingested at ten corpus checkpoints (docs in doc_id
+    * order) — the saturation read that tells a data buyer whether
+    * the next 10% of corpus still buys new vocabulary. First
+    * occurrences via one min-aggregate per token (never a sequential
+    * scan); both cumulative curves are windows over the |docs|
+    * rank residue; checkpoint ranks are all-integer c·N/10
+    * selections (q253's cross-multiplication recipe). */
+  val heapsLaw: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') toks
+             FROM documents),
+       r AS (SELECT doc_id, len(toks) ntk,
+           row_number() OVER (ORDER BY doc_id) rk FROM t),
+       n AS (SELECT CAST(count(*) AS BIGINT) nd FROM r),
+       tok AS (SELECT unnest(toks) tk, doc_id FROM t),
+       fo AS (SELECT tk, min(doc_id) fd FROM tok GROUP BY 1),
+       fr AS (SELECT fo.tk, r.rk FROM fo JOIN r ON fo.fd = r.doc_id),
+       nv AS (SELECT rk, CAST(count(*) AS BIGINT) nn FROM fr
+              GROUP BY 1),
+       cum AS (SELECT r.rk,
+           CAST(sum(coalesce(nv.nn,0)) OVER (ORDER BY r.rk)
+             AS BIGINT) vocab,
+           CAST(sum(r.ntk) OVER (ORDER BY r.rk) AS BIGINT) toks_seen
+         FROM r LEFT JOIN nv ON r.rk = nv.rk),
+       cp AS (SELECT c.c, (c.c * nd) // 10 AS brk FROM
+         (SELECT unnest(generate_series(1,10)) c) c, n)
+       SELECT CAST(cp.c AS BIGINT) cp_i, cum.vocab, cum.toks_seen
+       FROM cp JOIN cum ON cum.rk = cp.brk ORDER BY 1""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+    val base = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("ntk"), lit(1L).as("one"))
+    val fo = t.select(col("doc_id"), explode(col("toks")).as("tk"))
+      .groupBy(col("tk")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).cast("long").as("nn"))
+    val joined = base.join(fo, col("doc_id") === col("fd"), "left")
+      .select(col("doc_id"), col("ntk"), col("one"),
+        coalesce(col("nn"), lit(0L)).as("nn"))
+    // three distributed prefix sums over the |docs| residue (range
+    // shuffle + driver prefix, never a single-partition window):
+    // rank, cumulative tokens, cumulative new vocabulary
+    import graft.ops.Packing.withGlobalOffsets
+    val cum = withGlobalOffsets(
+      withGlobalOffsets(
+        withGlobalOffsets(joined, "doc_id", "one")
+          .withColumnRenamed("offset", "rk0"),
+        "doc_id", "ntk").withColumnRenamed("offset", "to0"),
+      "doc_id", "nn").withColumnRenamed("offset", "vo0")
+      .select((col("rk0") + 1).as("rk"),
+        (col("to0") + col("ntk")).cast("long").as("toks_seen"),
+        (col("vo0") + col("nn")).cast("long").as("vocab"))
+    val n = base.agg(count(lit(1)).cast("long").as("nd"))
+    val cp = n.withColumn("c", explode(sequence(lit(1L), lit(10L))))
+      .select(col("c"), expr("(c * nd) div 10").as("brk"))
+    cum.join(broadcast(cp), col("rk") === col("brk"))
+      .select(col("c").cast("long").as("cp_i"), col("vocab"),
+        col("toks_seen"))
+      .orderBy(col("cp_i"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q222_source_overlap" -> sourceOverlap,
     "q261_shard_balance" -> shardBalance,
     "q265_source_length_kl" -> sourceLengthKl,
+    "q268_heaps_law" -> heapsLaw,
     "q223_dataset_card" -> datasetCard,
     "q227_blocklist_filter" -> blocklistFilter,
     "q230_containment_topk" -> containmentTopk,

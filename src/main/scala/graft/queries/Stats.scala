@@ -2084,6 +2084,141 @@ object Stats {
       .orderBy(col("iso_dow"))
   }
 
+  /** Dispersion index (variance-to-mean ratio, value units) per
+    * event type — the overdispersion screen run before assuming
+    * Poisson-ish behavior anywhere downstream (σ²/μ ≫ 1 means
+    * bursty/clustered, and Poisson-based alerting thresholds are
+    * garbage). Same exact sufficient statistics as q249: Σv as long,
+    * Σv² as DECIMAL(19)² integer sum, one fixed IEEE sequence at the
+    * end, rescaled to value units before the r6 (the q245 overflow
+    * lesson). */
+  val dispersionIndex: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT event_type,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events),
+       g AS (SELECT event_type, CAST(sum(v) AS BIGINT) s,
+           CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS
+             DECIMAL(19,0))) AS DOUBLE) svv
+         FROM e GROUP BY 1)
+       SELECT event_type, n,
+         ${graft.Rounding.r6sql(
+           """((svv - CAST(s AS DOUBLE)*s/n)/(n-1))
+              / (CAST(s AS DOUBLE)/n) / 1000000.0""")} AS dispersion
+       FROM g ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("v").cast("decimal(19,0)")
+          * col("v").cast("decimal(19,0)")).cast("double")
+          .as("svv"))
+      .select(col("event_type"), col("n"),
+        r6(((col("svv")
+            - col("s").cast("double") * col("s") / col("n"))
+            / (col("n") - 1))
+          / (col("s").cast("double") / col("n")) / 1000000.0)
+          .as("dispersion"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hill estimator of the tail index (inverse α) over each type's
+    * top-100 values — the heavy-tail read q115's Zipf slope gives
+    * for frequencies, applied to magnitudes: mean of ln(x_i/x_k)
+    * above the k=101st order statistic. The top-101 selection is an
+    * exact integer rank (ties broken by event_id, and the ln terms
+    * depend only on VALUES, so boundary ties cannot flip the
+    * answer); each ln contribution is r6-pinned and folded in rank
+    * order (q202 recipe). The rank window partitions by type —
+    * never a global sort. */
+  val hillTailIndex: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT event_type, event_id,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events
+         WHERE value > 0),
+       r AS (SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY v DESC, event_id) rk FROM e),
+       xk AS (SELECT event_type AS et, v AS vk FROM r
+              WHERE rk = 101),
+       h AS (SELECT event_type,
+           list_sum(list(${graft.Rounding.r6sql(
+             "ln(CAST(v AS DOUBLE)/vk)")} ORDER BY rk)) sh
+         FROM r JOIN xk ON event_type = et WHERE rk <= 100
+         GROUP BY 1)
+       SELECT event_type, ${graft.Rounding.r6sql("sh/100.0")}
+         AS hill_alpha_inv
+       FROM h ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d).filter(col("value") > 0)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v").desc, col("event_id"))
+    val r = e.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 101)
+    val xk = r.filter(col("rk") === 101)
+      .select(col("event_type").as("et"), col("v").as("vk"))
+    r.filter(col("rk") <= 100)
+      .join(broadcast(xk), col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("rk"), r6(log(col("v").cast("double") / col("vk")))
+            .as("contrib")))), _.getField("contrib")),
+        lit(0.0), _ + _).as("sh"))
+      .select(col("event_type"),
+        r6(col("sh") / 100.0).as("hill_alpha_inv"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DAU/MAU stickiness per day — the engagement-density ratio over
+    * q237's trailing-window machinery: MAU is the exact trailing-30d
+    * distinct-user count via the same expand-dedupe-count identity
+    * (each (user, day) row explodes into the 30 future days it keeps
+    * the user "monthly active" for — row-local, bounded 30×), DAU is
+    * the plain per-day distinct. Lead-in days (< first day + 29) are
+    * excluded so every ratio means the same window. */
+  val stickinessRatio: QueryDef = QueryDef.sql(
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di
+         FROM events),
+       dau AS (SELECT di, CAST(count(*) AS BIGINT) dau FROM ud
+               GROUP BY 1),
+       ex AS (SELECT user_id, di + o.o AS dd FROM ud
+         CROSS JOIN (SELECT unnest(generate_series(0,29)) o) o),
+       mau AS (SELECT dd AS di,
+           CAST(count(DISTINCT user_id) AS BIGINT) mau
+         FROM ex GROUP BY 1),
+       b AS (SELECT CAST(min(di) AS BIGINT) d0 FROM ud)
+       SELECT dau.di AS day_idx, dau.dau, mau.mau,
+         ${graft.Rounding.r6sql(
+           "CAST(dau.dau AS DOUBLE)/mau.mau")} AS stickiness
+       FROM dau JOIN mau ON dau.di = mau.di, b
+       WHERE dau.di >= d0 + 29 ORDER BY 1""") { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .distinct()
+    val dau = ud.groupBy(col("di"))
+      .agg(count(lit(1)).cast("long").as("dau"))
+    val mau = ud
+      .withColumn("o", explode(sequence(lit(0L), lit(29L))))
+      .select(col("user_id"), (col("di") + col("o")).as("dd"))
+      .distinct()
+      .groupBy(col("dd"))
+      .agg(count(lit(1)).cast("long").as("mau"))
+    val b = ud.agg(min(col("di")).cast("long").as("d0"))
+    dau.join(mau, col("di") === col("dd"))
+      .crossJoin(broadcast(b))
+      .filter(col("di") >= col("d0") + 29)
+      .select(col("di").as("day_idx"), col("dau"), col("mau"),
+        r6(col("dau").cast("double") / col("mau")).as("stickiness"))
+      .orderBy(col("day_idx"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -2120,7 +2255,10 @@ object Stats {
     "q262_user_type_entropy" -> userTypeEntropy,
     "q263_markov_accuracy" -> markovAccuracy,
     "q264_mase_seasonal" -> maseSeasonal,
-    "q266_timed_funnel" -> timedFunnel)
+    "q266_timed_funnel" -> timedFunnel,
+    "q269_dispersion_index" -> dispersionIndex,
+    "q270_hill_tail_index" -> hillTailIndex,
+    "q271_stickiness_ratio" -> stickinessRatio)
 
 
 
