@@ -2219,6 +2219,283 @@ object Stats {
       .orderBy(col("day_idx"))
   }
 
+  /** Recency-decayed popularity WITHOUT transcendentals: the decay
+    * weight 2^(−age_weeks) is an exact integer right-shift of a
+    * micro-unit (1000000 >> age, capped at 19 shifts ≈ weight 1) —
+    * no pow/exp anywhere, so the ranking is bit-exact on any engine.
+    * The max-day anchor is an in-plan one-row broadcast (q234's
+    * recency stance: anchor to the DATA, not the wall clock). One
+    * fact aggregate; rank over the |types| residue. */
+  val decayedPopularity: QueryDef = QueryDef.sql(
+    """WITH b AS (SELECT CAST(max(epoch_us(date_trunc('day', ts))
+           // 86400000000) AS BIGINT) md FROM events),
+       e AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di FROM events),
+       w AS (SELECT event_type,
+           CAST(1000000 >> CAST(least((md - di) // 7, 19) AS INTEGER)
+             AS BIGINT) wm
+         FROM e, b),
+       g AS (SELECT event_type, CAST(sum(wm) AS BIGINT)
+             decayed_micro, CAST(count(*) AS BIGINT) n
+           FROM w GROUP BY 1)
+       SELECT event_type, n, decayed_micro,
+         CAST(row_number() OVER (ORDER BY decayed_micro DESC,
+           event_type) AS BIGINT) rnk
+       FROM g ORDER BY rnk""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+    val b = e.agg(max(col("di")).cast("long").as("md"))
+    val g = e.crossJoin(broadcast(b))
+      .withColumn("age", least(expr("(md - di) div 7"), lit(19L))
+        .cast("int"))
+      .select(col("event_type"),
+        expr("shiftright(1000000L, age)").as("wm"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("wm")).cast("long").as("decayed_micro"),
+        count(lit(1)).cast("long").as("n"))
+    g.withColumn("rnk", row_number().over(
+        Window.orderBy(col("decayed_micro").desc, col("event_type")))
+        .cast("long"))
+      .select(col("event_type"), col("n"), col("decayed_micro"),
+        col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Difference-in-differences: purchase share per (user-parity
+    * cohort × pre/post period around the all-integer midpoint day),
+    * with the DiD estimate — the causal-read layout for a natural
+    * experiment. Four exact count cells, rates as exact-long
+    * divides, the DiD a fixed IEEE sequence on a one-row conditional
+    * aggregate broadcast back onto the two output rows. */
+  val diffInDiff: QueryDef = QueryDef.sql(
+    s"""WITH b AS (SELECT (CAST(min(epoch_us(date_trunc('day', ts))
+           // 86400000000) AS BIGINT)
+           + CAST(max(epoch_us(date_trunc('day', ts))
+           // 86400000000) AS BIGINT)) // 2 AS split FROM events),
+       e AS (SELECT user_id % 2 AS cohort,
+           CASE WHEN CAST(epoch_us(date_trunc('day', ts))
+             // 86400000000 AS BIGINT) <= split THEN 0 ELSE 1 END
+             AS period,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             AS is_p
+         FROM events, b),
+       g AS (SELECT CAST(cohort AS BIGINT) cohort,
+           CAST(period AS BIGINT) period,
+           CAST(count(*) AS BIGINT) n, CAST(sum(is_p) AS BIGINT) p
+         FROM e GROUP BY 1,2),
+       r AS (SELECT cohort, period, n, p, CAST(p AS DOUBLE)/n AS r
+             FROM g),
+       d AS (SELECT
+           (max(CASE WHEN cohort=1 AND period=1 THEN r END)
+            - max(CASE WHEN cohort=1 AND period=0 THEN r END))
+         - (max(CASE WHEN cohort=0 AND period=1 THEN r END)
+            - max(CASE WHEN cohort=0 AND period=0 THEN r END))
+           AS did FROM r)
+       SELECT a.cohort, a.n AS n_pre, b2.n AS n_post,
+         ${graft.Rounding.r6sql("b2.r - a.r")} AS delta,
+         ${graft.Rounding.r6sql("did")} AS did
+       FROM r a JOIN r b2 ON a.cohort = b2.cohort
+         AND a.period = 0 AND b2.period = 1, d
+       ORDER BY a.cohort""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select((col("user_id") % 2).as("cohort"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("is_p"))
+    val b = ev.agg(((min(col("di")) + max(col("di"))) / 2)
+      .cast("long").as("split"))
+    val r = ev.crossJoin(broadcast(b))
+      .groupBy(col("cohort").cast("long").as("cohort"),
+        when(col("di") <= col("split"), 0L).otherwise(1L)
+          .as("period"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("is_p")).cast("long").as("p"))
+      .withColumn("r", col("p").cast("double") / col("n"))
+    def cell(c: Int, p: Int) = max(when(col("cohort") === c
+      && col("period") === p, col("r")))
+    val did = r.agg(((cell(1, 1) - cell(1, 0))
+      - (cell(0, 1) - cell(0, 0))).as("did"))
+    val pre = r.filter(col("period") === 0)
+      .select(col("cohort"), col("n").as("n_pre"), col("r").as("ra"))
+    val post = r.filter(col("period") === 1)
+      .select(col("cohort").as("c2"), col("n").as("n_post"),
+        col("r").as("rb"))
+    pre.join(post, col("cohort") === col("c2"))
+      .crossJoin(broadcast(did))
+      .select(col("cohort"), col("n_pre"), col("n_post"),
+        r6(col("rb") - col("ra")).as("delta"),
+        r6(col("did")).as("did"))
+      .orderBy(col("cohort"))
+  }
+
+  /** Rank matching within activity strata — the matched-cohort
+    * construction behind observational A/B reads: users bucketed by
+    * exact activity-count strata, each cohort ranked inside its
+    * stratum by (n_events, user_id), pairs joined on equal rank, and
+    * the per-stratum mean absolute spend gap reported. Every step is
+    * integer-exact; the rank windows partition by (stratum, cohort)
+    * — never a global sort. */
+  val rankMatching: QueryDef = QueryDef.sql(
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS cohort,
+           CAST(count(*) AS BIGINT) n_ev,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) spend
+         FROM events GROUP BY 1,2),
+       st AS (SELECT *, least(n_ev // 20, 9) AS stratum,
+           row_number() OVER (PARTITION BY least(n_ev // 20, 9),
+             cohort ORDER BY n_ev, user_id) rk FROM u),
+       m AS (SELECT a.stratum, a.spend sa, b.spend sb
+         FROM st a JOIN st b ON a.stratum = b.stratum
+           AND a.rk = b.rk AND a.cohort = 0 AND b.cohort = 1)
+       SELECT CAST(stratum AS BIGINT) stratum,
+         CAST(count(*) AS BIGINT) n_pairs,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(abs(sa - sb)) AS DOUBLE)/count(*)/1000000.0")}
+           AS mean_abs_diff
+       FROM m GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).cast("long").as("n_ev"),
+        sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("long").as("spend"))
+      .withColumn("stratum",
+        least(expr("n_ev div 20"), lit(9L)).cast("long"))
+    val w = Window.partitionBy(col("stratum"), col("cohort"))
+      .orderBy(col("n_ev"), col("user_id"))
+    val st = u.withColumn("rk", row_number().over(w))
+    val a = st.filter(col("cohort") === 0)
+      .select(col("stratum"), col("rk"), col("spend").as("sa"))
+    val bb = st.filter(col("cohort") === 1)
+      .select(col("stratum").as("s2"), col("rk").as("rk2"),
+        col("spend").as("sb"))
+    a.join(bb, col("stratum") === col("s2")
+        && col("rk") === col("rk2"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        r6(sum(abs(col("sa") - col("sb"))).cast("double")
+          / count(lit(1)) / 1000000.0).as("mean_abs_diff"))
+      .orderBy(col("stratum"))
+  }
+
+  /** Inter-arrival burstiness per type: CV of event gaps (σ/μ over
+    * exact µs gaps, Σg as long and Σg² as exact decimal) and the
+    * bounded Goh–Barabási burstiness (CV−1)/(CV+1) — Poisson
+    * arrivals sit at 0, bursty traffic above. The only float ops
+    * are one sqrt (IEEE-exact) and two divides on exact inputs; the
+    * gap sequencing shares one (type; ts, event_id) sort. */
+  val burstiness: QueryDef = QueryDef.sql(
+    s"""WITH s AS (SELECT event_type, epoch_us(ts) us,
+           lag(epoch_us(ts)) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id) pus FROM events),
+       g AS (SELECT event_type, us - pus AS gp FROM s
+             WHERE pus IS NOT NULL),
+       a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+           CAST(sum(gp) AS BIGINT) sg,
+           CAST(sum(CAST(gp AS DECIMAL(19,0))
+             * CAST(gp AS DECIMAL(19,0))) AS DOUBLE) sgg
+         FROM g GROUP BY 1),
+       c AS (SELECT event_type, n,
+           sqrt((sgg - CAST(sg AS DOUBLE)*sg/n)/(n-1))
+             / (CAST(sg AS DOUBLE)/n) AS cv
+         FROM a WHERE n >= 2)
+       SELECT event_type, n AS n_gaps,
+         ${graft.Rounding.r6sql("cv")} AS cv,
+         ${graft.Rounding.r6sql("(cv - 1.0)/(cv + 1.0)")}
+           AS burstiness
+       FROM c ORDER BY 1""") { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        lag(unix_micros(col("ts")), 1).over(w).as("pus"))
+      .filter(col("pus").isNotNull)
+      .select(col("event_type"), (col("us") - col("pus")).as("gp"))
+    val a = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("gp")).cast("long").as("sg"),
+        sum(col("gp").cast("decimal(19,0)")
+          * col("gp").cast("decimal(19,0)")).cast("double")
+          .as("sgg"))
+      .filter(col("n") >= 2)
+    val cv = sqrt((col("sgg")
+      - col("sg").cast("double") * col("sg") / col("n"))
+      / (col("n") - 1)) / (col("sg").cast("double") / col("n"))
+    a.select(col("event_type"), col("n").as("n_gaps"),
+        r6(cv).as("cv"),
+        r6((cv - 1.0) / (cv + 1.0)).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Simpson's-paradox audit: does the cohort-B-minus-cohort-A
+    * purchase-share difference keep its POOLED sign inside every
+    * ISO-weekday stratum? A stratum that flips sign is the Simpson
+    * flag — the pooled metric is confounded by day mix. All counts
+    * exact; the sign comparison operates on divides of exact longs,
+    * identical cross-engine. */
+  val simpsonAudit: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT user_id % 2 AS cohort,
+           isodow(CAST(date_trunc('day', ts) AS DATE)) dw,
+           CASE WHEN event_type='purchase' THEN 1 ELSE 0 END is_p
+         FROM events),
+       g AS (SELECT CAST(cohort AS BIGINT) cohort,
+           CAST(dw AS BIGINT) dw, CAST(count(*) AS BIGINT) n,
+           CAST(sum(is_p) AS BIGINT) p FROM c GROUP BY 1,2),
+       pool AS (SELECT CAST(cohort AS BIGINT) cohort,
+           CAST(count(*) AS BIGINT) n, CAST(sum(is_p) AS BIGINT) p
+         FROM c GROUP BY 1),
+       pd AS (SELECT
+           max(CASE WHEN cohort=1 THEN CAST(p AS DOUBLE)/n END)
+           - max(CASE WHEN cohort=0 THEN CAST(p AS DOUBLE)/n END)
+           AS pooled_diff FROM pool),
+       sd AS (SELECT a.dw,
+           CAST(b.p AS DOUBLE)/b.n - CAST(a.p AS DOUBLE)/a.n
+             AS strat_diff
+         FROM g a JOIN g b ON a.dw=b.dw AND a.cohort=0
+           AND b.cohort=1)
+       SELECT sd.dw AS iso_dow,
+         ${graft.Rounding.r6sql("strat_diff")} AS strat_diff,
+         ${graft.Rounding.r6sql("pooled_diff")} AS pooled_diff,
+         CASE WHEN (strat_diff >= 0) = (pooled_diff >= 0) THEN 1
+           ELSE 0 END AS agrees
+       FROM sd, pd ORDER BY 1""") { (s, d) =>
+    val c = Tables.events(s, d)
+      .select((col("user_id") % 2).cast("long").as("cohort"),
+        (weekday(to_date(date_trunc("day", col("ts")))) + 1)
+          .cast("long").as("dw"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("is_p"))
+    val g = c.groupBy(col("cohort"), col("dw"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("is_p")).cast("long").as("p"))
+    val pool = c.groupBy(col("cohort"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("is_p")).cast("long").as("p"))
+    val pd = pool.agg((
+      max(when(col("cohort") === 1,
+        col("p").cast("double") / col("n")))
+      - max(when(col("cohort") === 0,
+        col("p").cast("double") / col("n")))).as("pooled_diff"))
+    val a = g.filter(col("cohort") === 0)
+      .select(col("dw"), (col("p").cast("double") / col("n"))
+        .as("ra"))
+    val bb = g.filter(col("cohort") === 1)
+      .select(col("dw").as("dw2"),
+        (col("p").cast("double") / col("n")).as("rb"))
+    a.join(bb, col("dw") === col("dw2"))
+      .crossJoin(broadcast(pd))
+      .select(col("dw").as("iso_dow"),
+        r6(col("rb") - col("ra")).as("strat_diff"),
+        r6(col("pooled_diff")).as("pooled_diff"),
+        when((col("rb") - col("ra") >= 0)
+          === (col("pooled_diff") >= 0), 1).otherwise(0)
+          .as("agrees"))
+      .orderBy(col("iso_dow"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -2258,7 +2535,12 @@ object Stats {
     "q266_timed_funnel" -> timedFunnel,
     "q269_dispersion_index" -> dispersionIndex,
     "q270_hill_tail_index" -> hillTailIndex,
-    "q271_stickiness_ratio" -> stickinessRatio)
+    "q271_stickiness_ratio" -> stickinessRatio,
+    "q272_decayed_popularity" -> decayedPopularity,
+    "q273_diff_in_diff" -> diffInDiff,
+    "q274_rank_matching" -> rankMatching,
+    "q275_burstiness" -> burstiness,
+    "q276_simpson_audit" -> simpsonAudit)
 
 
 
