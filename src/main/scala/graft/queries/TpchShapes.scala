@@ -505,7 +505,213 @@ object TpchShapes {
       .orderBy(col("ship_year"))
   }
 
+  /** TPC-H Q16 shape: distinct supplier count per (brand, size
+    * bucket) with both exclusion styles — a predicate exclusion on
+    * the part side (one brand out) and a dimension exclusion on the
+    * supplier side (negative-balance suppliers out, Q16's
+    * "complaints" filter). The supplier link dedupes to DISTINCT
+    * (suppkey, brand, bucket) BEFORE the count-distinct, so the fact
+    * table's row multiplicity never reaches the aggregate. */
+  val supplierPartCounts: QueryDef = QueryDef.sql(
+    """WITH ok AS (SELECT s_suppkey FROM supplier
+         WHERE s_acctbal >= 0),
+       lp AS (SELECT DISTINCT l_suppkey, p_brand,
+           least(p_size // 10, 4) AS szb
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1'),
+       g AS (SELECT lp.p_brand, CAST(lp.szb AS BIGINT) size_bucket,
+           CAST(count(DISTINCT lp.l_suppkey) AS BIGINT) n_supp
+         FROM lp JOIN ok ON ok.s_suppkey = lp.l_suppkey
+         GROUP BY 1,2)
+       SELECT * FROM g ORDER BY 1,2""") { (s, d) =>
+    val ok = Tables.supplier(s, d).filter(col("s_acctbal") >= 0)
+      .select(col("s_suppkey"))
+    val lp = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey"), col("p_brand"),
+          least(expr("p_size div 10"), lit(4L)).as("szb"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_suppkey"), col("p_brand"), col("szb"))
+      .distinct()
+    lp.join(broadcast(ok), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .groupBy(col("p_brand"), col("szb").cast("long")
+        .as("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).cast("long").as("n_supp"))
+      .orderBy(col("p_brand"), col("size_bucket"))
+  }
+
+  /** ABC / Pareto classification of part types by revenue: exact
+    * micro-long revenue per type, cumulative share over the
+    * |types| residue (ordered rev DESC, type — total order), class
+    * breaks at 80%/95% via integer cross-multiplication
+    * (crev·100 ≤ tot·80 — no float ever decides a class). */
+  val abcClassification: QueryDef = QueryDef.sql(
+    s"""WITH r AS (SELECT p_type,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)
+             *1000000+0.5) AS BIGINT)) AS BIGINT) rev
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         GROUP BY 1),
+       t AS (SELECT CAST(sum(rev) AS BIGINT) tot FROM r),
+       c AS (SELECT p_type, rev,
+           CAST(sum(rev) OVER (ORDER BY rev DESC, p_type)
+             AS BIGINT) crev FROM r)
+       SELECT p_type, rev AS rev_micro,
+         ${graft.Rounding.r6sql("CAST(crev AS DOUBLE)/tot")}
+           AS cum_share,
+         CASE WHEN crev*100 <= tot*80 THEN 'A'
+           WHEN crev*100 <= tot*95 THEN 'B' ELSE 'C' END AS abc
+       FROM c, t ORDER BY rev_micro DESC, p_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(floor(col("l_extendedprice")
+        * (lit(1) - col("l_discount")) * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("rev"))
+    val t = r.agg(sum(col("rev")).cast("long").as("tot"))
+    val w = Window.orderBy(col("rev").desc, col("p_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.withColumn("crev", sum(col("rev")).over(w).cast("long"))
+      .crossJoin(broadcast(t))
+      .select(col("p_type"), col("rev").as("rev_micro"),
+        r6(col("crev").cast("double") / col("tot")).as("cum_share"),
+        when(col("crev") * 100 <= col("tot") * 80, "A")
+          .when(col("crev") * 100 <= col("tot") * 95, "B")
+          .otherwise("C").as("abc"))
+      .orderBy(col("rev_micro").desc, col("p_type"))
+  }
+
+  /** Discount-elasticity table: per discount percent bucket, the
+    * exact mean quantity and revenue share — the pricing read on
+    * whether discounts move volume. One fact aggregate, exact
+    * micro-longs, two divides per bucket row. */
+  val discountElasticity: QueryDef = QueryDef.sql(
+    s"""WITH l AS (SELECT
+           CAST(floor(l_discount*100+0.5) AS BIGINT) disc_pct,
+           CAST(floor(l_quantity*1000000+0.5) AS BIGINT) qm,
+           CAST(floor(l_extendedprice*(1-l_discount)*1000000+0.5)
+             AS BIGINT) rm
+         FROM lineitem),
+       g AS (SELECT disc_pct, CAST(count(*) AS BIGINT) n,
+           CAST(sum(qm) AS BIGINT) sq, CAST(sum(rm) AS BIGINT) sr
+         FROM l GROUP BY 1),
+       t AS (SELECT CAST(sum(sr) AS BIGINT) tot FROM g)
+       SELECT disc_pct, n,
+         ${graft.Rounding.r6sql("CAST(sq AS DOUBLE)/n/1000000.0")}
+           AS avg_qty,
+         ${graft.Rounding.r6sql("CAST(sr AS DOUBLE)/tot")}
+           AS revenue_share
+       FROM g, t ORDER BY 1""") { (s, d) =>
+    val g = Tables.lineitem(s, d)
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+          .as("disc_pct"),
+        floor(col("l_quantity") * 1000000 + lit(0.5)).cast("long")
+          .as("qm"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 1000000 + lit(0.5)).cast("long").as("rm"))
+      .groupBy(col("disc_pct"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("qm")).cast("long").as("sq"),
+        sum(col("rm")).cast("long").as("sr"))
+    val t = g.agg(sum(col("sr")).cast("long").as("tot"))
+    g.crossJoin(broadcast(t))
+      .select(col("disc_pct"), col("n"),
+        r6(col("sq").cast("double") / col("n") / 1000000.0)
+          .as("avg_qty"),
+        r6(col("sr").cast("double") / col("tot"))
+          .as("revenue_share"))
+      .orderBy(col("disc_pct"))
+  }
+
+  /** Market-basket pairs over ORDER baskets at part-TYPE grain
+    * (q219 mined event paths; this mines the relational basket):
+    * co-ordered type pairs with support and lift. The distinct
+    * (order, type) projection bounds the per-order explosion at
+    * C(6,2); lift's divide is the only float, on exact counts. */
+  val basketTypePairs: QueryDef = QueryDef.sql(
+    s"""WITH ol AS (SELECT DISTINCT l_orderkey, p_type
+           FROM lineitem JOIN part ON p_partkey=l_partkey),
+       pr AS (SELECT a.p_type ta, b.p_type tb,
+           CAST(count(*) AS BIGINT) sup
+         FROM ol a JOIN ol b ON a.l_orderkey=b.l_orderkey
+           AND a.p_type < b.p_type GROUP BY 1,2),
+       n AS (SELECT p_type, CAST(count(*) AS BIGINT) c FROM ol
+             GROUP BY 1),
+       t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) n_ord
+             FROM ol)
+       SELECT ta, tb, sup,
+         ${graft.Rounding.r6sql(
+           "CAST(sup AS DOUBLE)*n_ord/(na.c*nb.c)")} AS lift
+       FROM pr JOIN n na ON na.p_type=ta JOIN n nb ON nb.p_type=tb,
+         t
+       WHERE sup >= 3 ORDER BY 1,2""") { (s, d) =>
+    val ol = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("p_type"))
+      .distinct()
+    val pr = ol.as("a")
+      .join(ol.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.p_type") < col("b.p_type"))
+      .groupBy(col("a.p_type").as("ta"), col("b.p_type").as("tb"))
+      .agg(count(lit(1)).cast("long").as("sup"))
+      .filter(col("sup") >= 3)
+    val n = ol.groupBy(col("p_type"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val t = ol.agg(countDistinct(col("l_orderkey")).cast("long")
+      .as("n_ord"))
+    pr.join(broadcast(n.select(col("p_type").as("pa"),
+        col("c").as("ca"))), col("ta") === col("pa"))
+      .join(broadcast(n.select(col("p_type").as("pb"),
+        col("c").as("cb"))), col("tb") === col("pb"))
+      .crossJoin(broadcast(t))
+      .select(col("ta"), col("tb"), col("sup"),
+        r6(col("sup").cast("double") * col("n_ord")
+          / (col("ca") * col("cb"))).as("lift"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** Shipping-lag percentiles per order priority: exact interpolated
+    * p50/p90 of (shipdate − orderdate) days — the SLO read per
+    * service class. Day lags are exact integers; Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same linear
+    * interpolation (the q193 equivalence). */
+  val shipLagPercentiles: QueryDef = QueryDef.sql(
+    s"""WITH l AS (SELECT o_orderpriority pri,
+           datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) lag_d
+         FROM lineitem JOIN orders ON o_orderkey=l_orderkey),
+       g AS (SELECT pri,
+           ${graft.Rounding.r6sql("quantile_cont(lag_d, 0.5)")} p50,
+           ${graft.Rounding.r6sql("quantile_cont(lag_d, 0.9)")} p90,
+           CAST(count(*) AS BIGINT) n FROM l GROUP BY 1)
+       SELECT pri AS priority, n, p50, p90 FROM g
+       ORDER BY 1""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))).as("lag_d"))
+      .groupBy(col("pri").as("priority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        r6(percentile(col("lag_d"), lit(0.5))).as("p50"),
+        r6(percentile(col("lag_d"), lit(0.9))).as("p90"))
+      .select(col("priority"), col("n"), col("p50"), col("p90"))
+      .orderBy(col("priority"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q277_supplier_part_counts" -> supplierPartCounts,
+    "q278_abc_classification" -> abcClassification,
+    "q279_discount_elasticity" -> discountElasticity,
+    "q280_basket_type_pairs" -> basketTypePairs,
+    "q281_ship_lag_percentiles" -> shipLagPercentiles,
     "q160_late_ship_priority" -> lateShipPriority,
     "q161_order_count_distribution" -> orderCountDistribution,
     "q162_disjunctive_part_revenue" -> disjunctivePartRevenue,
