@@ -4410,11 +4410,73 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("event_type"))
   }
 
+  /** Nearest-centroid confusion matrix: every embedding assigned to
+    * its nearest label centroid, tallied against its true label —
+    * the label-quality read (an off-diagonal cell is label noise or
+    * class overlap). Distances fold per-dim in index order
+    * (zip_with + ordered aggregate ≡ DuckDB's list_sum in list
+    * order); ties break to the smaller centroid label; the argmin
+    * is a 10-row window per vector. One broadcast of the 10×dim
+    * centroid table; one fact pass. Centroids come from EXACT
+    * quantized-long sums divided once — q85's r6(avg) is fine for
+    * OUTPUT, but here the centroid feeds a selection-deciding
+    * distance comparison, and a float avg's summation-order noise
+    * at the r6 knife edge flips assignments (measured: one flipped
+    * cell per ~100 at every SF before the fix). */
+  val centroidConfusion: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT CAST(label AS BIGINT) clabel, dim,
+           CAST(sum(CAST(floor(CAST(val AS DOUBLE)*1000000+0.5)
+             AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 mv
+         FROM (SELECT label, unnest(embedding) val,
+               generate_subscripts(embedding,1) dim FROM embeddings)
+         GROUP BY clabel, dim),
+       ca AS (SELECT clabel, list(mv ORDER BY dim) cv FROM c
+              GROUP BY 1),
+       d AS (SELECT e.vec_id, CAST(e.label AS BIGINT) tlabel,
+           ca.clabel,
+           list_sum(list_transform(
+             generate_series(1, len(e.embedding)),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - ca.cv[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - ca.cv[i]))) dist
+         FROM embeddings e CROSS JOIN ca),
+       r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, clabel) rn FROM d)
+       SELECT tlabel AS true_label, clabel AS assigned_label,
+         CAST(count(*) AS BIGINT) n
+       FROM r WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("tlabel"),
+        graft.vector.VectorOps.toDouble(col("embedding")).as("vec"))
+    val ca = emb
+      .select(col("tlabel").as("clabel"),
+        posexplode(col("vec")).as(Seq("dim", "val")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg((sum(floor(col("val") * 1000000 + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / 1000000.0).as("mv"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("mv")))), _.getField("mv")).as("cv"))
+    val dist = aggregate(
+      zip_with(col("vec"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    emb.crossJoin(broadcast(ca))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("tlabel").as("true_label"),
+        col("clabel").as("assigned_label"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("true_label"), col("assigned_label"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
     "q257_xml_roundtrip" -> xmlRoundtrip,
     "q259_balanced_downsample" -> balancedDownsample,
+    "q282_centroid_confusion" -> centroidConfusion,
     "q26_text_stats" -> textStats,
     "q27_lang_id" -> langId,
     "q28_fingerprint" -> fingerprint,

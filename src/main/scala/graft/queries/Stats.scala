@@ -2496,6 +2496,208 @@ object Stats {
       .orderBy(col("iso_dow"))
   }
 
+  /** Wald–Wolfowitz runs test on the daily up/down sequence per
+    * type — is the series' direction RANDOM or trending/oscillating?
+    * Signs, run breaks, and counts are all integer window logic on
+    * the daily grid; the z-score is one fixed IEEE sequence (sqrt
+    * only) on exact counts. Flat days (Δ=0) are dropped per the
+    * classic two-category formulation. */
+  val runsTest: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       s AS (SELECT event_type, di,
+           CASE WHEN dv > lag(dv) OVER w THEN 1
+                WHEN dv < lag(dv) OVER w THEN -1 ELSE 0 END sg
+         FROM d WINDOW w AS (PARTITION BY event_type ORDER BY di)),
+       nz AS (SELECT event_type, di, sg,
+           lag(sg) OVER (PARTITION BY event_type ORDER BY di) psg
+         FROM s WHERE sg IS NOT NULL AND sg <> 0),
+       g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+           CAST(sum(CASE WHEN sg=1 THEN 1 ELSE 0 END) AS BIGINT)
+             n_up,
+           CAST(sum(CASE WHEN psg IS NULL OR sg <> psg THEN 1
+             ELSE 0 END) AS BIGINT) runs
+         FROM nz GROUP BY 1)
+       SELECT event_type, n, n_up, runs,
+         ${graft.Rounding.r6sql(
+           """(runs - (2.0*n_up*(n-n_up)/n + 1))
+              / sqrt( (2.0*n_up*(n-n_up)*(2.0*n_up*(n-n_up)-n))
+                / (CAST(n AS DOUBLE)*n*(n-1)) )""")} AS z
+       FROM g WHERE n_up > 0 AND n_up < n ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+    val sg = when(col("dv") > lag(col("dv"), 1).over(w), 1L)
+      .when(col("dv") < lag(col("dv"), 1).over(w), -1L)
+      .otherwise(0L)
+    val nz = dg.withColumn("sg", sg)
+      .filter(col("sg").isNotNull && col("sg") =!= 0)
+      .withColumn("psg", lag(col("sg"), 1).over(w))
+    val g = nz.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("sg") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_up"),
+        sum(when(col("psg").isNull
+          || col("sg") =!= col("psg"), 1L).otherwise(0L))
+          .cast("long").as("runs"))
+      .filter(col("n_up") > 0 && col("n_up") < col("n"))
+    val two = lit(2.0) * col("n_up") * (col("n") - col("n_up"))
+    g.select(col("event_type"), col("n"), col("n_up"), col("runs"),
+        r6((col("runs") - (two / col("n") + 1))
+          / sqrt((two * (two - col("n")))
+            / (col("n").cast("double") * col("n")
+              * (col("n") - 1)))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Autocorrelation table (lags 1–7) of the daily series per type —
+    * q206 reads one lag; this emits the ACF page a seasonality
+    * analyst actually looks at. Lag pairing is an equi-join on
+    * di + k (grid gaps pair nothing — both engines see the same
+    * pairs); all five sufficient statistics exact (Σ as long,
+    * cross-products as DECIMAL(19)²); the correlation is one IEEE
+    * sequence per (type, lag) row. */
+  val acfLags: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       lg AS (SELECT unnest(generate_series(1,7)) AS lag_k),
+       p AS (SELECT a.event_type, lg.lag_k, a.dv x, b.dv y
+         FROM d a JOIN lg ON true
+         JOIN d b ON b.event_type=a.event_type
+           AND b.di = a.di + lg.lag_k),
+       st AS (SELECT event_type, lag_k, CAST(count(*) AS BIGINT) n,
+           CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(x AS
+             DECIMAL(19,0))) AS DOUBLE) sxx,
+           CAST(sum(CAST(y AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) syy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) sxy
+         FROM p GROUP BY 1,2 HAVING count(*) >= 3)
+       SELECT event_type, CAST(lag_k AS BIGINT) lag_k, n,
+         ${graft.Rounding.r6sql(
+           """(n*sxy - CAST(sx AS DOUBLE)*sy)
+              / sqrt((n*sxx - CAST(sx AS DOUBLE)*sx)
+                * (n*syy - CAST(sy AS DOUBLE)*sy))""")} AS acf
+       FROM st ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val a = dg.withColumn("lag_k",
+      explode(sequence(lit(1L), lit(7L))))
+    val b = dg.select(col("event_type").as("et2"),
+      col("di").as("di2"), col("dv").as("y"))
+    val st = a.join(b, col("et2") === col("event_type")
+        && col("di2") === col("di") + col("lag_k"))
+      .select(col("event_type"), col("lag_k"),
+        col("dv").as("x"), col("y"))
+      .groupBy(col("event_type"), col("lag_k"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("x").cast("decimal(19,0)")).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("syy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("sxy"))
+      .filter(col("n") >= 3)
+    st.select(col("event_type"), col("lag_k"), col("n"),
+        r6((col("n") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          / sqrt((col("n") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            * (col("n") * col("syy")
+              - col("sy").cast("double") * col("sy")))).as("acf"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+  /** Calendar-completeness audit: per type, span vs present days on
+    * the daily grid — the MISSING-day count q107's gap-fill would
+    * have to repair (this audits; q107 fixes). Pure integer
+    * aggregate. */
+  val missingDays: QueryDef = QueryDef.sql(
+    """WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di
+         FROM events GROUP BY 1,2),
+       b AS (SELECT event_type, CAST(min(di) AS BIGINT) lo,
+           CAST(max(di) AS BIGINT) hi,
+           CAST(count(*) AS BIGINT) present FROM d GROUP BY 1)
+       SELECT event_type, hi - lo + 1 AS span_days, present,
+         hi - lo + 1 - present AS missing_days
+       FROM b ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(min(col("di")).cast("long").as("lo"),
+        max(col("di")).cast("long").as("hi"),
+        count(lit(1)).cast("long").as("present"))
+      .select(col("event_type"),
+        (col("hi") - col("lo") + 1).as("span_days"), col("present"),
+        (col("hi") - col("lo") + 1 - col("present"))
+          .as("missing_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Theil T inequality index over per-user spend — the
+    * decomposable inequality measure next to q209's Gini and q258's
+    * Lorenz table. ratio = x·n/Σx is one IEEE multiply-divide on
+    * exact longs; each ratio·ln(ratio) contribution is r6-pinned
+    * and folded in user_id order (q202 recipe); zero-spend users
+    * contribute 0 and are excluded on both sides. */
+  val theilIndex: QueryDef = QueryDef.sql(
+    s"""WITH u AS (SELECT user_id,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) x
+         FROM events GROUP BY 1),
+       t AS (SELECT CAST(sum(x) AS BIGINT) sx,
+           CAST(count(*) AS BIGINT) n FROM u),
+       c AS (SELECT user_id, (CAST(x AS DOUBLE)*n/sx) AS ratio
+             FROM u, t),
+       h AS (SELECT list_sum(list(${graft.Rounding.r6sql(
+         "ratio * ln(ratio)")} ORDER BY user_id)) th
+         FROM c WHERE ratio > 0)
+       SELECT t.n AS n_users, ${graft.Rounding.r6sql("th / t.n")}
+         AS theil
+       FROM h, t""") { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+        .cast("long").as("x"))
+    val t = u.agg(sum(col("x")).cast("long").as("sx"),
+      count(lit(1)).cast("long").as("n"))
+    val ratio = col("x").cast("double") * col("n") / col("sx")
+    u.crossJoin(broadcast(t))
+      .select(col("user_id"), ratio.as("ratio"), col("n"))
+      .filter(col("ratio") > 0)
+      .groupBy(col("n"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("user_id"),
+          r6(col("ratio") * log(col("ratio"))).as("contrib")))),
+          _.getField("contrib")), lit(0.0), _ + _).as("th"))
+      .select(col("n").as("n_users"),
+        r6(col("th") / col("n")).as("theil"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -2540,7 +2742,11 @@ object Stats {
     "q273_diff_in_diff" -> diffInDiff,
     "q274_rank_matching" -> rankMatching,
     "q275_burstiness" -> burstiness,
-    "q276_simpson_audit" -> simpsonAudit)
+    "q276_simpson_audit" -> simpsonAudit,
+    "q283_runs_test" -> runsTest,
+    "q284_acf_lags" -> acfLags,
+    "q285_missing_days" -> missingDays,
+    "q286_theil_index" -> theilIndex)
 
 
 
