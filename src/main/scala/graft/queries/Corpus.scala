@@ -421,7 +421,110 @@ object Corpus {
       .orderBy(col("cp_i"))
   }
 
+  /** OOV rate per source against a top-20 reference vocabulary
+    * mined from src0 — the domain-shift read before reusing a
+    * tokenizer or model trained on one slice: a source whose token
+    * mass falls outside the reference vocab needs its own vocab
+    * budget. The reference is an exact top-k (count desc, token —
+    * total order) broadcast; one anti-membership aggregate per
+    * source. */
+  val oovRate: QueryDef = QueryDef.sql(
+    s"""WITH tok AS (SELECT source,
+           unnest(string_split(trim(text), ' ')) tk FROM documents),
+       ref AS (SELECT tk FROM (SELECT tk, count(*) c FROM tok
+           WHERE source = 'src0'
+           GROUP BY 1 ORDER BY c DESC, tk LIMIT 20)),
+       g AS (SELECT source, CAST(count(*) AS BIGINT) n_tok,
+           CAST(sum(CASE WHEN ref.tk IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) n_oov
+         FROM tok LEFT JOIN ref ON tok.tk = ref.tk GROUP BY 1)
+       SELECT source, n_tok, n_oov,
+         ${graft.Rounding.r6sql("CAST(n_oov AS DOUBLE)/n_tok")}
+           AS oov_rate
+       FROM g ORDER BY 1""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(trim(col("text")), " ")).as("tk"))
+    val ref = tok.filter(col("source") === "src0")
+      .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(20)
+      .select(col("tk").as("rtk"))
+    tok.join(broadcast(ref), col("tk") === col("rtk"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(when(col("rtk").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+      .select(col("source"), col("n_tok"), col("n_oov"),
+        graft.Rounding.r6(col("n_oov").cast("double")
+          / col("n_tok")).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Jensen–Shannon divergence of each source's token distribution
+    * from the corpus blend, over the exact global top-100 token
+    * domain — the lexical drift read next to q265's length-KL
+    * (JSD is symmetric and bounded, so sources are comparable).
+    * Counts exact; each JSD cell r6-pinned and folded in token
+    * order (q240 recipe); the top-100 domain keeps the ordered
+    * fold residue-sized at any corpus scale. */
+  val tokenJsd: QueryDef = QueryDef.sql(
+    s"""WITH tok AS (SELECT source,
+           unnest(string_split(trim(text), ' ')) tk FROM documents),
+       top AS (SELECT tk FROM (SELECT tk, count(*) c FROM tok
+           GROUP BY 1 ORDER BY c DESC, tk LIMIT 100)),
+       p AS (SELECT source, tok.tk, CAST(count(*) AS BIGINT) np
+         FROM tok JOIN top ON top.tk = tok.tk GROUP BY 1,2),
+       ps AS (SELECT source s2, CAST(sum(np) AS BIGINT) ns FROM p
+              GROUP BY 1),
+       q AS (SELECT tk qtk, CAST(sum(np) AS BIGINT) nq FROM p
+             GROUP BY 1),
+       qt AS (SELECT CAST(sum(nq) AS BIGINT) nt FROM q),
+       cells AS (SELECT source, p.tk, CAST(np AS DOUBLE)/ns AS pp,
+           CAST(nq AS DOUBLE)/nt AS qq
+         FROM p JOIN ps ON source=s2 JOIN q ON p.tk=qtk, qt),
+       kl AS (SELECT source, list_sum(list(${graft.Rounding.r6sql(
+         """0.5*pp*ln(pp/(0.5*pp+0.5*qq))
+            + 0.5*qq*ln(qq/(0.5*pp+0.5*qq))""")} ORDER BY tk)) jsd,
+           CAST(count(*) AS BIGINT) n_tokens FROM cells GROUP BY 1)
+       SELECT source, n_tokens, ${graft.Rounding.r6sql("jsd")}
+         AS jsd_nats
+       FROM kl ORDER BY 1""") { (s, d) =>
+    val r6f = graft.Rounding.r6 _
+    val tok = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(trim(col("text")), " ")).as("tk"))
+    val top = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(100)
+      .select(col("tk").as("ttk"))
+    val p = tok.join(broadcast(top), col("tk") === col("ttk"))
+      .groupBy(col("source"), col("tk"))
+      .agg(count(lit(1)).cast("long").as("np"))
+    val ps = p.groupBy(col("source").as("s2"))
+      .agg(sum(col("np")).cast("long").as("ns"))
+    val q = p.groupBy(col("tk").as("qtk"))
+      .agg(sum(col("np")).cast("long").as("nq"))
+    val qt = q.agg(sum(col("nq")).cast("long").as("nt"))
+    val pp = col("np").cast("double") / col("ns")
+    val qq = col("nq").cast("double") / col("nt")
+    val cell = lit(0.5) * pp * log(pp / (lit(0.5) * pp
+      + lit(0.5) * qq)) + lit(0.5) * qq * log(qq
+      / (lit(0.5) * pp + lit(0.5) * qq))
+    p.join(ps, col("source") === col("s2"))
+      .join(broadcast(q), col("tk") === col("qtk"))
+      .crossJoin(broadcast(qt))
+      .groupBy(col("source"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("tk"), r6f(cell).as("contrib")))),
+          _.getField("contrib")), lit(0.0), _ + _).as("jsd"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        r6f(col("jsd")).as("jsd_nats"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q287_oov_rate" -> oovRate,
+    "q289_token_jsd" -> tokenJsd,
     "q222_source_overlap" -> sourceOverlap,
     "q261_shard_balance" -> shardBalance,
     "q265_source_length_kl" -> sourceLengthKl,

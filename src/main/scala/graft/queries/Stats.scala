@@ -2698,6 +2698,87 @@ object Stats {
         r6(col("th") / col("n")).as("theil"))
   }
 
+  /** Value-positional window breadth: first_value / nth_value(2) /
+    * last_value / max−min range over a centered 5-row frame on the
+    * daily grid — the window-function API surface q213 (rank family)
+    * and q12 (running) don't touch, exercised with explicit frame
+    * bounds on both engines. All values exact micro-longs; one
+    * (type, day) sort serves every function. */
+  val windowValueBreadth: QueryDef = QueryDef.sql(
+    """WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       w AS (SELECT event_type, di, dv,
+           first_value(dv) OVER f AS w_first,
+           last_value(dv) OVER f AS w_last,
+           nth_value(dv, 2) OVER f AS w_second,
+           CAST(max(dv) OVER f AS BIGINT) w_max,
+           CAST(min(dv) OVER f AS BIGINT) w_min
+         FROM d WINDOW f AS (PARTITION BY event_type ORDER BY di
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+       SELECT event_type, di AS day_idx, dv, w_first, w_second,
+         w_last, w_max - w_min AS w_range
+       FROM w ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("di"))
+      .rowsBetween(-2, 2)
+    dg.select(col("event_type"), col("di").as("day_idx"), col("dv"),
+        first(col("dv")).over(f).as("w_first"),
+        nth_value(col("dv"), 2).over(f).as("w_second"),
+        last(col("dv")).over(f).as("w_last"),
+        (max(col("dv")).over(f) - min(col("dv")).over(f))
+          .cast("long").as("w_range"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  /** Newcomer share per week: what fraction of each week's events
+    * come from users whose FIRST-ever event falls in that week —
+    * the growth-vs-retention composition read (a product living off
+    * newcomers looks healthy in volume while retention rots). First
+    * weeks via one min-aggregate per user; one user-keyed join. */
+  val newcomerShare: QueryDef = QueryDef.sql(
+    s"""WITH f AS (SELECT user_id,
+           CAST(min(epoch_us(date_trunc('day', ts)) // 86400000000)
+             // 7 AS BIGINT) fw
+         FROM events GROUP BY 1),
+       e AS (SELECT user_id,
+           CAST((epoch_us(date_trunc('day', ts)) // 86400000000)
+             // 7 AS BIGINT) wk FROM events),
+       g AS (SELECT e.wk, CAST(count(*) AS BIGINT) n_events,
+           CAST(sum(CASE WHEN f.fw = e.wk THEN 1 ELSE 0 END)
+             AS BIGINT) newcomer_events
+         FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1)
+       SELECT wk AS week_idx, n_events, newcomer_events,
+         ${graft.Rounding.r6sql(
+           "CAST(newcomer_events AS DOUBLE)/n_events")}
+           AS newcomer_share
+       FROM g ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000"
+          + " div 7").as("wk"))
+    val f = ev.groupBy(col("user_id").as("u2"))
+      .agg(min(col("wk")).cast("long").as("fw"))
+    ev.join(f, col("user_id") === col("u2"))
+      .groupBy(col("wk").as("week_idx"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("fw") === col("wk"), 1L).otherwise(0L))
+          .cast("long").as("newcomer_events"))
+      .select(col("week_idx"), col("n_events"),
+        col("newcomer_events"),
+        r6(col("newcomer_events").cast("double") / col("n_events"))
+          .as("newcomer_share"))
+      .orderBy(col("week_idx"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -2746,7 +2827,9 @@ object Stats {
     "q283_runs_test" -> runsTest,
     "q284_acf_lags" -> acfLags,
     "q285_missing_days" -> missingDays,
-    "q286_theil_index" -> theilIndex)
+    "q286_theil_index" -> theilIndex,
+    "q288_window_value_breadth" -> windowValueBreadth,
+    "q291_newcomer_share" -> newcomerShare)
 
 
 

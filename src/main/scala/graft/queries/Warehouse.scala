@@ -573,10 +573,57 @@ object Warehouse {
     fd1.unionByName(fd2).unionByName(fd3).orderBy(col("fd"))
   }
 
+  /** Share-of-parent hierarchy: nation revenue as a share of its
+    * region, region as a share of the total — the two-level
+    * percent-of-parent layout every BI rollup renders. One
+    * star-join aggregate to the (nation, region) residue; both
+    * shares come from window partition sums over that residue
+    * (25 rows), each an exact-long divide. */
+  val shareOfParent: QueryDef = QueryDef.sql(
+    s"""WITH rev AS (SELECT n_name, r_name,
+           CAST(sum(CAST(floor(o_totalprice*1000000+0.5) AS BIGINT))
+             AS BIGINT) rv
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN region ON r_regionkey = n_regionkey GROUP BY 1,2),
+       w AS (SELECT n_name, r_name, rv,
+           CAST(sum(rv) OVER (PARTITION BY r_name) AS BIGINT) rr,
+           CAST(sum(rv) OVER () AS BIGINT) tot FROM rev)
+       SELECT r_name, n_name, rv AS rev_micro,
+         ${graft.Rounding.r6sql("CAST(rv AS DOUBLE)/rr")}
+           AS share_of_region,
+         ${graft.Rounding.r6sql("CAST(rr AS DOUBLE)/tot")}
+           AS region_share_of_total
+       FROM w ORDER BY 1,2""") { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(sum(floor(col("o_totalprice") * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("rv"))
+    val wr = Window.partitionBy(col("r_name"))
+    val wt = Window.partitionBy()
+    rev.select(col("r_name"), col("n_name"),
+        col("rv").as("rev_micro"),
+        graft.Rounding.r6(col("rv").cast("double")
+          / sum(col("rv")).over(wr).cast("long"))
+          .as("share_of_region"),
+        graft.Rounding.r6(sum(col("rv")).over(wr).cast("long")
+          .cast("double") / sum(col("rv")).over(wt).cast("long"))
+          .as("region_share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
     "q258_lorenz_deciles" -> lorenzDeciles,
     "q260_fd_violations" -> fdViolations,
+    "q290_share_of_parent" -> shareOfParent,
     "q226_ohlc_bars" -> ohlcBars,
     "q234_rfm_segments" -> rfmSegments,
     "q246_ltv_triangle" -> ltvTriangle,
