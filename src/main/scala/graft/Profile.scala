@@ -136,6 +136,39 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "q248-scale") {
+      // bootstrap scale probe: replicate events k-fold with shifted
+      // event_ids (disjoint hash streams per replica, so the
+      // weight-hash work scales with rows and never collides) and
+      // time the full 200-replicate bootstrap. The expansion is
+      // computed in the scan projection and collapsed by partial
+      // aggregation before the (type, rb) shuffle, so the tier
+      // should scale ~linearly in rows — THE property that makes a
+      // multiplier bootstrap feasible at 100 TB. Consumes the real
+      // output (sum over CI bounds), per the SURVEY 13.14 lesson.
+      import org.apache.spark.sql.DataFrame
+      def boot(k: Int): DataFrame = {
+        val rep = Tables.events(spark, sfDir)
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .select((col("event_id") + col("r") * 10000000L)
+            .as("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_p248_" +
+          s"${k}_${Integer.toHexString(sfDir.hashCode)}_" +
+          ProcessHandle.current().pid()
+        rep.write.mode("overwrite").parquet(s"$dir/events.parquet")
+        SparkEntry.queries("q248_bootstrap_ci")(spark, dir)
+      }
+      def consume(df: DataFrame): Unit =
+        println("  sum = " + df.agg(sum(col("ci_lo") + col("ci_hi")))
+          .collect()(0).get(0))
+      val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      ks.foreach(k => timed(s"q248 ${k}x")(consume(boot(k))))
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q207-scale") {
       // bucketed-join amortization probe: k-fold replicated
       // orders+lineitem (orderkey-strided, fully disjoint), then
