@@ -1875,8 +1875,190 @@ object Advanced {
     }
   }
 
+  /** Cache-invalidation correctness under lake overwrite: a HALF
+    * snapshot of the table is written, read, CACHED and
+    * materialized; the path is then overwritten with the FULL table
+    * and `refreshByPath` invalidates both the relation cache and
+    * the file-listing cache; the final aggregate runs on the
+    * ORIGINAL (pre-overwrite) DataFrame reference. If invalidation
+    * is broken the stale half-snapshot cache answers and every
+    * count is ~half the oracle's — the exact failure a daily
+    * overwrite-then-dashboard lake hits. */
+  val refreshCacheInvalidation: QueryDef = QueryDef.sql(
+    """SELECT event_type, CAST(count(*) AS BIGINT) n,
+         CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+           AS BIGINT) v_micro
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q292_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(dir)
+    val viaPath = s.read.parquet(dir).cache()
+    viaPath.count() // materialize the stale cache
+    ev.write.mode("overwrite").parquet(dir)
+    s.catalog.refreshByPath(dir)
+    viaPath
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("long").as("v_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Schema-drift union: two producer feeds of the same stream, one
+    * WITHOUT the props column (the lake-reality case where an old
+    * producer predates a schema addition), merged via
+    * unionByName(allowMissingColumns) — missing columns null-fill,
+    * nothing silently misaligns by position. DuckDB oracle: UNION
+    * ALL BY NAME. */
+  val unionSchemaDrift: QueryDef = QueryDef.sql(
+    """WITH a AS (SELECT event_id, user_id, value FROM events
+         WHERE event_type='click'),
+       b AS (SELECT event_id, user_id, value, props FROM events
+         WHERE event_type='purchase'),
+       u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+       SELECT CASE WHEN props IS NULL THEN 0 ELSE 1 END AS has_props,
+         CAST(count(*) AS BIGINT) n,
+         CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+           AS BIGINT) v_micro
+       FROM u GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("props"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(when(col("props").isNull, 0).otherwise(1)
+        .as("has_props"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("long").as("v_micro"))
+      .orderBy(col("has_props"))
+  }
+
+  /** Literal-dimension decode: the in-code lookup table (a
+    * Seq.toDF broadcast dim) as the JOIN alternative to the
+    * reference's when-chain decodes (A6 payment_analysis) — at
+    * 100 TB a broadcast literal dim beats a 50-branch CASE for
+    * maintainability and plans identically (BroadcastHashJoin
+    * against a LocalRelation). */
+  val literalDimDecode: QueryDef = QueryDef.sql(
+    """WITH dim(et, dept) AS (VALUES ('click','growth'),
+         ('view','growth'),('purchase','revenue'),
+         ('signup','activation'),('error','platform')),
+       g AS (SELECT dept, CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) v_micro
+         FROM events JOIN dim ON event_type = et GROUP BY 1)
+       SELECT * FROM g ORDER BY 1""") { (s, d) =>
+    import s.implicits._
+    val dim = Seq(("click", "growth"), ("view", "growth"),
+      ("purchase", "revenue"), ("signup", "activation"),
+      ("error", "platform")).toDF("et", "dept")
+    Tables.events(s, d)
+      .join(broadcast(dim), col("event_type") === col("et"))
+      .groupBy(col("dept"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("long").as("v_micro"))
+      .orderBy(col("dept"))
+  }
+
+  /** Last-observation-carried-forward imputation over the hourly
+    * grid: per-type calendar spine (bounded-size min/max explode,
+    * the q107 recipe), left join to observed hourly sums, then the
+    * IGNORE NULLS positional window fills gaps with the most recent
+    * observation — the imputation q107's zero-fill and q232's
+    * interpolation don't cover (LOCF is the right fill for
+    * state-like series). Leading nulls (before the first
+    * observation) stay excluded on both sides. */
+  val locfImpute: QueryDef = QueryDef.sql(
+    """WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+             AS BIGINT) hi,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       b AS (SELECT event_type AS et, CAST(min(hi) AS BIGINT) lo,
+           CAST(max(hi) AS BIGINT) hi2 FROM d GROUP BY 1),
+       spine AS (SELECT et, unnest(generate_series(lo, hi2)) AS hi
+         FROM b),
+       j AS (SELECT spine.et, spine.hi, d.dv FROM spine
+         LEFT JOIN d ON d.event_type = spine.et AND d.hi = spine.hi),
+       f AS (SELECT et, hi, dv,
+           CASE WHEN dv IS NULL THEN 1 ELSE 0 END AS was_missing,
+           last_value(dv IGNORE NULLS) OVER (PARTITION BY et
+             ORDER BY hi ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS filled
+         FROM j)
+       SELECT et AS event_type, hi AS hour_idx,
+         CAST(filled AS BIGINT) AS filled_micro, was_missing
+       FROM f WHERE filled IS NOT NULL ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hi"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val spine = dg.groupBy(col("event_type").as("et"))
+      .agg(min(col("hi")).cast("long").as("lo"),
+        max(col("hi")).cast("long").as("hi2"))
+      .withColumn("shi", explode(sequence(col("lo"), col("hi2"))))
+      .select(col("et"), col("shi"))
+    val w = Window.partitionBy(col("et")).orderBy(col("shi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(dg, col("et") === col("event_type")
+        && col("shi") === col("hi"), "left")
+      .select(col("et"), col("shi"),
+        when(col("dv").isNull, 1).otherwise(0).as("was_missing"),
+        last(col("dv"), ignoreNulls = true).over(w).as("filled"))
+      .filter(col("filled").isNotNull)
+      .select(col("et").as("event_type"), col("shi").as("hour_idx"),
+        col("filled").cast("long").as("filled_micro"),
+        col("was_missing"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  /** Null-safe join breadth: the `<=>` operator (IS NOT DISTINCT
+    * FROM) joining two half-corpus key residues where the key is
+    * sometimes NULL — a plain equality join silently DROPS the
+    * null-key row on both sides; the null-safe form pairs them.
+    * Aggregated to per-key counts BEFORE the join so the null key
+    * never explodes pairwise. */
+  val nullSafeJoin: QueryDef = QueryDef.sql(
+    """WITH a AS (SELECT CASE WHEN value < 1 THEN NULL
+           ELSE event_type END ka, CAST(count(*) AS BIGINT) ca
+         FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+       b AS (SELECT CASE WHEN value < 1 THEN NULL
+           ELSE event_type END kb, CAST(count(*) AS BIGINT) cb
+         FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+       SELECT ka AS join_key, ca, cb FROM a
+       JOIN b ON ka IS NOT DISTINCT FROM kb
+       ORDER BY ka NULLS FIRST""") { (s, d) =>
+    val key = when(col("value") < 1, lit(null))
+      .otherwise(col("event_type"))
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(key.as("ka"))
+      .agg(count(lit(1)).cast("long").as("ca"))
+    val b = ev.filter(col("event_id") % 2 === 1)
+      .groupBy(key.as("kb"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    a.join(b, col("ka") <=> col("kb"))
+      .select(col("ka").as("join_key"), col("ca"), col("cb"))
+      .orderBy(col("join_key").asc_nulls_first)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q267_kcore_profile" -> kCoreProfileQ,
+    "q292_refresh_cache" -> refreshCacheInvalidation,
+    "q293_union_schema_drift" -> unionSchemaDrift,
+    "q294_literal_dim_decode" -> literalDimDecode,
+    "q295_locf_impute" -> locfImpute,
+    "q296_null_safe_join" -> nullSafeJoin,
     "q241_observed_ingest" -> observedIngest,
     "q242_join_explosion_audit" -> joinExplosionAudit,
     "q243_label_propagation" -> labelPropagation,
