@@ -522,9 +522,44 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Herfindahl concentration of corpus mass across sources, with
+    * the effective-source count 1/HHI — the one-number data-mixture
+    * read (20 sources at HHI 0.05 ≡ 20 effective; one dominant
+    * source collapses it). Exact char-mass counts; the p² cells
+    * r6-pinned and folded in source order. */
+  val herfindahlSources: QueryDef = QueryDef.sql(
+    s"""WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) mass
+           FROM documents GROUP BY 1),
+       t AS (SELECT CAST(sum(mass) AS BIGINT) tot,
+           CAST(count(*) AS BIGINT) k FROM s),
+       h AS (SELECT list_sum(list(${graft.Rounding.r6sql(
+         "(CAST(mass AS DOUBLE)/tot)*(CAST(mass AS DOUBLE)/tot)")}
+           ORDER BY source)) hhi FROM s, t)
+       SELECT t.k AS n_sources, ${graft.Rounding.r6sql("hhi")}
+         AS herfindahl,
+         ${graft.Rounding.r6sql("1.0/hhi")} AS effective_sources
+       FROM h, t""") { (s, d) =>
+    val r6f = graft.Rounding.r6 _
+    val m = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("mass"))
+    val t = m.agg(sum(col("mass")).cast("long").as("tot"),
+      count(lit(1)).cast("long").as("k"))
+    val p = col("mass").cast("double") / col("tot")
+    m.crossJoin(broadcast(t))
+      .groupBy(col("k"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("source"), r6f(p * p).as("contrib")))),
+          _.getField("contrib")), lit(0.0), _ + _).as("hhi"))
+      .select(col("k").as("n_sources"),
+        r6f(col("hhi")).as("herfindahl"),
+        r6f(lit(1.0) / col("hhi")).as("effective_sources"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q287_oov_rate" -> oovRate,
     "q289_token_jsd" -> tokenJsd,
+    "q298_herfindahl_sources" -> herfindahlSources,
     "q222_source_overlap" -> sourceOverlap,
     "q261_shard_balance" -> shardBalance,
     "q265_source_length_kl" -> sourceLengthKl,

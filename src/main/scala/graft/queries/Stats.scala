@@ -2779,6 +2779,156 @@ object Stats {
       .orderBy(col("week_idx"))
   }
 
+  /** Entropy RATE of the event sequence: H(next | prev) over the
+    * bigram transition residue — how predictable the next event is
+    * GIVEN the current one (q262 measures marginal mix; q203 gives
+    * the raw matrix; this is the single-number predictability).
+    * Counts exact; each −(c/N)·ln(c/c_prev) cell r6-pinned, folded
+    * in (prev, next) order. One sequencing window + two
+    * residue-sized aggregates. */
+  val seqEntropyRate: QueryDef = QueryDef.sql(
+    s"""WITH seq AS (SELECT user_id, event_type p,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) n2 FROM events),
+       tr AS (SELECT p, n2, CAST(count(*) AS BIGINT) c FROM seq
+              WHERE n2 IS NOT NULL GROUP BY 1,2),
+       m AS (SELECT p AS p2, CAST(sum(c) AS BIGINT) cp FROM tr
+             GROUP BY 1),
+       t AS (SELECT CAST(sum(c) AS BIGINT) ct FROM tr),
+       h AS (SELECT list_sum(list(${graft.Rounding.r6sql(
+         "-(CAST(c AS DOUBLE)/ct) * ln(CAST(c AS DOUBLE)/cp)")}
+           ORDER BY p, n2)) er,
+           CAST(count(*) AS BIGINT) n_pairs
+         FROM tr JOIN m ON p = p2, t)
+       SELECT n_pairs, ${graft.Rounding.r6sql("er")}
+         AS entropy_rate_nats FROM h""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("event_type").as("p"),
+        lead(col("event_type"), 1).over(w).as("n2"))
+      .filter(col("n2").isNotNull)
+      .groupBy(col("p"), col("n2"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val m = tr.groupBy(col("p").as("p2"))
+      .agg(sum(col("c")).cast("long").as("cp"))
+    val t = tr.agg(sum(col("c")).cast("long").as("ct"))
+    val cell = -((col("c").cast("double") / col("ct")) *
+      log(col("c").cast("double") / col("cp")))
+    tr.join(broadcast(m), col("p") === col("p2"))
+      .crossJoin(broadcast(t))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("p"), col("n2"), r6(cell).as("contrib")))),
+          _.getField("contrib")), lit(0.0), _ + _).as("er"),
+        count(lit(1)).cast("long").as("n_pairs"))
+      .select(col("n_pairs"), r6(col("er"))
+        .as("entropy_rate_nats"))
+  }
+
+  /** Week-over-week user flows: retained / arrived / churned per
+    * week from a FULL OUTER join of adjacent weekly active-user
+    * sets — the turnover ledger behind q97's cohort matrix (cohorts
+    * track ONE entry generation; this tracks every weekly edge).
+    * Lead-in and lead-out weeks excluded so every row compares two
+    * real weeks. */
+  val weeklyTurnover: QueryDef = QueryDef.sql(
+    """WITH uw AS (SELECT DISTINCT user_id,
+           CAST((epoch_us(date_trunc('day', ts)) // 86400000000)
+             // 7 AS BIGINT) wk FROM events),
+       p AS (SELECT a.wk + 1 AS wk, a.user_id FROM uw a),
+       j AS (SELECT coalesce(c.wk, p.wk) wk,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL
+             AND p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) retained,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL
+             AND p.user_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) arrived,
+           CAST(sum(CASE WHEN c.user_id IS NULL
+             AND p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) churned
+         FROM uw c FULL JOIN p ON c.wk = p.wk
+           AND c.user_id = p.user_id GROUP BY 1),
+       b AS (SELECT CAST(min(wk) AS BIGINT) w0,
+           CAST(max(wk) AS BIGINT) w1 FROM uw)
+       SELECT wk AS week_idx, retained, arrived, churned
+       FROM j, b WHERE wk > w0 AND wk <= w1 ORDER BY 1""") { (s, d) =>
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000"
+          + " div 7").as("wk"))
+      .distinct()
+    val p = uw.select((col("wk") + 1).as("pwk"),
+      col("user_id").as("pu"))
+    val b = uw.agg(min(col("wk")).cast("long").as("w0"),
+      max(col("wk")).cast("long").as("w1"))
+    uw.join(p, col("wk") === col("pwk")
+        && col("user_id") === col("pu"), "full")
+      .select(coalesce(col("wk"), col("pwk")).as("jwk"),
+        col("user_id"), col("pu"))
+      .groupBy(col("jwk"))
+      .agg(
+        sum(when(col("user_id").isNotNull
+          && col("pu").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("retained"),
+        sum(when(col("user_id").isNotNull
+          && col("pu").isNull, 1L).otherwise(0L)).cast("long")
+          .as("arrived"),
+        sum(when(col("user_id").isNull
+          && col("pu").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("churned"))
+      .crossJoin(broadcast(b))
+      .filter(col("jwk") > col("w0") && col("jwk") <= col("w1"))
+      .select(col("jwk").as("week_idx"), col("retained"),
+        col("arrived"), col("churned"))
+      .orderBy(col("week_idx"))
+  }
+
+  /** Churn-risk screen: users whose OPEN gap (time since last
+    * event, anchored to the data's max timestamp — never the wall
+    * clock) exceeds 3× their own median inter-event gap. The median
+    * is the exact interpolated percentile (q193 equivalence) of
+    * exact µs gaps; the 3× cut compares identically-derived
+    * doubles. Users with <3 events excluded (no meaningful median).
+    * Emitted as risk-bucket counts. */
+  val churnRisk: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) us FROM events),
+       b AS (SELECT CAST(max(us) AS BIGINT) now_us FROM e),
+       g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us) gp FROM e),
+       med AS (SELECT user_id AS u2,
+           ${graft.Rounding.r6sql("quantile_cont(gp, 0.5)")} mg
+         FROM g WHERE gp IS NOT NULL GROUP BY 1),
+       lastv AS (SELECT user_id, CAST(max(us) AS BIGINT) lu,
+           CAST(count(*) AS BIGINT) n_ev FROM e GROUP BY 1),
+       r AS (SELECT lastv.user_id, CAST(now_us - lu AS BIGINT)
+             open_gap, mg
+         FROM lastv JOIN med ON user_id = u2, b WHERE n_ev >= 3)
+       SELECT CASE WHEN open_gap > 3*mg THEN 'at_risk'
+           ELSE 'active' END AS risk,
+         CAST(count(*) AS BIGINT) n_users
+       FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val b = e.agg(max(col("us")).cast("long").as("now_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val g = e.withColumn("gp", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gp").isNotNull)
+    val med = g.groupBy(col("user_id").as("u2"))
+      .agg(r6(percentile(col("gp"), lit(0.5))).as("mg"))
+    val lastv = e.groupBy(col("user_id"))
+      .agg(max(col("us")).cast("long").as("lu"),
+        count(lit(1)).cast("long").as("n_ev"))
+      .filter(col("n_ev") >= 3)
+    lastv.join(med, col("user_id") === col("u2"))
+      .crossJoin(broadcast(b))
+      .select(when((col("now_us") - col("lu")).cast("long")
+        > lit(3) * col("mg"), "at_risk").otherwise("active")
+        .as("risk"))
+      .groupBy(col("risk"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("risk"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -2829,7 +2979,10 @@ object Stats {
     "q285_missing_days" -> missingDays,
     "q286_theil_index" -> theilIndex,
     "q288_window_value_breadth" -> windowValueBreadth,
-    "q291_newcomer_share" -> newcomerShare)
+    "q291_newcomer_share" -> newcomerShare,
+    "q297_seq_entropy_rate" -> seqEntropyRate,
+    "q299_weekly_turnover" -> weeklyTurnover,
+    "q300_churn_risk" -> churnRisk)
 
 
 
