@@ -2929,6 +2929,235 @@ object Stats {
       .orderBy(col("risk"))
   }
 
+  /** GMV bridge: week-over-week purchase-revenue change decomposed
+    * into retained users' delta + new users' gain + churned users'
+    * loss (the additive identity every revenue review wants — the
+    * check column proves the decomposition sums exactly). One FULL
+    * OUTER join of adjacent weekly (user, revenue) residues; all
+    * money exact micro-longs. */
+  val gmvBridge: QueryDef = QueryDef.sql(
+    """WITH uwv AS (SELECT user_id,
+           CAST((epoch_us(date_trunc('day', ts)) // 86400000000)
+             // 7 AS BIGINT) wk,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) v
+         FROM events WHERE event_type='purchase' GROUP BY 1,2),
+       p AS (SELECT user_id, wk + 1 AS wk, v FROM uwv),
+       j AS (SELECT coalesce(c.wk, p.wk) wk,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL
+             AND p.user_id IS NOT NULL THEN c.v - p.v ELSE 0 END)
+             AS BIGINT) retained_delta,
+           CAST(sum(CASE WHEN p.user_id IS NULL THEN c.v ELSE 0
+             END) AS BIGINT) new_gain,
+           CAST(sum(CASE WHEN c.user_id IS NULL THEN -p.v ELSE 0
+             END) AS BIGINT) churn_loss
+         FROM uwv c FULL JOIN p ON c.wk = p.wk
+           AND c.user_id = p.user_id GROUP BY 1),
+       b AS (SELECT CAST(min(wk) AS BIGINT) w0,
+           CAST(max(wk) AS BIGINT) w1 FROM uwv)
+       SELECT j.wk AS week_idx, retained_delta, new_gain,
+         churn_loss,
+         retained_delta + new_gain + churn_loss AS total_delta_check
+       FROM j, b WHERE j.wk > w0 AND j.wk <= w1
+       ORDER BY 1""") { (s, d) =>
+    val uwv = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000"
+          + " div 7").as("wk"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+        .cast("long").as("v"))
+    val p = uwv.select(col("user_id").as("pu"),
+      (col("wk") + 1).as("pwk"), col("v").as("pvv"))
+    val b = uwv.agg(min(col("wk")).cast("long").as("w0"),
+      max(col("wk")).cast("long").as("w1"))
+    uwv.join(p, col("wk") === col("pwk")
+        && col("user_id") === col("pu"), "full")
+      .select(coalesce(col("wk"), col("pwk")).as("jwk"),
+        col("user_id"), col("pu"), col("v"), col("pvv"))
+      .groupBy(col("jwk"))
+      .agg(
+        sum(when(col("user_id").isNotNull && col("pu").isNotNull,
+          col("v") - col("pvv")).otherwise(0L)).cast("long")
+          .as("retained_delta"),
+        sum(when(col("pu").isNull, col("v")).otherwise(0L))
+          .cast("long").as("new_gain"),
+        sum(when(col("user_id").isNull, -col("pvv")).otherwise(0L))
+          .cast("long").as("churn_loss"))
+      .crossJoin(broadcast(b))
+      .filter(col("jwk") > col("w0") && col("jwk") <= col("w1"))
+      .select(col("jwk").as("week_idx"), col("retained_delta"),
+        col("new_gain"), col("churn_loss"),
+        (col("retained_delta") + col("new_gain")
+          + col("churn_loss")).as("total_delta_check"))
+      .orderBy(col("week_idx"))
+  }
+
+  /** Top-3 most prominent daily peaks per type: strict local maxima
+    * ranked by prominence (value over the centered 7-day mean) —
+    * emitted as a top-k, NOT a threshold cut, because relative
+    * prominence shrinks ~1/√N with volume (a fixed 1.2× cut that
+    * fires at sf0.001 finds nothing at sf0.1 — measured max ratios
+    * 2.32/1.54/1.12 across the three SFs). The ratio's operands are
+    * exact longs so the ranking doubles are bit-identical; ties
+    * break by day. */
+  val peakDetection: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       w AS (SELECT event_type, di, dv, lag(dv) OVER f pv,
+           lead(dv) OVER f nv,
+           CAST(sum(dv) OVER (PARTITION BY event_type ORDER BY di
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+             s7,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY di
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+             c7
+         FROM d WINDOW f AS (PARTITION BY event_type ORDER BY di)),
+       pk AS (SELECT event_type, di, dv,
+           CAST(dv AS DOUBLE)*c7/s7 AS prom,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY CAST(dv AS DOUBLE)*c7/s7 DESC, di) rk
+         FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL
+           AND dv > pv AND dv > nv)
+       SELECT event_type, CAST(rk AS BIGINT) peak_rank,
+         di AS day_idx, dv AS day_val_micro,
+         ${graft.Rounding.r6sql("prom")} AS prominence
+       FROM pk WHERE rk <= 3 ORDER BY 1,2""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("di"))
+    val f7 = f.rowsBetween(-3, 3)
+    val w = dg.select(col("event_type"), col("di"), col("dv"),
+      lag(col("dv"), 1).over(f).as("pv"),
+      lead(col("dv"), 1).over(f).as("nv"),
+      sum(col("dv")).over(f7).cast("long").as("s7"),
+      count(lit(1)).over(f7).cast("long").as("c7"))
+    val prom = col("dv").cast("double") * col("c7") / col("s7")
+    val rkw = Window.partitionBy(col("event_type"))
+      .orderBy(prom.desc, col("di"))
+    w.filter(col("pv").isNotNull && col("nv").isNotNull
+        && col("dv") > col("pv") && col("dv") > col("nv"))
+      .withColumn("prom", prom)
+      .withColumn("rk", row_number().over(rkw).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk").as("peak_rank"),
+        col("di").as("day_idx"), col("dv").as("day_val_micro"),
+        r6(col("prom")).as("prominence"))
+      .orderBy(col("event_type"), col("peak_rank"))
+  }
+
+  /** Longest active-day streak per user, emitted as a streak-length
+    * histogram — the classic gaps-and-islands read (di − row_number
+    * is constant within a consecutive run). Everything integer; the
+    * per-user window partitions by user. */
+  val streakHistogram: QueryDef = QueryDef.sql(
+    """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di FROM events),
+       g AS (SELECT user_id, di,
+           di - row_number() OVER (PARTITION BY user_id
+             ORDER BY di) AS grp FROM ud),
+       st AS (SELECT user_id, CAST(count(*) AS BIGINT) len FROM g
+              GROUP BY user_id, grp),
+       mx AS (SELECT user_id, CAST(max(len) AS BIGINT) max_streak
+              FROM st GROUP BY 1)
+       SELECT max_streak, CAST(count(*) AS BIGINT) n_users
+       FROM mx GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("di"))
+    ud.withColumn("grp", col("di") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).cast("long").as("max_streak"))
+      .groupBy(col("max_streak"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("max_streak"))
+  }
+
+  /** Seasonal strength: share of daily variance explained by the
+    * same-weekday means (R² of the weekday-mean model) per type —
+    * the effect-size companion to q245's anomaly flags and q217's
+    * decomposition. SS_total from exact decimal Σdv²; SS_resid from
+    * r6-pinned residual squares folded in residual order; residuals
+    * rescaled to value units before squaring (q245 overflow
+    * lesson). */
+  val seasonalStrength: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           isodow(CAST(date_trunc('day', ts) AS DATE)) dw,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2,3),
+       m AS (SELECT event_type et, dw dw2, CAST(sum(dv) AS BIGINT)
+             s, CAST(count(*) AS BIGINT) c FROM d GROUP BY 1,2),
+       t AS (SELECT event_type et2, CAST(sum(dv) AS BIGINT) st,
+           CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(dv AS DECIMAL(19,0))*CAST(dv AS
+             DECIMAL(19,0))) AS DOUBLE) svv FROM d GROUP BY 1),
+       r AS (SELECT d.event_type,
+           (CAST(dv AS DOUBLE) - CAST(m.s AS DOUBLE)/m.c)/1000000.0
+             AS resid
+         FROM d JOIN m ON d.event_type=m.et AND d.dw=m.dw2),
+       ss AS (SELECT event_type, list_sum(list(
+           ${graft.Rounding.r6sql("resid*resid")} ORDER BY resid))
+           ssr FROM r GROUP BY 1)
+       SELECT t.et2 AS event_type, t.n,
+         ${graft.Rounding.r6sql(
+           """1.0 - ssr/((svv - CAST(st AS DOUBLE)*st/n)
+              /1000000.0/1000000.0)""")} AS seasonal_strength
+       FROM ss JOIN t ON event_type = et2 ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"),
+        (weekday(to_date(date_trunc("day", col("ts")))) + 1)
+          .as("dw"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val m = dg.groupBy(col("event_type").as("et"),
+        col("dw").as("dw2"))
+      .agg(sum(col("dv")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("c"))
+    val t = dg.groupBy(col("event_type").as("et2"))
+      .agg(sum(col("dv")).cast("long").as("st"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("dv").cast("decimal(19,0)")
+          * col("dv").cast("decimal(19,0)")).cast("double")
+          .as("svv"))
+    val r = dg.join(broadcast(m), col("event_type") === col("et")
+        && col("dw") === col("dw2"))
+      .select(col("event_type"),
+        ((col("dv").cast("double")
+          - col("s").cast("double") / col("c")) / 1000000.0)
+          .as("resid"))
+    val ss = r.groupBy(col("event_type"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(
+          col("resid"), r6(col("resid") * col("resid"))
+            .as("contrib")))), _.getField("contrib")),
+        lit(0.0), _ + _).as("ssr"))
+    ss.join(broadcast(t), col("event_type") === col("et2"))
+      .select(col("event_type"), col("n"),
+        r6(lit(1.0) - col("ssr")
+          / ((col("svv")
+            - col("st").cast("double") * col("st") / col("n"))
+            / 1000000.0 / 1000000.0)).as("seasonal_strength"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -2982,7 +3211,11 @@ object Stats {
     "q291_newcomer_share" -> newcomerShare,
     "q297_seq_entropy_rate" -> seqEntropyRate,
     "q299_weekly_turnover" -> weeklyTurnover,
-    "q300_churn_risk" -> churnRisk)
+    "q300_churn_risk" -> churnRisk,
+    "q301_gmv_bridge" -> gmvBridge,
+    "q302_peak_detection" -> peakDetection,
+    "q303_streak_histogram" -> streakHistogram,
+    "q304_seasonal_strength" -> seasonalStrength)
 
 
 
