@@ -104,6 +104,57 @@ object Multimodal {
     bmp
   }
 
+  /** Per-tile luminance sums of a 24-bpp BMP payload: the image is
+    * cut into `tile`×`tile` pixel tiles (ragged at the right/bottom
+    * edges) and each tile reports (tile_x, tile_y, Σ blue-channel
+    * luminance, pixel count) — the byte-level feature-extraction
+    * kernel behind thumbnail grids / patch embeddings, decoding the
+    * REAL pixel rows (row stride padded to 4 bytes). */
+  def tileStats(payload: Array[Byte], tile: Int)
+      : Seq[(Int, Int, Long, Long)] = {
+    val dims = decodeBmpDims(payload)
+    if (dims.isEmpty) return Seq.empty
+    val (w, h) = dims.get
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Int), (Long, Long)]
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = (payload(54 + y * rowSize + x * 3) & 0xFF).toLong
+        val k = (x / tile, y / tile)
+        val (s0, n0) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = (s0 + lum, n0 + 1L)
+        x += 1
+      }
+      y += 1
+    }
+    acc.iterator.map { case ((tx, ty), (s, n)) => (tx, ty, s, n) }
+      .toSeq
+  }
+
+  /** 16-bin blue-channel luminance histogram of a 24-bpp BMP
+    * payload (bin = lum / 16) — the whole-image counterpart of
+    * [[tileStats]]. */
+  def lumHistogram(payload: Array[Byte]): Array[Long] = {
+    val dims = decodeBmpDims(payload)
+    val bins = new Array[Long](16)
+    if (dims.isEmpty) return bins
+    val (w, h) = dims.get
+    val rowSize = ((3 * w + 3) / 4) * 4
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bins((payload(54 + y * rowSize + x * 3) & 0xFF) / 16) += 1
+        x += 1
+      }
+      y += 1
+    }
+    bins
+  }
+
   /** Perceptual difference hash (dHash) of a 24-bpp BMP payload: the
     * REAL image-dedup fingerprint — nearest-neighbor resize to 9×8
     * via [[resizeBmp]], then bit (y,x) = lum(x+1,y) > lum(x,y) over

@@ -4471,12 +4471,93 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("true_label"), col("assigned_label"))
   }
 
+  private def bmpOracleGrid: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+       dims AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) w,
+           CAST(1 + doc_id % 48 AS BIGINT) h,
+           doc_id*7+1 AS seed,
+           CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END inv FROM ids),
+       px AS (SELECT doc_id, seed, inv, x.x, y.y FROM dims
+         JOIN LATERAL (SELECT unnest(generate_series(0, w-1)) AS x)
+           x ON true
+         JOIN LATERAL (SELECT unnest(generate_series(0, h-1)) AS y)
+           y ON true),
+       lum AS (SELECT doc_id, x, y,
+           CASE WHEN inv = 1 AND y = 0
+             THEN 255 - ((seed*31 + x*17 + y*29 + x*y*13) % 256)
+             ELSE (seed*31 + x*17 + y*29 + x*y*13) % 256 END AS l
+         FROM px) """
+
+  private def bmpPayloads(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeBmpPattern((1 + id % 64).toInt,
+          (1 + id % 48).toInt, id * 7 + 1, id % 5 == 1))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Image tile-statistics plumbing: each doc rendered to a REAL
+    * patterned 24-bpp BMP, the BYTES tiled 8×8 and reduced to
+    * per-tile luminance means ([[Multimodal.tileStats]] walks the
+    * padded pixel rows) — the patch-feature kernel of an image
+    * pipeline with the decode running distributed in mapPartitions.
+    * The oracle recomputes every pixel from the pattern formula in
+    * SQL, so a stride/offset bug in the byte walk shifts a tile
+    * mean and fails the hash. */
+  val imageTileStats: QueryDef = QueryDef.sql(
+    s"""$bmpOracleGrid
+       SELECT doc_id, CAST(x // 8 AS BIGINT) tile_x,
+         CAST(y // 8 AS BIGINT) tile_y,
+         CAST(count(*) AS BIGINT) n_pix,
+         ${graft.Rounding.r6sql("CAST(sum(l) AS DOUBLE)/count(*)")}
+           AS mean_lum
+       FROM lum GROUP BY 1,2,3 ORDER BY 1,2,3""") { (s, d) =>
+    import s.implicits._
+    bmpPayloads(s, d).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Multimodal.tileStats(payload, 8).map { case (tx, ty, sl, n) =>
+          (id, tx.toLong, ty.toLong, n, sl)
+        }
+      }.toDF("doc_id", "tile_x", "tile_y", "n_pix", "sum_lum")
+      .select(col("doc_id"), col("tile_x"), col("tile_y"),
+        col("n_pix"),
+        r6(col("sum_lum").cast("double") / col("n_pix"))
+          .as("mean_lum"))
+      .orderBy(col("doc_id"), col("tile_x"), col("tile_y"))
+  }
+
+  /** Corpus-level luminance histogram over the same real BMP bytes:
+    * 16 bins of the blue channel, summed across the 50-doc sample —
+    * the distributional sanity check an image-ingest job runs
+    * before training (a codec regression shifts mass between
+    * bins). */
+  val imageLumHistogram: QueryDef = QueryDef.sql(
+    s"""$bmpOracleGrid
+       SELECT CAST(l // 16 AS BIGINT) bin,
+         CAST(count(*) AS BIGINT) n_pixels
+       FROM lum GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import s.implicits._
+    bmpPayloads(s, d).as[(Long, Array[Byte])]
+      .flatMap { case (_, payload) =>
+        Multimodal.lumHistogram(payload).zipWithIndex
+          .map { case (n, b) => (b.toLong, n) }
+      }.toDF("bin", "n")
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).cast("long").as("n_pixels"))
+      .orderBy(col("bin"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
     "q257_xml_roundtrip" -> xmlRoundtrip,
     "q259_balanced_downsample" -> balancedDownsample,
     "q282_centroid_confusion" -> centroidConfusion,
+    "q305_image_tile_stats" -> imageTileStats,
+    "q306_image_lum_histogram" -> imageLumHistogram,
     "q26_text_stats" -> textStats,
     "q27_lang_id" -> langId,
     "q28_fingerprint" -> fingerprint,
