@@ -3158,6 +3158,175 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Nonparametric skew (mean − median)/σ per type — the bounded,
+    * outlier-robust asymmetry read (third-moment skew would need
+    * Σv³, which overflows even DECIMAL(38) at volume; this needs
+    * only the exact stats already proven: Σv, exact-interpolated
+    * median, decimal Σv²). */
+  val nonparamSkew: QueryDef = QueryDef.sql(
+    s"""WITH e AS (SELECT event_type,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events),
+       g AS (SELECT event_type, CAST(sum(v) AS BIGINT) s,
+           CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(v AS DECIMAL(19,0))*CAST(v AS
+             DECIMAL(19,0))) AS DOUBLE) svv,
+           ${graft.Rounding.r6sql("quantile_cont(v, 0.5)")} med
+         FROM e GROUP BY 1)
+       SELECT event_type, n,
+         ${graft.Rounding.r6sql(
+           """(CAST(s AS DOUBLE)/n - med)
+              / sqrt((svv - CAST(s AS DOUBLE)*s/n)/(n-1))""")}
+           AS nonparam_skew
+       FROM g ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("v").cast("decimal(19,0)")
+          * col("v").cast("decimal(19,0)")).cast("double")
+          .as("svv"),
+        r6(percentile(col("v"), lit(0.5))).as("med"))
+      .select(col("event_type"), col("n"),
+        r6((col("s").cast("double") / col("n") - col("med"))
+          / sqrt((col("svv")
+            - col("s").cast("double") * col("s") / col("n"))
+            / (col("n") - 1))).as("nonparam_skew"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Interaction-matrix audit for recommender-style data: density
+    * of the user×type matrix (nonzero cells over the full grid) and
+    * the activity mass held by the top decile of users. The global
+    * activity rank rides `Packing.withGlobalOffsets` on a NEGATED
+    * key (range shuffle + driver prefix — never a single-partition
+    * window over the user residue); the decile cut is the
+    * all-integer rk·10 ≤ n. */
+  val matrixSparsity: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT user_id, event_type FROM events
+             GROUP BY 1,2),
+       u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) nu
+             FROM events),
+       t AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) nt
+             FROM events),
+       z AS (SELECT CAST(count(*) AS BIGINT) nz FROM c),
+       pu AS (SELECT user_id, CAST(count(*) AS BIGINT) ne
+              FROM events GROUP BY 1),
+       r AS (SELECT user_id, ne,
+           row_number() OVER (ORDER BY ne DESC, user_id) rk FROM pu),
+       tot AS (SELECT CAST(sum(ne) AS BIGINT) te,
+           CAST(count(*) AS BIGINT) np FROM pu),
+       topd AS (SELECT CAST(sum(ne) AS BIGINT) top_mass
+         FROM r, tot WHERE rk*10 <= np)
+       SELECT u.nu AS n_users, t.nt AS n_types,
+         z.nz AS nonzero_cells,
+         ${graft.Rounding.r6sql("CAST(nz AS DOUBLE)/(nu*nt)")}
+           AS density,
+         ${graft.Rounding.r6sql("CAST(top_mass AS DOUBLE)/te")}
+           AS top_decile_mass
+       FROM u, t, z, topd, tot""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val c = ev.select(col("user_id"), col("event_type")).distinct()
+    val z = c.agg(count(lit(1)).cast("long").as("nz"))
+    val ut = ev.agg(
+      countDistinct(col("user_id")).cast("long").as("nu"),
+      countDistinct(col("event_type")).cast("long").as("nt"))
+    val pu = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("ne"))
+      .withColumn("negne", -col("ne")).withColumn("one", lit(1L))
+    val ranked = graft.ops.Packing.withGlobalOffsets(pu, "negne",
+        "one", tieCols = Seq("user_id"))
+      .withColumn("rk", col("offset") + 1)
+    val tot = pu.agg(sum(col("ne")).cast("long").as("te"),
+      count(lit(1)).cast("long").as("np"))
+    val topd = ranked.crossJoin(broadcast(tot))
+      .filter(col("rk") * 10 <= col("np"))
+      .agg(sum(col("ne")).cast("long").as("top_mass"))
+    ut.crossJoin(z).crossJoin(broadcast(topd))
+      .crossJoin(broadcast(tot))
+      .select(col("nu").as("n_users"), col("nt").as("n_types"),
+        col("nz").as("nonzero_cells"),
+        r6(col("nz").cast("double") / (col("nu") * col("nt")))
+          .as("density"),
+        r6(col("top_mass").cast("double") / col("te"))
+          .as("top_decile_mass"))
+  }
+
+  /** Volatility clustering (ARCH effect): lag-1 autocorrelation of
+    * |ΔdV| on the daily grid per type — do big moves follow big
+    * moves? Adjacent-day pairing by equi-join on di+1 (grid gaps
+    * pair nothing); exact sufficient statistics, one IEEE sequence
+    * per row (the q284 machinery pointed at absolute changes). */
+  val volClustering: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events GROUP BY 1,2),
+       ch AS (SELECT event_type, di,
+           abs(dv - lag(dv) OVER (PARTITION BY event_type
+             ORDER BY di)) AS adlt
+         FROM d),
+       pr AS (SELECT a.event_type, a.adlt x, b.adlt y FROM ch a
+         JOIN ch b ON b.event_type = a.event_type
+           AND b.di = a.di + 1
+         WHERE a.adlt IS NOT NULL AND b.adlt IS NOT NULL),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+           CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(x AS
+             DECIMAL(19,0))) AS DOUBLE) sxx,
+           CAST(sum(CAST(y AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) syy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) sxy
+         FROM pr GROUP BY 1 HAVING count(*) >= 3)
+       SELECT event_type, n,
+         ${graft.Rounding.r6sql(
+           """(n*sxy - CAST(sx AS DOUBLE)*sy)
+              / sqrt((n*sxx - CAST(sx AS DOUBLE)*sx)
+                * (n*syy - CAST(sy AS DOUBLE)*sy))""")}
+           AS vol_autocorr
+       FROM st ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+    val ch = dg.select(col("event_type"), col("di"),
+        abs(col("dv") - lag(col("dv"), 1).over(w)).as("adlt"))
+      .filter(col("adlt").isNotNull)
+    val b = ch.select(col("event_type").as("et2"),
+      col("di").as("di2"), col("adlt").as("y"))
+    ch.join(b, col("et2") === col("event_type")
+        && col("di2") === col("di") + 1)
+      .select(col("event_type"), col("adlt").as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("x").cast("decimal(19,0)")).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("syy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("sxy"))
+      .filter(col("n") >= 3)
+      .select(col("event_type"), col("n"),
+        r6((col("n") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          / sqrt((col("n") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            * (col("n") * col("syy")
+              - col("sy").cast("double") * col("sy"))))
+          .as("vol_autocorr"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -3215,7 +3384,10 @@ object Stats {
     "q301_gmv_bridge" -> gmvBridge,
     "q302_peak_detection" -> peakDetection,
     "q303_streak_histogram" -> streakHistogram,
-    "q304_seasonal_strength" -> seasonalStrength)
+    "q304_seasonal_strength" -> seasonalStrength,
+    "q307_nonparam_skew" -> nonparamSkew,
+    "q308_matrix_sparsity" -> matrixSparsity,
+    "q309_vol_clustering" -> volClustering)
 
 
 
