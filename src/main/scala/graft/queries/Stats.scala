@@ -3327,6 +3327,100 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Cross-correlation lead-lag table between the click and
+    * purchase daily series (lags −3..+3) — does engagement LEAD
+    * revenue, and by how many days? The q284 sufficient-statistics
+    * machinery on an offset equi-join of the two per-type series;
+    * everything exact up to the one IEEE sequence per lag row. */
+  val crossCorrelation: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+             AS BIGINT) di,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) dv
+         FROM events WHERE event_type IN ('click','purchase')
+         GROUP BY 1,2),
+       a AS (SELECT di, dv x FROM d WHERE event_type='click'),
+       b AS (SELECT di, dv y FROM d WHERE event_type='purchase'),
+       lg AS (SELECT unnest(generate_series(-3,3)) AS lag_k),
+       p AS (SELECT lg.lag_k, a.x, b.y FROM lg JOIN a ON true
+             JOIN b ON b.di = a.di + lg.lag_k),
+       st AS (SELECT lag_k, CAST(count(*) AS BIGINT) n,
+           CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(x AS
+             DECIMAL(19,0))) AS DOUBLE) sxx,
+           CAST(sum(CAST(y AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) syy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) sxy
+         FROM p GROUP BY 1 HAVING count(*) >= 3)
+       SELECT CAST(lag_k AS BIGINT) lag_k, n,
+         ${graft.Rounding.r6sql(
+           """(n*sxy - CAST(sx AS DOUBLE)*sy)
+              / sqrt((n*sxx - CAST(sx AS DOUBLE)*sx)
+                * (n*syy - CAST(sy AS DOUBLE)*sy))""")} AS xcorr
+       FROM st ORDER BY 1""") { (s, d) =>
+    val vk = floor(col("value") * 1000000 + lit(0.5)).cast("long")
+    val dg = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("di"))
+      .agg(sum(vk).cast("long").as("dv"))
+    val a = dg.filter(col("event_type") === "click")
+      .select(col("di"), col("dv").as("x"))
+      .withColumn("lag_k", explode(sequence(lit(-3L), lit(3L))))
+    val b = dg.filter(col("event_type") === "purchase")
+      .select(col("di").as("di2"), col("dv").as("y"))
+    a.join(b, col("di2") === col("di") + col("lag_k"))
+      .groupBy(col("lag_k"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("x").cast("decimal(19,0)")).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("syy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("sxy"))
+      .filter(col("n") >= 3)
+      .select(col("lag_k"), col("n"),
+        r6((col("n") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          / sqrt((col("n") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            * (col("n") * col("syy")
+              - col("sy").cast("double") * col("sy")))).as("xcorr"))
+      .orderBy(col("lag_k"))
+  }
+
+  /** User active-lifetime percentiles: exact interpolated
+    * p25/p50/p90 of (last − first active day) per user — the
+    * summary scalar row next to q238's full survival curve. */
+  val lifetimePercentiles: QueryDef = QueryDef.sql(
+    s"""WITH u AS (SELECT user_id,
+           CAST(max(epoch_us(date_trunc('day', ts)) // 86400000000)
+             - min(epoch_us(date_trunc('day', ts)) // 86400000000)
+             AS BIGINT) span
+         FROM events GROUP BY 1)
+       SELECT CAST(count(*) AS BIGINT) n_users,
+         ${graft.Rounding.r6sql("quantile_cont(span, 0.25)")} AS p25,
+         ${graft.Rounding.r6sql("quantile_cont(span, 0.5)")} AS p50,
+         ${graft.Rounding.r6sql("quantile_cont(span, 0.9)")} AS p90
+       FROM u""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((max(expr(
+        "unix_micros(date_trunc('day', ts)) div 86400000000"))
+        - min(expr(
+          "unix_micros(date_trunc('day', ts)) div 86400000000")))
+        .cast("long").as("span"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        r6(percentile(col("span"), lit(0.25))).as("p25"),
+        r6(percentile(col("span"), lit(0.5))).as("p50"),
+        r6(percentile(col("span"), lit(0.9))).as("p90"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -3387,7 +3481,9 @@ object Stats {
     "q304_seasonal_strength" -> seasonalStrength,
     "q307_nonparam_skew" -> nonparamSkew,
     "q308_matrix_sparsity" -> matrixSparsity,
-    "q309_vol_clustering" -> volClustering)
+    "q309_vol_clustering" -> volClustering,
+    "q310_cross_correlation" -> crossCorrelation,
+    "q311_lifetime_percentiles" -> lifetimePercentiles)
 
 
 

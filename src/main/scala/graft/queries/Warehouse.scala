@@ -619,11 +619,85 @@ object Warehouse {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Account-balance profile per market segment: exact mean (long
+    * sums) and exact interpolated median/p90 of quantized balances
+    * — the distribution card a warehouse keeps per segment
+    * (mean-vs-median divergence flags skew q307 quantifies). */
+  val segmentBalanceProfile: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT c_mktsegment seg,
+           CAST(floor(c_acctbal*1000000+0.5) AS BIGINT) b
+         FROM customer)
+       SELECT seg, CAST(count(*) AS BIGINT) n,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(b) AS DOUBLE)/count(*)/1000000.0")} AS mean_bal,
+         ${graft.Rounding.r6sql("quantile_cont(b, 0.5)/1000000.0")}
+           AS median_bal,
+         ${graft.Rounding.r6sql("quantile_cont(b, 0.9)/1000000.0")}
+           AS p90_bal
+       FROM c GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 1000000 + lit(0.5)).cast("long")
+          .as("b"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        graft.Rounding.r6(sum(col("b")).cast("double")
+          / count(lit(1)) / 1000000.0).as("mean_bal"),
+        graft.Rounding.r6(percentile(col("b"), lit(0.5))
+          / 1000000.0).as("median_bal"),
+        graft.Rounding.r6(percentile(col("b"), lit(0.9))
+          / 1000000.0).as("p90_bal"))
+      .orderBy(col("seg"))
+  }
+
+  /** Supplier balance z-score outliers (|z| > 1.5): the
+    * dimension-table anomaly screen — all sufficient statistics
+    * exact (Σb long, Σb² decimal), the z cut comparing
+    * identically-derived doubles; the one-row stats broadcast back
+    * onto the supplier residue. */
+  val supplierBalanceOutliers: QueryDef = QueryDef.sql(
+    s"""WITH s AS (SELECT s_suppkey, s_name,
+           CAST(floor(s_acctbal*1000000+0.5) AS BIGINT) b
+         FROM supplier),
+       t AS (SELECT CAST(sum(b) AS BIGINT) sb,
+           CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(b AS DECIMAL(19,0))*CAST(b AS
+             DECIMAL(19,0))) AS DOUBLE) sbb FROM s)
+       SELECT s_suppkey, s_name,
+         ${graft.Rounding.r6sql(
+           """(CAST(b AS DOUBLE) - CAST(sb AS DOUBLE)/n)
+              / sqrt((sbb - CAST(sb AS DOUBLE)*sb/n)/(n-1))""")}
+           AS z
+       FROM s, t WHERE abs((CAST(b AS DOUBLE) - CAST(sb AS DOUBLE)/n)
+         / sqrt((sbb - CAST(sb AS DOUBLE)*sb/n)/(n-1))) > 1.5
+       ORDER BY 1""") { (s, d) =>
+    val sp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"),
+        floor(col("s_acctbal") * 1000000 + lit(0.5)).cast("long")
+          .as("b"))
+    val t = sp.agg(sum(col("b")).cast("long").as("sb"),
+      count(lit(1)).cast("long").as("n"),
+      sum(col("b").cast("decimal(19,0)")
+        * col("b").cast("decimal(19,0)")).cast("double").as("sbb"))
+    val z = (col("b").cast("double")
+      - col("sb").cast("double") / col("n")) /
+      sqrt((col("sbb")
+        - col("sb").cast("double") * col("sb") / col("n"))
+        / (col("n") - 1))
+    sp.crossJoin(broadcast(t))
+      .filter(abs(z) > 1.5)
+      .select(col("s_suppkey"), col("s_name"),
+        graft.Rounding.r6(z).as("z"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q211_pivot_counts" -> pivotCounts,
     "q258_lorenz_deciles" -> lorenzDeciles,
     "q260_fd_violations" -> fdViolations,
     "q290_share_of_parent" -> shareOfParent,
+    "q312_segment_balance_profile" -> segmentBalanceProfile,
+    "q313_supplier_balance_outliers" -> supplierBalanceOutliers,
     "q226_ohlc_bars" -> ohlcBars,
     "q234_rfm_segments" -> rfmSegments,
     "q246_ltv_triangle" -> ltvTriangle,
