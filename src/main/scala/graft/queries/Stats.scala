@@ -3421,6 +3421,147 @@ object Stats {
         r6(percentile(col("span"), lit(0.9))).as("p90"))
   }
 
+  /** Strict-order 3-step funnel: click → view → purchase, in ORDER,
+    * all within 2 h of the click — q266 checks one timed edge; real
+    * funnels require the full ordered path. EXISTS over the
+    * per-user (view × purchase) candidate set collapses as max over
+    * the click grain; the join fan-out is bounded by per-user event
+    * counts, never corpus-wide. */
+  val orderedFunnel: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT user_id, event_id, epoch_us(ts) us
+           FROM events WHERE event_type='click'),
+       v AS (SELECT user_id vu, epoch_us(ts) vus FROM events
+         WHERE event_type='view'),
+       p AS (SELECT user_id pu, epoch_us(ts) pus FROM events
+         WHERE event_type='purchase'),
+       f AS (SELECT c.user_id, c.event_id,
+           max(CASE WHEN vus > us AND pus > vus
+             AND pus <= us + 7200000000 THEN 1 ELSE 0 END) conv
+         FROM c LEFT JOIN v ON vu = c.user_id
+         LEFT JOIN p ON pu = c.user_id GROUP BY 1,2)
+       SELECT CAST(count(*) AS BIGINT) n_clicks,
+         CAST(sum(conv) AS BIGINT) n_full_funnel,
+         ${graft.Rounding.r6sql(
+           "CAST(sum(conv) AS DOUBLE)/count(*)")} AS funnel_rate
+       FROM f""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"),
+        unix_micros(col("ts")).as("vus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"))
+    c.join(v, col("vu") === col("user_id"), "left")
+      .join(p, col("pu") === col("user_id"), "left")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(max(when(col("vus") > col("us")
+        && col("pus") > col("vus")
+        && col("pus") <= col("us") + 7200000000L, 1)
+        .otherwise(0)).as("conv"))
+      .agg(count(lit(1)).cast("long").as("n_clicks"),
+        sum(col("conv")).cast("long").as("n_full_funnel"),
+        r6(sum(col("conv")).cast("double") / count(lit(1)))
+          .as("funnel_rate"))
+  }
+
+  /** Mix-shift growth decomposition: each type's week-over-week
+    * revenue delta as a CONTRIBUTION to total prior-week revenue —
+    * the columns of a growth bridge by product line (q301
+    * decomposes by user fate; this by type). FULL OUTER join of
+    * adjacent weekly (type, revenue) residues with zero-fill, exact
+    * money. */
+  val growthContribution: QueryDef = QueryDef.sql(
+    s"""WITH d AS (SELECT event_type,
+           CAST((epoch_us(date_trunc('day', ts)) // 86400000000)
+             // 7 AS BIGINT) wk,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) v
+         FROM events GROUP BY 1,2),
+       pr AS (SELECT event_type, wk + 1 AS wk, v pv FROM d),
+       j AS (SELECT coalesce(d.wk, pr.wk) wk,
+           coalesce(d.event_type, pr.event_type) et,
+           coalesce(d.v, 0) cv, coalesce(pr.pv, 0) pv
+         FROM d FULL JOIN pr ON d.wk = pr.wk
+           AND d.event_type = pr.event_type),
+       tw AS (SELECT wk, CAST(sum(pv) AS BIGINT) tot_prev FROM j
+              GROUP BY 1),
+       b AS (SELECT CAST(min(wk) AS BIGINT) w0,
+           CAST(max(wk) AS BIGINT) w1 FROM d)
+       SELECT j.wk AS week_idx, et AS event_type,
+         CAST(cv - pv AS BIGINT) delta_micro,
+         ${graft.Rounding.r6sql(
+           "CAST(cv - pv AS DOUBLE)/tot_prev")}
+           AS growth_contribution
+       FROM j JOIN tw ON j.wk = tw.wk, b
+       WHERE j.wk > w0 AND j.wk <= w1 AND tot_prev > 0
+       ORDER BY 1,2""") { (s, d) =>
+    val dg = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000"
+          + " div 7").as("wk"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+        .cast("long").as("v"))
+    val pr = dg.select(col("event_type").as("pet"),
+      (col("wk") + 1).as("pwk"), col("v").as("pv"))
+    val b = dg.agg(min(col("wk")).cast("long").as("w0"),
+      max(col("wk")).cast("long").as("w1"))
+    val j = dg.join(pr, col("wk") === col("pwk")
+        && col("event_type") === col("pet"), "full")
+      .select(coalesce(col("wk"), col("pwk")).as("jwk"),
+        coalesce(col("event_type"), col("pet")).as("et"),
+        coalesce(col("v"), lit(0L)).as("cv"),
+        coalesce(col("pv"), lit(0L)).as("pv"))
+    val tw = j.groupBy(col("jwk").as("twk"))
+      .agg(sum(col("pv")).cast("long").as("tot_prev"))
+    j.join(broadcast(tw), col("jwk") === col("twk"))
+      .crossJoin(broadcast(b))
+      .filter(col("jwk") > col("w0") && col("jwk") <= col("w1")
+        && col("tot_prev") > 0)
+      .select(col("jwk").as("week_idx"), col("et").as("event_type"),
+        (col("cv") - col("pv")).cast("long").as("delta_micro"),
+        r6((col("cv") - col("pv")).cast("double")
+          / col("tot_prev")).as("growth_contribution"))
+      .orderBy(col("week_idx"), col("event_type"))
+  }
+
+  /** Windowed telemetry dedup (batch form): readings with the same
+    * (type, centi-quantized value) inside one hour collapse to the
+    * earliest event_id — the batch twin of q183's
+    * dropDuplicatesWithinWatermark, keyed the way duplicate sensor
+    * emissions actually repeat. Emits kept/raw/collapsed per type
+    * (collapse exercised at sf0.01+; the sf0.001 slice has no
+    * within-hour repeats — the zeros ARE its answer). */
+  val windowedDedup: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT event_type,
+           CAST(floor(value*100+0.5) AS BIGINT) vb,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) hw, event_id
+         FROM events),
+       d AS (SELECT event_type, vb, hw,
+           CAST(min(event_id) AS BIGINT) keeper,
+           CAST(count(*) AS BIGINT) n FROM w GROUP BY 1,2,3)
+       SELECT event_type, CAST(count(*) AS BIGINT) n_kept,
+         CAST(sum(n) AS BIGINT) n_raw,
+         CAST(sum(n) - count(*) AS BIGINT) n_collapsed
+       FROM d GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("vb"),
+        expr("unix_micros(ts) div 3600000000").as("hw"),
+        col("event_id"))
+      .groupBy(col("event_type"), col("vb"), col("hw"))
+      .agg(min(col("event_id")).cast("long").as("keeper"),
+        count(lit(1)).cast("long").as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col("n")).cast("long").as("n_raw"),
+        (sum(col("n")) - count(lit(1))).cast("long")
+          .as("n_collapsed"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -3483,7 +3624,10 @@ object Stats {
     "q308_matrix_sparsity" -> matrixSparsity,
     "q309_vol_clustering" -> volClustering,
     "q310_cross_correlation" -> crossCorrelation,
-    "q311_lifetime_percentiles" -> lifetimePercentiles)
+    "q311_lifetime_percentiles" -> lifetimePercentiles,
+    "q314_ordered_funnel" -> orderedFunnel,
+    "q315_growth_contribution" -> growthContribution,
+    "q316_windowed_dedup" -> windowedDedup)
 
 
 
