@@ -640,6 +640,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q247's daily grid must be a hash aggregate:\n$ham")
   }
 
+  test("round-9 late tranches: literal dim and residue joins " +
+      "broadcast, centroid table broadcast to the fact pass, " +
+      "global ranks range-partitioned, no cartesian products") {
+    // q294: the in-code lookup dim must broadcast against the scan
+    val dim = executedPlan("q294_literal_dim_decode")
+    assert(dim.contains("BroadcastHashJoin"),
+      s"q294's literal dim must broadcast:\n$dim")
+    assert(!dim.contains("SortMergeJoin") &&
+      !dim.contains("CartesianProduct"))
+    // q290: all three dims broadcast; no fact-side sort-merge
+    val sop = executedPlan("q290_share_of_parent")
+    assert(sop.contains("BroadcastHashJoin"),
+      s"q290's dim chain must broadcast:\n$sop")
+    assert(!sop.contains("SortMergeJoin"))
+    // q282: the 10-row centroid table reaches the corpus pass as a
+    // broadcast (nested-loop on a 10-row build side is the intended
+    // cross join), never a shuffled join of the fact
+    val conf = executedPlan("q282_centroid_confusion")
+    assert(conf.contains("BroadcastNestedLoopJoin") ||
+      conf.contains("BroadcastHashJoin"),
+      s"q282's centroids must broadcast:\n$conf")
+    assert(!conf.contains("SortMergeJoin"),
+      s"q282 must not shuffle the embedding fact for the " +
+        s"centroid join:\n$conf")
+    // q308: the global activity rank must ride range partitioning
+    // (withGlobalOffsets), not a single-partition window
+    val ms = executedPlan("q308_matrix_sparsity")
+    assert(ms.contains("rangepartitioning"),
+      s"q308's global rank must ride repartitionByRange:\n$ms")
+    // q277: supplier exclusion stays a semi-join on a broadcast side
+    val q16 = executedPlan("q277_supplier_part_counts")
+    assert(q16.contains("LeftSemi"),
+      s"q277's supplier exclusion must plan as a semi-join:\n$q16")
+    assert(!q16.contains("CartesianProduct"))
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
