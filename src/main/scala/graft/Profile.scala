@@ -169,6 +169,38 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "q237-scale") {
+      // expand-dedupe scale probe: replicate events k-fold with
+      // DISJOINT user ids (each replica contributes its own users,
+      // so distinct counts scale by k and the dedupe hash space
+      // grows with volume — the honest stress for the
+      // explode→distinct→count identity behind q237/q271). The
+      // explode is row-local; both dedupes shuffle on bounded
+      // (user, hour)-shaped keys, so the tier should scale
+      // ~linearly. Consumes real output columns.
+      import org.apache.spark.sql.DataFrame
+      def dau(k: Int): DataFrame = {
+        val rep = Tables.events(spark, sfDir)
+          .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .select(col("event_id"), col("ts"),
+            (col("user_id") + col("r") * 10000000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_p237_" +
+          s"${k}_${Integer.toHexString(sfDir.hashCode)}_" +
+          ProcessHandle.current().pid()
+        rep.write.mode("overwrite").parquet(s"$dir/events.parquet")
+        SparkEntry.queries("q237_trailing_dau")(spark, dir)
+      }
+      def consume(df: DataFrame): Unit =
+        println("  sum = " + df.agg(sum(col("hour") + col("dau24")))
+          .collect()(0).get(0))
+      val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      ks.foreach(k => timed(s"q237 ${k}x")(consume(dau(k))))
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q207-scale") {
       // bucketed-join amortization probe: k-fold replicated
       // orders+lineitem (orderkey-strided, fully disjoint), then
