@@ -4550,6 +4550,61 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("bin"))
   }
 
+  /** Intra-class cohesion: mean dot product of each embedding with
+    * its OWN label's exact-quantized centroid (vectors are unit, so
+    * this is mean cosine-to-centroid) — the compactness score that
+    * explains q282's confusion (cohesion ≈0.02 on this fixture =
+    * weak class structure). Centroids exact (the q282 recipe);
+    * per-vector dots fold in dim order; the per-label mean folds
+    * r6-pinned dots in vec_id order. */
+  val classCohesion: QueryDef = QueryDef.sql(
+    s"""WITH c AS (SELECT CAST(label AS BIGINT) AS lab, dim,
+           CAST(sum(CAST(floor(CAST(val AS DOUBLE)*1000000+0.5)
+             AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 mv
+         FROM (SELECT label, unnest(embedding) val,
+               generate_subscripts(embedding,1) dim FROM embeddings)
+         GROUP BY lab, dim),
+       ca AS (SELECT lab, list(mv ORDER BY dim) cv FROM c
+              GROUP BY 1),
+       d AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS lab2,
+           list_sum(list_transform(
+             generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) * ca.cv[i])) dt
+         FROM embeddings e JOIN ca
+           ON ca.lab = CAST(e.label AS BIGINT)),
+       h AS (SELECT lab2, CAST(count(*) AS BIGINT) n_vecs,
+           list_sum(list(${graft.Rounding.r6sql("dt")}
+             ORDER BY vec_id)) sd FROM d GROUP BY 1)
+       SELECT lab2 AS label_id, n_vecs,
+         ${graft.Rounding.r6sql("sd / n_vecs")}
+           AS mean_dot_centroid
+       FROM h ORDER BY 1""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab2"),
+        graft.vector.VectorOps.toDouble(col("embedding")).as("vec"))
+    val ca = emb
+      .select(col("lab2").as("lab"),
+        posexplode(col("vec")).as(Seq("dim", "val")))
+      .groupBy(col("lab"), col("dim"))
+      .agg((sum(floor(col("val") * 1000000 + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / 1000000.0).as("mv"))
+      .groupBy(col("lab"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("mv")))), _.getField("mv")).as("cv"))
+    val dt = aggregate(zip_with(col("vec"), col("cv"),
+      (a, b) => a * b), lit(0.0), _ + _)
+    emb.join(broadcast(ca), col("lab") === col("lab2"))
+      .select(col("vec_id"), col("lab2"), dt.as("dt"))
+      .groupBy(col("lab2"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        aggregate(transform(array_sort(collect_list(struct(
+            col("vec_id"), r6(col("dt")).as("contrib")))),
+            _.getField("contrib")), lit(0.0), _ + _).as("sd"))
+      .select(col("lab2").as("label_id"), col("n_vecs"),
+        r6(col("sd") / col("n_vecs")).as("mean_dot_centroid"))
+      .orderBy(col("label_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q24_tumbling_window" -> tumblingWindow,
     "q25_sessionize" -> sessionize,
@@ -4558,6 +4613,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q282_centroid_confusion" -> centroidConfusion,
     "q305_image_tile_stats" -> imageTileStats,
     "q306_image_lum_histogram" -> imageLumHistogram,
+    "q318_class_cohesion" -> classCohesion,
     "q26_text_stats" -> textStats,
     "q27_lang_id" -> langId,
     "q28_fingerprint" -> fingerprint,

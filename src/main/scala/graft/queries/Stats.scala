@@ -3562,6 +3562,85 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Tenure↔spend correlation at the user grain: Pearson between
+    * active lifespan (days) and total quantized spend — do
+    * long-tenured users actually spend more? Exact sufficient
+    * statistics on the user residue (the q205 machinery pointed at
+    * two derived user metrics). */
+  val tenureSpendCorr: QueryDef = QueryDef.sql(
+    s"""WITH u AS (SELECT user_id,
+           CAST(max(epoch_us(date_trunc('day', ts)) // 86400000000)
+             - min(epoch_us(date_trunc('day', ts)) // 86400000000)
+             AS BIGINT) x,
+           CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
+             AS BIGINT) y
+         FROM events GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) n,
+           CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(x AS
+             DECIMAL(19,0))) AS DOUBLE) sxx,
+           CAST(sum(CAST(y AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) syy,
+           CAST(sum(CAST(x AS DECIMAL(19,0))*CAST(y AS
+             DECIMAL(19,0))) AS DOUBLE) sxy FROM u)
+       SELECT n, ${graft.Rounding.r6sql(
+         """(n*sxy - CAST(sx AS DOUBLE)*sy)
+            / sqrt((n*sxx - CAST(sx AS DOUBLE)*sx)
+              * (n*syy - CAST(sy AS DOUBLE)*sy))""")}
+         AS tenure_spend_corr
+       FROM st""") { (s, d) =>
+    val di = expr("unix_micros(date_trunc('day', ts))"
+      + " div 86400000000")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((max(di) - min(di)).cast("long").as("x"),
+        sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+          .cast("long").as("y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("x").cast("decimal(19,0)")).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("syy"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("y").cast("decimal(19,0)")).cast("double").as("sxy"))
+      .select(col("n"),
+        r6((col("n") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          / sqrt((col("n") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+            * (col("n") * col("syy")
+              - col("sy").cast("double") * col("sy"))))
+          .as("tenure_spend_corr"))
+  }
+
+  /** Chronotype histogram: each user's PEAK activity hour-of-day
+    * (argmax with count-desc, hour-asc tie-break — total order) and
+    * the population distribution over those peaks — behavioral
+    * segmentation input. All integer. */
+  val peakHourHistogram: QueryDef = QueryDef.sql(
+    """WITH c AS (SELECT user_id,
+           CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) hod,
+           CAST(count(*) AS BIGINT) n FROM events GROUP BY 1,2),
+       r AS (SELECT user_id, hod,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY n DESC, hod) rk FROM c)
+       SELECT hod AS peak_hour, CAST(count(*) AS BIGINT) n_users
+       FROM r WHERE rk=1 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 3600000000 % 24").as("hod"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("hod"))
+    c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("hod").as("peak_hour"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("peak_hour"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
     "q203_markov_transitions" -> markovTransitions,
@@ -3627,7 +3706,9 @@ object Stats {
     "q311_lifetime_percentiles" -> lifetimePercentiles,
     "q314_ordered_funnel" -> orderedFunnel,
     "q315_growth_contribution" -> growthContribution,
-    "q316_windowed_dedup" -> windowedDedup)
+    "q316_windowed_dedup" -> windowedDedup,
+    "q317_tenure_spend_corr" -> tenureSpendCorr,
+    "q319_peak_hour_histogram" -> peakHourHistogram)
 
 
 
