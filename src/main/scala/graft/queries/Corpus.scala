@@ -556,7 +556,60 @@ object Corpus {
         r6f(lit(1.0) / col("hhi")).as("effective_sources"))
   }
 
+  /** Token burstiness (Fano factor over per-doc term frequencies,
+    * zeros included) for the global top-20 tokens — Church & Gale's
+    * content-vs-function-word signal: a bursty token concentrates
+    * in few docs (Fano ≫ 1), a function word spreads evenly
+    * (Fano ≈ 1). Per-(token, doc) counts exact, Σc² as decimal;
+    * absent docs enter through the closed form (Σc, Σc² over the
+    * sparse relation + the global doc count) — never a dense
+    * token×doc join. */
+  val tokenBurstiness: QueryDef = QueryDef.sql(
+    s"""WITH tok AS (SELECT doc_id,
+           unnest(string_split(trim(text), ' ')) tk
+         FROM documents),
+       top AS (SELECT tk FROM (SELECT tk, count(*) c FROM tok
+           GROUP BY 1 ORDER BY c DESC, tk LIMIT 20)),
+       dt AS (SELECT tok.tk, doc_id, CAST(count(*) AS BIGINT) c
+         FROM tok JOIN top ON top.tk = tok.tk GROUP BY 1,2),
+       nd AS (SELECT CAST(count(*) AS BIGINT) n_docs
+              FROM documents),
+       st AS (SELECT tk, CAST(sum(c) AS BIGINT) s,
+           CAST(sum(CAST(c AS DECIMAL(19,0))*CAST(c AS
+             DECIMAL(19,0))) AS DOUBLE) scc
+         FROM dt GROUP BY 1)
+       SELECT tk AS token, s AS n_occurrences,
+         ${graft.Rounding.r6sql(
+           """(scc/n_docs - (CAST(s AS DOUBLE)/n_docs)
+              *(CAST(s AS DOUBLE)/n_docs))
+              / (CAST(s AS DOUBLE)/n_docs)""")} AS fano
+       FROM st, nd ORDER BY 1""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("tk"))
+    val top = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(20)
+      .select(col("tk").as("ttk"))
+    val dt = tok.join(broadcast(top), col("tk") === col("ttk"))
+      .groupBy(col("tk"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val nd = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val st = dt.groupBy(col("tk"))
+      .agg(sum(col("c")).cast("long").as("s"),
+        sum(col("c").cast("decimal(19,0)")
+          * col("c").cast("decimal(19,0)")).cast("double")
+          .as("scc"))
+    val mean = col("s").cast("double") / col("n_docs")
+    st.crossJoin(broadcast(nd))
+      .select(col("tk").as("token"), col("s").as("n_occurrences"),
+        graft.Rounding.r6((col("scc") / col("n_docs")
+          - mean * mean) / mean).as("fano"))
+      .orderBy(col("token"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q321_token_burstiness" -> tokenBurstiness,
     "q287_oov_rate" -> oovRate,
     "q289_token_jsd" -> tokenJsd,
     "q298_herfindahl_sources" -> herfindahlSources,

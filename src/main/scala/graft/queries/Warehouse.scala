@@ -691,7 +691,47 @@ object Warehouse {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Monthly seasonality index on ORDERS (volume and revenue vs the
+    * uniform-month baseline): index = share·k, so 1.0 is flat — the
+    * calendar read on the second time-dimensioned table (events
+    * carry most time series; orders carry the commerce calendar).
+    * Exact counts/micro-longs; one divide pair per month row. */
+  val ordersMonthIndex: QueryDef = QueryDef.sql(
+    s"""WITH m AS (SELECT
+           CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) mo,
+           CAST(count(*) AS BIGINT) n,
+           CAST(sum(CAST(floor(o_totalprice*1000000+0.5)
+             AS BIGINT)) AS BIGINT) rev
+         FROM orders GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS BIGINT) tn,
+           CAST(sum(rev) AS BIGINT) tr,
+           CAST(count(*) AS BIGINT) k FROM m)
+       SELECT mo AS month, n,
+         ${graft.Rounding.r6sql("CAST(n AS DOUBLE)*k/tn")}
+           AS volume_index,
+         ${graft.Rounding.r6sql("CAST(rev AS DOUBLE)*k/tr")}
+           AS revenue_index
+       FROM m, t ORDER BY 1""") { (s, d) =>
+    val m = Tables.orders(s, d)
+      .groupBy(month(to_date(col("o_orderdate"))).cast("long")
+        .as("month"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("o_totalprice") * 1000000 + lit(0.5))
+          .cast("long")).cast("long").as("rev"))
+    val t = m.agg(sum(col("n")).cast("long").as("tn"),
+      sum(col("rev")).cast("long").as("tr"),
+      count(lit(1)).cast("long").as("k"))
+    m.crossJoin(broadcast(t))
+      .select(col("month"), col("n"),
+        graft.Rounding.r6(col("n").cast("double") * col("k")
+          / col("tn")).as("volume_index"),
+        graft.Rounding.r6(col("rev").cast("double") * col("k")
+          / col("tr")).as("revenue_index"))
+      .orderBy(col("month"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q320_orders_month_index" -> ordersMonthIndex,
     "q211_pivot_counts" -> pivotCounts,
     "q258_lorenz_deciles" -> lorenzDeciles,
     "q260_fd_violations" -> fdViolations,
