@@ -730,8 +730,103 @@ object Warehouse {
       .orderBy(col("month"))
   }
 
+  /** Order-value percentiles per customer segment — purchasing
+    * power per segment via exact interpolated p50/p90 on the
+    * orders×customer join (customer dim broadcast). */
+  val segmentOrderPercentiles: QueryDef = QueryDef.sql(
+    s"""WITH j AS (SELECT c_mktsegment seg,
+           CAST(floor(o_totalprice*1000000+0.5) AS BIGINT) v
+         FROM orders JOIN customer ON c_custkey = o_custkey)
+       SELECT seg, CAST(count(*) AS BIGINT) n_orders,
+         ${graft.Rounding.r6sql("quantile_cont(v, 0.5)/1000000.0")}
+           AS p50_order,
+         ${graft.Rounding.r6sql("quantile_cont(v, 0.9)/1000000.0")}
+           AS p90_order
+       FROM j GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 1000000 + lit(0.5)).cast("long")
+          .as("v"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        graft.Rounding.r6(percentile(col("v"), lit(0.5))
+          / 1000000.0).as("p50_order"),
+        graft.Rounding.r6(percentile(col("v"), lit(0.9))
+          / 1000000.0).as("p90_order"))
+      .orderBy(col("seg"))
+  }
+
+  /** Brand share trend: OLS slope of each brand's monthly revenue
+    * SHARE (in ppm) — rising vs fading brands. Shares are exact
+    * integer ppm after a milli-unit rescale ((rev/1000)·10⁶ would
+    * overflow INT64 unrescaled — both engines floor-divide the same
+    * milli operands, so the ppm is identical); the slope is the
+    * q244 exact-sufficient-statistics divide. */
+  val brandShareSlope: QueryDef = QueryDef.sql(
+    s"""WITH r AS (SELECT p_brand,
+           CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) mo,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)
+             *1000000+0.5) AS BIGINT)) AS BIGINT) rev
+         FROM lineitem JOIN part ON p_partkey=l_partkey
+         JOIN orders ON o_orderkey=l_orderkey GROUP BY 1,2),
+       t AS (SELECT mo mo2, CAST(sum(rev) AS BIGINT) tot FROM r
+             GROUP BY 1),
+       sh AS (SELECT p_brand, mo,
+           CAST(((rev // 1000) * 1000000) // (tot // 1000)
+             AS BIGINT) ppm
+         FROM r JOIN t ON mo = mo2),
+       st AS (SELECT p_brand, CAST(count(*) AS BIGINT) n,
+           CAST(sum(mo) AS BIGINT) sx, CAST(sum(ppm) AS BIGINT) sy,
+           CAST(sum(mo*mo) AS BIGINT) sxx,
+           CAST(sum(mo*ppm) AS BIGINT) sxy
+         FROM sh GROUP BY 1 HAVING count(*) >= 6)
+       SELECT p_brand, n,
+         ${graft.Rounding.r6sql(
+           """CAST(n*sxy - sx*sy AS DOUBLE)
+              / CAST(n*sxx - sx*sx AS DOUBLE) / 1000000.0""")}
+           AS share_slope
+       FROM st ORDER BY 1""") { (s, d) =>
+    val r = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          month(to_date(col("o_orderdate"))).cast("long").as("mo")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("p_brand"), col("mo"))
+      .agg(sum(floor(col("l_extendedprice")
+        * (lit(1) - col("l_discount")) * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("rev"))
+    val t = r.groupBy(col("mo").as("mo2"))
+      .agg(sum(col("rev")).cast("long").as("tot"))
+    val sh = r.join(broadcast(t), col("mo") === col("mo2"))
+      .select(col("p_brand"), col("mo"),
+        expr("((rev div 1000) * 1000000) div (tot div 1000)")
+          .cast("long").as("ppm"))
+    sh.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("mo")).cast("long").as("sx"),
+        sum(col("ppm")).cast("long").as("sy"),
+        sum(col("mo") * col("mo")).cast("long").as("sxx"),
+        sum(col("mo") * col("ppm")).cast("long").as("sxy"))
+      .filter(col("n") >= 6)
+      .select(col("p_brand"), col("n"),
+        graft.Rounding.r6(
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") / 1000000.0).as("share_slope"))
+      .orderBy(col("p_brand"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q320_orders_month_index" -> ordersMonthIndex,
+    "q322_segment_order_percentiles" -> segmentOrderPercentiles,
+    "q323_brand_share_slope" -> brandShareSlope,
     "q211_pivot_counts" -> pivotCounts,
     "q258_lorenz_deciles" -> lorenzDeciles,
     "q260_fd_violations" -> fdViolations,
