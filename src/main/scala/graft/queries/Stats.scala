@@ -3641,8 +3641,48 @@ object Stats {
       .orderBy(col("peak_hour"))
   }
 
+  /** Time-to-first-purchase by signup cohort week: exact
+    * interpolated median of the integer day lag between signup and
+    * first purchase, per cohort — the activation-speed scalar next
+    * to q238's full survival curve and q246's LTV triangle. */
+  val timeToFirstPurchase: QueryDef = QueryDef.sql(
+    s"""WITH su AS (SELECT user_id,
+           CAST(min(epoch_us(date_trunc('day', ts)) // 86400000000)
+             AS BIGINT) sd
+         FROM events WHERE event_type='signup' GROUP BY 1),
+       fp AS (SELECT user_id pu,
+           CAST(min(epoch_us(date_trunc('day', ts)) // 86400000000)
+             AS BIGINT) pd
+         FROM events WHERE event_type='purchase' GROUP BY 1),
+       l AS (SELECT su.user_id, CAST(sd // 7 AS BIGINT) cohort_wk,
+           pd - sd AS lag_d
+         FROM su JOIN fp ON pu = su.user_id WHERE pd >= sd)
+       SELECT cohort_wk, CAST(count(*) AS BIGINT) n_converted,
+         ${graft.Rounding.r6sql("quantile_cont(lag_d, 0.5)")}
+           AS median_days
+       FROM l GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val di = expr("unix_micros(date_trunc('day', ts))"
+      + " div 86400000000")
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(di).cast("long").as("sd"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu"))
+      .agg(min(di).cast("long").as("pd"))
+    su.join(fp, col("pu") === col("user_id"))
+      .filter(col("pd") >= col("sd"))
+      .select(expr("sd div 7").cast("long").as("cohort_wk"),
+        (col("pd") - col("sd")).as("lag_d"))
+      .groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).cast("long").as("n_converted"),
+        r6(percentile(col("lag_d"), lit(0.5))).as("median_days"))
+      .orderBy(col("cohort_wk"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q202_psi_drift" -> psiDrift,
+    "q325_time_to_first_purchase" -> timeToFirstPurchase,
     "q203_markov_transitions" -> markovTransitions,
     "q204_benford_digits" -> benfordDigits,
     "q205_feature_corr" -> featureCorr,

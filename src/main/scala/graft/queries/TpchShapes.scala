@@ -706,7 +706,58 @@ object TpchShapes {
       .orderBy(col("priority"))
   }
 
+  /** Price-dispersion screen: top-10 parts by coefficient of
+    * variation of the observed unit price (extendedprice/quantity)
+    * — the pricing-consistency audit (a high-CV part is priced
+    * erratically across orders). Unit prices quantize to micro-longs
+    * (one identical IEEE divide per row on both engines), CV from
+    * exact Σ/Σ² per part, the top-10 a rank over the |parts|
+    * residue. */
+  val priceDispersion: QueryDef = QueryDef.sql(
+    s"""WITH u AS (SELECT l_partkey,
+           CAST(floor(l_extendedprice/l_quantity*1000000+0.5)
+             AS BIGINT) up
+         FROM lineitem),
+       st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) n,
+           CAST(sum(up) AS BIGINT) s,
+           CAST(sum(CAST(up AS DECIMAL(19,0))*CAST(up AS
+             DECIMAL(19,0))) AS DOUBLE) suu
+         FROM u GROUP BY 1 HAVING count(*) >= 5),
+       cv AS (SELECT l_partkey, n,
+           sqrt((suu - CAST(s AS DOUBLE)*s/n)/(n-1))
+             / (CAST(s AS DOUBLE)/n) AS cv FROM st),
+       r AS (SELECT *, row_number() OVER (ORDER BY cv DESC,
+             l_partkey) rk FROM cv)
+       SELECT l_partkey, n, ${graft.Rounding.r6sql("cv")}
+         AS price_cv
+       FROM r WHERE rk <= 10
+       ORDER BY price_cv DESC, l_partkey""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 1000000
+          + lit(0.5)).cast("long").as("up"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("up")).cast("long").as("s"),
+        sum(col("up").cast("decimal(19,0)")
+          * col("up").cast("decimal(19,0)")).cast("double")
+          .as("suu"))
+      .filter(col("n") >= 5)
+    val cv = sqrt((col("suu")
+      - col("s").cast("double") * col("s") / col("n"))
+      / (col("n") - 1)) / (col("s").cast("double") / col("n"))
+    st.withColumn("cv", cv)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cv").desc, col("l_partkey"))))
+      .filter(col("rk") <= 10)
+      .select(col("l_partkey"), col("n"),
+        r6(col("cv")).as("price_cv"))
+      .orderBy(col("price_cv").desc, col("l_partkey"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q324_price_dispersion" -> priceDispersion,
     "q277_supplier_part_counts" -> supplierPartCounts,
     "q278_abc_classification" -> abcClassification,
     "q279_discount_elasticity" -> discountElasticity,
