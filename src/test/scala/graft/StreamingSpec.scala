@@ -198,6 +198,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lwwUpsert: state survives a stop/restart through the " +
+      "checkpoint — the resumed run processes ONLY the new file " +
+      "and still yields the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +
+      ProcessHandle.current().pid()
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, dir)
+    // three disjoint drops of the same table
+    ev.filter(col("event_id") % 3 === 0).write.mode("overwrite")
+      .parquet(s"$inDir/f0")
+    ev.filter(col("event_id") % 3 === 1).write.mode("overwrite")
+      .parquet(s"$inDir/f1")
+    def openStream() = StreamOps.lwwUpsert(
+      graft.Tables.normalizeEventTs(spark.readStream
+        .schema(spark.read.parquet(s"$inDir/f0").schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$inDir/*")))
+    // the memory sink refuses checkpoint recovery; foreachBatch is
+    // the recoverable production shape (same checkpoint dir across
+    // runs, per-batch append to the lake)
+    val outDir = s"$base/out"
+    def runOnce(): Long = {
+      val q = openStream().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val maxB = spark.read.parquet(outDir)
+        .agg(max("batch_id")).collect()(0).getLong(0)
+      q.stop(); maxB
+    }
+    val b1 = runOnce() // processes f0 + f1
+    // a third drop lands AFTER the first run committed its offsets
+    ev.filter(col("event_id") % 3 === 2).write.mode("overwrite")
+      .parquet(s"$inDir/f2")
+    val b2 = runOnce()
+    // batch ids CONTINUE from the checkpoint — proof the resumed
+    // query recovered the offset log instead of starting over
+    assert(b2 > b1,
+      s"resume must continue the batch sequence ($b1 -> $b2)")
+    // state provenance: some user's run-2 row must still carry a
+    // pre-restart event (event_id % 3 != 2) as its LWW winner —
+    // only possible if the mapGroupsWithState state survived the
+    // restart through the state store
+    val run2 = spark.read.parquet(outDir)
+      .filter(col("batch_id") > b1)
+    assert(run2.count() > 0)
+    assert(run2.filter(col("last_event_id") % 3 =!= 2).count() > 0,
+      "a recovered state row must surface a pre-restart winner")
+    // LWW over the union of both runs' update streams == batch argmax
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("last_event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(streamed == batch,
+      "checkpoint-resumed LWW state must equal the batch argmax")
+  }
+
   test("lwwUpsert: latest (ts, event_id) per user survives; " +
       "result identical under the RocksDB state-store provider") {
     def run(sinkName: String): Map[Long, Long] = {
