@@ -2052,8 +2052,34 @@ object Advanced {
       .orderBy(col("join_key").asc_nulls_first)
   }
 
+  /** VARIANT-typed semi-structured extraction (Spark 4's variant
+    * path — parse once into the binary variant encoding, then typed
+    * path access) over the JSON props column — the modern
+    * alternative to q20's per-path get_json_object string re-parse
+    * (at 100 TB, parse-once-access-many is the difference between
+    * one JSON tokenizer pass and one per extracted path). Oracle:
+    * DuckDB json_extract with the same integer cast. */
+  val variantExtract: QueryDef = QueryDef.sql(
+    """SELECT event_type, CAST(count(*) AS BIGINT) n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+           AS BIGINT) sum_k,
+         CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+           AS BIGINT) max_k
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val k = expr(
+      "variant_get(parse_json(props), '$.k', 'bigint')")
+    Tables.events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).cast("long").as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q267_kcore_profile" -> kCoreProfileQ,
+    "q326_variant_extract" -> variantExtract,
     "q292_refresh_cache" -> refreshCacheInvalidation,
     "q293_union_schema_drift" -> unionSchemaDrift,
     "q294_literal_dim_decode" -> literalDimDecode,
