@@ -140,23 +140,36 @@ object Bench {
     val qsShort = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + r1(v) }
       .mkString("{", ",", "}")
-    def contract(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":${r3(batchTotal)},"streaming_total":${r3(streamingTotal)}$onlyField}"""
+    def contract(qs: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_total":${r3(batchTotal)},"streaming_total":${r3(streamingTotal)}$extra$onlyField}"""
     // graduated fallback: "qNN" keys → bare-number keys (saves one
     // char per query — at 159 queries the full form sits at 1784 of
     // the 1800 guard) → bare keys with integer seconds (saves two
-    // more per query; regressions that matter at this SF are
-    // multi-second once the map is this coarse, and the detail line
-    // above keeps ns) → totals only. A complete coarser map always
-    // beats a dropped one.
+    // more per query) → TOP-20-SLOWEST map. The last tier is the
+    // r9 lesson (VERDICT r9 #1): at 326 queries even the bare-int
+    // complete map (~2,300 chars) overflows the guard and the line
+    // shipped `"queries":{}` — the per-query regression tripwire
+    // that caught q45/q62/q74 was structurally gone from the round
+    // artifact. A bounded top-K map (~300 chars) always fits, and
+    // the tail is where regressions live; `"queries_top":K` marks
+    // the map as partial so a parser never mistakes it for the
+    // whole catalog. The full-fidelity detail line above still
+    // carries every query at ns precision for anyone reading the
+    // complete log.
     val qsBare = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val qsBareInt = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + math.round(v) }
       .mkString("{", ",", "}")
+    val topK = results.sortBy(-_._2).take(20)
+    val qsTop = topK.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r1(v) }
+      .mkString("{", ",", "}")
     val line = Seq(contract(qsShort), contract(qsBare),
-        contract(qsBareInt), contract("{}"))
+        contract(qsBareInt),
+        contract(qsTop, s""","queries_top":${topK.size}"""),
+        contract("{}"))
       .find(_.length <= 1800).get
     emit(line)
     spark.stop()

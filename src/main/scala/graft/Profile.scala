@@ -321,6 +321,167 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "cooccur-hot") {
+      // hot-bucket probe (VERDICT r9 #1 done-criterion): plant ONE
+      // (event_type, h) bucket with `hot` extra distinct members on
+      // top of the sf events projection, then time the pair-count
+      // relation under (a) the shipped chunked expansion and (b) a
+      // chunk big enough to disable chunking — the naive one-task
+      // shape. The pair OUTPUT is identical (printed, as is the
+      // max-task wall time via a stage listener): the chunked plan
+      // must not leave the hot bucket's k²/2 pairs in one task.
+      import org.apache.spark.sql.DataFrame
+      val hot = if (args.length > 1) args(1).toInt else 10000
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("user_id"))
+      val planted = base.unionByName(
+        spark.range(hot).select(lit("hotbkt").as("event_type"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("h"),
+          (col("id") + 900000000L).as("user_id")))
+        .distinct()
+      def pairs(chunk: Int): DataFrame = ops.Graph.cooccurPairCounts(
+        planted, Seq("event_type", "h"), "user_id", chunk)
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
+            stageMax.merge(t.stageId, t.taskInfo.duration,
+              (a, b) => math.max(a, b))
+          }
+        })
+      for ((label, chunk) <- Seq(
+          ("chunked (1024)", 1024),
+          ("naive (chunk=MaxValue)", Int.MaxValue))) {
+        maxTask.set(0); stageMax.clear()
+        val t0 = System.nanoTime()
+        val n = pairs(chunk).count()
+        println(f"[profile] cooccur hot=$hot $label%-24s pairs=$n%12d " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.3f s " +
+          f"max_task=${maxTask.get / 1e3}%8.3f s")
+        import scala.jdk.CollectionConverters._
+        stageMax.asScala.toSeq.sortBy(-_._2).take(5).foreach {
+          case (sid, ms) => println(
+            f"[profile]   stage $sid%4d max_task=${ms / 1e3}%8.3f s")
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "cooccur-pairs") {
+      // pairs-only timing at the fixture (regression attribution for
+      // the chunked rewrite): the bare pair-count relation, no
+      // downstream graph work
+      val p = Tables.events(spark, sfDir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("user_id"))
+        .distinct()
+      timed("cooccur pairs only")(noop(ops.Graph.cooccurPairCounts(
+        p, Seq("event_type", "h"), "user_id")))
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "q267-frag") {
+      // q267 fragment split: pair gen vs persist-materialize vs the
+      // eager peel rounds
+      val p = Tables.events(spark, sfDir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("user_id"))
+        .distinct()
+      def pc0 = ops.Graph.cooccurPairCounts(p, Seq("event_type", "h"),
+        "user_id")
+      timed("q267 pc noop")(noop(pc0))
+      timed("q267 pc persist+count") {
+        val pc = pc0.persist(); pc.count(); pc.unpersist(blocking = false)
+      }
+      timed("q267 peel on local edges") {
+        val pc = pc0.persist()
+        val thr = pc.agg((lit(2.0)
+          * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+        val e = pc.crossJoin(broadcast(thr))
+          .filter(col("w").cast("double") >= col("t"))
+          .select(col("u"), col("v"))
+        val local = spark.createDataFrame(
+          e.collect().toSeq.asJava, e.schema)
+        pc.unpersist(blocking = false)
+        val t0 = System.nanoTime()
+        noop(ops.Graph.kCoreProfile(local, 3, 3))
+        println(f"[profile]   (kCoreProfile on local input: ${
+          (System.nanoTime() - t0) / 1e9}%.3f s)")
+      }
+      locally {
+        // unrolled eager peel with per-action timing
+        val pc = pc0.persist()
+        val thr = pc.agg((lit(2.0)
+          * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+        val e0 = pc.crossJoin(broadcast(thr))
+          .filter(col("w").cast("double") >= col("t"))
+          .select(col("u"), col("v"))
+        val local = spark.createDataFrame(
+          e0.collect().toSeq.asJava, e0.schema)
+        pc.unpersist(blocking = false)
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val a = f
+          println(f"[profile]   peel step $label%-28s ${
+            (System.nanoTime() - t0) / 1e9}%8.3f s")
+          a
+        }
+        def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.select(col("u").as("n"))
+            .unionByName(df.select(col("v").as("n")))
+            .agg(count_distinct(col("n")), count(lit(1))).collect()(0)
+          (r.getLong(0), r.getLong(1) / 2)
+        }
+        for (mode <- Seq("held", "aqe-off", "checkpoint")) {
+          if (mode == "aqe-off")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+          val held = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.DataFrame]
+          var e = local.select(col("u"), col("v")).persist()
+          held += e
+          t(s"[$mode] stats(e0)")(stats(e))
+          for (r <- 1 to 3) {
+            val deg = e.select(col("u").as("n"))
+              .unionByName(e.select(col("v").as("n")))
+              .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+            val keep = deg.filter(col("deg") >= 3).select(col("n"))
+            var next = e
+              .join(keep.select(col("n").as("ku")),
+                col("u") === col("ku"), "left_semi")
+              .join(keep.select(col("n").as("kv")),
+                col("v") === col("kv"), "left_semi")
+            if (mode == "checkpoint")
+              next = t(s"[$mode] ckpt(round $r)")(
+                next.localCheckpoint(eager = true))
+            else { next = next.persist(); held += next }
+            t(s"[$mode] stats(round $r)")(stats(next))
+            e = next
+          }
+          held.foreach(_.unpersist(blocking = false))
+          if (mode == "aqe-off")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
+      }
+      timed("q267 full (pc persist + peel)") {
+        val pc = pc0.persist()
+        val thr = pc.agg((lit(2.0)
+          * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+        val e = pc.crossJoin(broadcast(thr))
+          .filter(col("w").cast("double") >= col("t"))
+          .select(col("u"), col("v"))
+        noop(ops.Graph.kCoreProfile(e, 3, 3))
+        pc.unpersist(blocking = false)
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
       // (same measurement discipline as Bench, without the full sweep)

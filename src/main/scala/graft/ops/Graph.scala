@@ -80,17 +80,144 @@ object Graph {
   /** The pair-count relation behind [[cooccurEdges]] — (u, v, w)
     * with w = shared-bucket count — exposed separately so callers
     * with a DATA-DERIVED support threshold (q243's 2×mean cut) can
-    * filter in-plan instead of baking a constant in. */
+    * filter in-plan instead of baking a constant in.
+    *
+    * Hot-bucket safety (the one-task k² problem): a naive
+    * `collect_set` + row-local expansion puts a bucket's ENTIRE k²
+    * pair generation inside one task — a 10⁵-member bucket at
+    * 100 TB is 10¹⁰ pairs in one executor (straggler death). Here
+    * each bucket's sorted member set is split row-locally into
+    * `chunk`-sized rank slices, and the EXACT pair set is the
+    * union of
+    *   - intra-chunk pairs: the old row-local expansion, but per
+    *     chunk row, so ≤ chunk²/2 emissions per group row (and
+    *     streamed via posexplode+slice, never a flattened k²
+    *     struct array), and
+    *   - inter-chunk pairs: a chunk-pair join REPARTITIONED on
+    *     (bucket, g1, g2) before the two-level explode, so a hot
+    *     bucket's (k/chunk)² cross products spread across the
+    *     cluster instead of streaming through the bucket-keyed
+    *     join task.
+    * Slices are rank slices of the SORTED member list, so every
+    * member of chunk g1 < every member of g2 — u < v holds with no
+    * per-pair comparison. Output is IDENTICAL to the unchunked
+    * expansion (`GraphSpec` pins chunked == unchunked on a planted
+    * hot bucket); a bucket smaller than `chunk` yields exactly one
+    * slice, so the common case pays the same single bucket-keyed
+    * shuffle as the naive shape plus a near-empty inter join.
+    * Per-task memory is bounded by the largest bucket's id array
+    * (8 B/member — 10⁵ members is 800 KB; a bucket big enough for
+    * its ARRAY to matter implies an intractable k² output long
+    * before the buffer does).
+    *
+    * @param p (bucketCol*, user) projection, pre-distinct (every
+    *          caller derives it with `.distinct()`; duplicate
+    *          members would double-count pairs here, exactly as
+    *          they would in the oracle's self-join) */
   def cooccurPairCounts(p: DataFrame, bucketCols: Seq[String],
-      userCol: String): DataFrame =
-    p.groupBy(bucketCols.map(col): _*)
+      userCol: String, chunk: Int = 1024): DataFrame = {
+    val bc = bucketCols.map(col)
+    val groups = p.groupBy(bc: _*)
       .agg(sort_array(collect_set(col(userCol))).as("us"))
-      .select(explode(expr(
-        """flatten(transform(us, (u, i) ->
-           transform(slice(us, i + 2, size(us)),
-             v -> struct(u AS u, v AS v))))""")).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(bc :+ posexplode(expr(
+        s"""transform(sequence(0, (size(us) - 1) div $chunk),
+            g -> slice(us, g * $chunk + 1, $chunk))"""))
+        .as(Seq("g", "us")): _*)
+    val intra = groups
+      .select(col("us"), posexplode(col("us")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(slice(col("us"), col("i") + lit(2),
+          size(col("us")))).as("v"))
+    val l = groups.select(
+      bc :+ col("g").as("g1") :+ col("us").as("us1"): _*)
+    val r = groups.select(
+      bc :+ col("g").as("g2") :+ col("us").as("us2"): _*)
+    val inter = l.join(r, bucketCols)
+      .filter(col("g1") < col("g2"))
+      // the crux: without this, the explode below runs inside the
+      // bucket-keyed join task and the hot bucket is one task
+      // again. The partition count is EXPLICIT because the rows
+      // here are chunk-pair stubs that each expand chunk²-fold
+      // below — AQE sizes an un-counted repartition by its input
+      // bytes (a few KB per stub) and coalesces the exchange to
+      // one partition, re-serializing the straggler (measured:
+      // 40.7 s max-task with AQE coalescing vs 2-3 s explicit)
+      .repartition(p.sparkSession.sessionState.conf.numShufflePartitions,
+        bc :+ col("g1") :+ col("g2"): _*)
+      .select(explode(col("us1")).as("u"), col("us2"))
+      .select(col("u"), explode(col("us2")).as("v"))
+    intra.unionByName(inter)
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
+  }
+
+  /** k-core decomposition PROFILE under a fixed peeling budget:
+    * starting from the undirected edge set, each round removes
+    * every node of degree < k and the edges touching it, emitting
+    * (round, n_nodes, n_edges) for round 0 and after each of
+    * `rounds` peels — the shrinking-core audit (how fast the graph
+    * collapses under peeling measures its cohesion; a graph whose
+    * profile flatlines early HAS a k-core). Each round is one
+    * degree aggregate + two semi-joins on the node key.
+    *
+    * EAGER by design, with per-round `localCheckpoint` lineage
+    * truncation: each round's profile row is a 1-row aggregate
+    * (the bounded-driver-scalar class, q120 pattern) collected as
+    * the round completes, and each round's edge residue is
+    * checkpointed so the NEXT round plans against a flat LogicalRDD
+    * instead of the full join tree. The truncation is what makes
+    * the peel linear in rounds: every alternative was measured at
+    * sf0.1 and grows — the round-r logical plan references round
+    * r-1 three times (two semi-join probes + the degree build), so
+    * an un-truncated tree grows 3^r and each action pays Catalyst
+    * analysis on it regardless of caching (persist-per-round:
+    * 0.9/2.5/3.8/10.6 s per round, AQE on or off; checkpoint:
+    * ~0.9 s flat). The checkpoint blocks (tiny, shrinking edge
+    * subsets) are explicitly released before returning via a
+    * before/after diff of the context's persistent-RDD registry
+    * (safe: the result is a LOCAL relation of `rounds+1` rows, so
+    * nothing can ever recompute through the destroyed lineage; the
+    * diff is op-scoped and this library runs queries sequentially
+    * per session). At web scale the same truncation is what a
+    * 1000-round peel needs anyway — the driver never holds a plan
+    * deeper than one round.
+    *
+    * @param edges undirected (u, v) with u < v, no parallel edges */
+  def kCoreProfile(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // ONE aggregate per profile row: the directed union has every
+    // edge twice, so n_edges = rows/2 and both stats share a scan.
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .agg(count_distinct(col("n")), count(lit(1)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1) / 2)
+    }
+    val sc = spark.sparkContext
+    val rddsBefore = sc.getPersistentRDDs.keySet
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer((0L, stats(e)))
+    for (r <- 1 to rounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      e = e
+        .join(keep.select(col("n").as("ku")),
+          col("u") === col("ku"), "left_semi")
+        .join(keep.select(col("n").as("kv")),
+          col("v") === col("kv"), "left_semi")
+        .localCheckpoint()
+      out += ((r.toLong, stats(e)))
+    }
+    val rddsAfter = sc.getPersistentRDDs
+    (rddsAfter.keySet -- rddsBefore)
+      .foreach(id => rddsAfter(id).unpersist(blocking = false))
+    out.toSeq.map { case (r, (n, m)) => (r, n, m) }
+      .toDF("round", "n_nodes", "n_edges")
+      .orderBy(col("round"))
+  }
 
   /** Min-label propagation with a FIXED iteration budget — the
     * deterministic community/component sweep (one node-keyed
@@ -100,57 +227,6 @@ object Graph {
     * [[pageRank]], the edge subplan is deliberately NOT cached:
     * each round's neighbor-min join shuffles it on the same key, so
     * Spark plans one Exchange and reuses it. */
-  /** k-core decomposition PROFILE under a fixed peeling budget:
-    * starting from the undirected edge set, each round removes
-    * every node of degree < k and the edges touching it, emitting
-    * (round, n_nodes, n_edges) for round 0 and after each of
-    * `rounds` peels — the shrinking-core audit (how fast the graph
-    * collapses under peeling measures its cohesion; a graph whose
-    * profile flatlines early HAS a k-core). Each round is one
-    * degree aggregate + two semi-joins on the node key; every
-    * intermediate edge set is persisted (tiny residue — the q188
-    * round-boundary lesson) so later rounds and the count union
-    * never re-derive earlier rounds' subplans.
-    *
-    * @param edges undirected (u, v) with u < v, no parallel edges */
-  def kCoreProfile(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    // ONE aggregate per profile row: the directed union has every
-    // edge twice, so n_edges = rows/2 and both stats share a scan.
-    // (Two structures were measured and rejected at sf0.1: the
-    // two-branch crossJoin profile costs an extra aggregate + BNLJ
-    // per round — 24.7 s; reusing a PERSISTED per-round degree
-    // relation for both the profile and the peel filter chains four
-    // lazy caches through the semi-join build sides and AQE
-    // re-plans each layer — 45-59 s. This shape: ~18 s, of which
-    // ~8 s is the unavoidable pair expansion.)
-    def profileRow(e: DataFrame, r: Int): DataFrame =
-      e.select(col("u").as("n"))
-        .unionByName(e.select(col("v").as("n")))
-        .agg(count_distinct(col("n")).cast("long").as("n_nodes"),
-          (count(lit(1)) / 2).cast("long").as("n_edges"))
-        .select(lit(r.toLong).as("round"), col("n_nodes"),
-          col("n_edges"))
-    var e = edges.select(col("u"), col("v")).persist()
-    var out = profileRow(e, 0)
-    for (r <- 1 to rounds) {
-      val deg = e.select(col("u").as("n"))
-        .unionByName(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("n"))
-      val next = e
-        .join(keep.select(col("n").as("ku")),
-          col("u") === col("ku"), "left_semi")
-        .join(keep.select(col("n").as("kv")),
-          col("v") === col("kv"), "left_semi")
-        .persist()
-      out = out.unionByName(profileRow(next, r))
-      e = next
-    }
-    out.orderBy(col("round"))
-  }
-
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val ed = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))

@@ -1801,9 +1801,18 @@ object Advanced {
         Seq("event_type", "h"), "user_id")
       val thr = pc.agg((lit(2.0)
         * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+      // checkpoint the thresholded edge residue (tiny after the
+      // 2×mean cut): inside this ONE materialization thr's and the
+      // filter's scans of pc dedup via exchange reuse, and the three
+      // label-prop iterations below then plan against a flat
+      // LogicalRDD instead of re-analyzing the pair-expansion tree
+      // per iteration (measured 8.6 s → ~4 s at sf0.1 after the
+      // chunked pair rewrite made that tree heavier). The block is
+      // reclaimed by the ContextCleaner once the result is consumed.
       val e = pc.crossJoin(broadcast(thr))
         .filter(col("w").cast("double") >= col("t"))
         .select(col("u"), col("v"))
+        .localCheckpoint()
       graft.ops.Graph.labelPropagation(e, 3)
         .groupBy(col("lbl"))
         .agg(count(lit(1)).cast("long").as("csize"))
@@ -1871,7 +1880,12 @@ object Advanced {
       val e = pc.crossJoin(broadcast(thr))
         .filter(col("w").cast("double") >= col("t"))
         .select(col("u"), col("v"))
-      graft.ops.Graph.kCoreProfile(e, 3, 3)
+      // kCoreProfile is eager (returns a local relation), so pc's
+      // lifetime ends here — release it in-op instead of leaking
+      // the handle to the session
+      val out = graft.ops.Graph.kCoreProfile(e, 3, 3)
+      pc.unpersist(blocking = false)
+      out
     }
   }
 

@@ -527,13 +527,35 @@ object Pipeline {
   }
 
   /** LSH-bucketed ANN (cross-polytope, 32 bands × 1 hash, 2-probe —
-    * the VectorOps.lshTopK defaults) — the approximate scale path;
-    * recall is banding-dependent → rows-only check, gated at
-    * recall@3 >= 0.8 plus a candidate-ratio bound in AnnRecallSpec. */
-  val annLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * the VectorOps.lshTopK defaults) under the planted-duplicate
+    * containment audit (the q31/q41 pattern, VERDICT r9 #4): the
+    * corpus is doubled with offset ids, and an IDENTICAL vector
+    * hashes to identical band keys under any deterministic LSH
+    * family, so each query's planted duplicate is a GUARANTEED
+    * candidate and must surface in its top-3 at exact cosine 1 —
+    * key computation, bucket join, candidate distinct, exact
+    * re-rank and the k-cut are all on the hash-checked path now
+    * (a dropped band, a broken probe expansion, or a mis-ranked
+    * heap fails the driver compare). Family-dependent recall on
+    * NON-identical neighbors stays measured in AnnRecallSpec
+    * (recall floor + candidate-ratio ceiling). */
+  val annLsh: QueryDef = QueryDef.sql(
+    """SELECT vec_id AS q_id, TRUE AS ok FROM embeddings
+       WHERE vec_id < 10 ORDER BY 1""") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    VectorOps.lshTopK(emb, emb.filter(col("vec_id") < 10), 3)
-      .orderBy(col("q_id"), col("rank"))
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+      col("label")))
+    val queries = emb.filter(col("vec_id") < 10)
+    val top = VectorOps.lshTopK(doubled, queries, 3)
+    queries.select(col("vec_id").as("q_id"))
+      .join(top.filter(col("n_id") === col("q_id") + 100000L
+          && col("cos") === 1.0)
+        .select(col("q_id"), lit(true).as("__hit")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__hit"), lit(false)).as("ok"))
+      .orderBy(col("q_id"))
   }
 
   /** Exact embedding near-dup pairs at cosine >= 0.45 (brute-force
@@ -659,14 +681,37 @@ object Pipeline {
     * for q34's semantics (cross-polytope candidates + exact verify,
     * never all-pairs: measured candidate ratio 0.077, recall 0.97 at
     * sf0.1). Banding is corpus-size-adaptive
-    * ([[VectorOps.autoBanding]], VERDICT r7 #8): fixture SFs keep
-    * the measured (2,128,2) default, larger corpora lengthen the
-    * band key so the candidate ratio stays sub-quadratic.
-    * Hash-family-dependent recall → rows-only check; AnnRecallSpec
-    * gates measured recall against the exact q34 output AND the
-    * candidate ratio, at fixture scale and at the 10× tier. */
-  val embeddingNearDupLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    VectorOps.nearDupPairsLshAuto(Tables.embeddings(s, d), 0.45)
+    * ([[VectorOps.autoBanding]], VERDICT r7 #8). Hash-checked via
+    * the planted-duplicate containment audit (q31/q41 pattern,
+    * VERDICT r9 #4): the corpus is doubled with offset ids; every
+    * identical-embedding pair shares its base band key in EVERY
+    * band, so the LSH prefilter must emit it and the exact verify
+    * must score it cosine 1 — banding, bucket join, pair dedup and
+    * the exact-cosine verify are all on the hash-checked path (the
+    * oracle recomputes the ground-truth pair set from embedding
+    * equality alone). Recall on non-identical pairs stays measured
+    * in AnnRecallSpec at fixture scale and the 10× tier. */
+  val embeddingNearDupLsh: QueryDef = QueryDef.sql(
+    """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 100000, embedding FROM embeddings)
+       SELECT a.vec_id AS a_id, b.vec_id AS b_id, TRUE AS ok
+       FROM u a JOIN u b
+         ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+       ORDER BY 1, 2""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val found = VectorOps.nearDupPairsLshAuto(doubled, 0.45)
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val truth = doubled.as("x").join(doubled.as("y"),
+        col("x.embedding") === col("y.embedding")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    truth.join(found, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("cos") === 1.0, lit(false)).as("ok"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

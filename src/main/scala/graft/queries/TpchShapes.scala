@@ -545,8 +545,12 @@ object TpchShapes {
   /** ABC / Pareto classification of part types by revenue: exact
     * micro-long revenue per type, cumulative share over the
     * |types| residue (ordered rev DESC, type — total order), class
-    * breaks at 80%/95% via integer cross-multiplication
-    * (crev·100 ≤ tot·80 — no float ever decides a class). */
+    * breaks at 80%/95% via exact cross-multiplication in
+    * DECIMAL(20,0)·int → DECIMAL (no float ever decides a class,
+    * and no BIGINT overflow either: tot·100 on micro-unit revenue
+    * exceeds Long at ~$9.2e10 total — TPC-H sf~0.5 — where ANSI
+    * Spark would throw; decimal keeps the compare exact at any
+    * SF). */
   val abcClassification: QueryDef = QueryDef.sql(
     s"""WITH r AS (SELECT p_type,
            CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)
@@ -560,8 +564,11 @@ object TpchShapes {
        SELECT p_type, rev AS rev_micro,
          ${graft.Rounding.r6sql("CAST(crev AS DOUBLE)/tot")}
            AS cum_share,
-         CASE WHEN crev*100 <= tot*80 THEN 'A'
-           WHEN crev*100 <= tot*95 THEN 'B' ELSE 'C' END AS abc
+         CASE WHEN CAST(crev AS DECIMAL(20,0))*100
+                <= CAST(tot AS DECIMAL(20,0))*80 THEN 'A'
+           WHEN CAST(crev AS DECIMAL(20,0))*100
+                <= CAST(tot AS DECIMAL(20,0))*95 THEN 'B'
+           ELSE 'C' END AS abc
        FROM c, t ORDER BY rev_micro DESC, p_type""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val r = Tables.lineitem(s, d)
@@ -579,8 +586,10 @@ object TpchShapes {
       .crossJoin(broadcast(t))
       .select(col("p_type"), col("rev").as("rev_micro"),
         r6(col("crev").cast("double") / col("tot")).as("cum_share"),
-        when(col("crev") * 100 <= col("tot") * 80, "A")
-          .when(col("crev") * 100 <= col("tot") * 95, "B")
+        when(col("crev").cast("decimal(20,0)") * 100
+            <= col("tot").cast("decimal(20,0)") * 80, "A")
+          .when(col("crev").cast("decimal(20,0)") * 100
+            <= col("tot").cast("decimal(20,0)") * 95, "B")
           .otherwise("C").as("abc"))
       .orderBy(col("rev_micro").desc, col("p_type"))
   }

@@ -59,4 +59,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(n1 == n2)
     Caching.releaseAll()
   }
+
+  test("no silent codegen fallback fired across the catalog sweep") {
+    // every catalog query above ran through the shared session — a
+    // janino 64 KB overflow anywhere (the wide single-aggregate
+    // queries q94/q205/q223 are the design-risk class) would have
+    // logged one CodeGenerator ERROR and silently run interpreted;
+    // this turns that into a red test (VERDICT r9 #3)
+    CodegenErrorWatch.assertClean()
+  }
 }

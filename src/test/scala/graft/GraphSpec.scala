@@ -52,6 +52,48 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("cooccurPairCounts: chunked expansion is exact on a planted " +
+      "hot bucket (chunk boundaries, multi-bucket overlap)") {
+    import spark.implicits._
+    // one hot bucket of 25 members with chunk=8 (4 slices, one
+    // partial), plus two small buckets whose members overlap the hot
+    // bucket so some pairs span w>1; a reference count from the
+    // driver-side quadratic expansion pins exactness
+    val hot = (1 to 25).map(u => ("hot", u.toLong))
+    val b2 = Seq(3L, 9L, 17L, 25L).map(u => ("b2", u)) // spans slices
+    val b3 = Seq(3L, 9L).map(u => ("b3", u))
+    val p = (hot ++ b2 ++ b3).toDF("bkt", "user")
+    def ref(rows: Seq[(String, Long)]): Map[(Long, Long), Long] =
+      rows.groupBy(_._1).values.flatMap { bucket =>
+        val us = bucket.map(_._2).distinct.sorted
+        for (i <- us.indices; j <- (i + 1) until us.size)
+          yield (us(i), us(j))
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = ref(hot ++ b2 ++ b3)
+    for (chunk <- Seq(8, 3, 1000)) {
+      val got = Graph.cooccurPairCounts(p, Seq("bkt"), "user", chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == expect, s"chunk=$chunk")
+      // ordering invariant: u < v everywhere
+      got.keys.foreach { case (u, v) => assert(u < v, s"chunk=$chunk") }
+    }
+  }
+
+  test("kCoreProfile releases every block it persists/checkpoints") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L),
+      (2L, 4L), (4L, 5L)).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val prof = Graph.kCoreProfile(edges, 3, 2).collect()
+    // round 0: 5 nodes 7 edges; peeling deg<3 drops node 5 → the
+    // 4-clique (4 nodes, 6 edges) is stable at round 2
+    assert(prof.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((0L, 5L, 7L), (1L, 4L, 6L), (2L, 4L, 6L)))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "kCoreProfile leaked persistent RDD blocks")
+  }
+
   test("matches the reference power iteration bit-for-bit, " +
       "including dangling nodes") {
     val g = Seq(("a", "b", 2L), ("c", "b", 1L), ("b", "a", 1L),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * native-function registration as Verify/Bench/Explain. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    CodegenErrorWatch.install()
     val s = GraftSession.create("local[4]", "4",
       _.appName("graft-test")
         // managed-table writes (bucketing specs) land in tmp, not cwd

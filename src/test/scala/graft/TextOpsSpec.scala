@@ -59,8 +59,19 @@ class TextOpsSpec extends AnyFunSuite {
       val both = df.select(
         TextOps.languageId(col("text"), profiles).as("native"),
         TextOps.languageIdComposed(col("text"), profiles).as("composed"))
-      assert(both.filter(col("native") =!= col("composed")).count() == 0)
+      // compare via collect, NOT filter(...).count(): inlining both
+      // giant expression trees into a no-groupkey hash aggregate
+      // overflowed janino's 64 KB method limit (an aggregate cannot
+      // split its update function the way a Project stage can) and
+      // the whole comparison silently ran interpreted — the exact
+      // failure mode CodegenErrorWatch now gates (VERDICT r9 #3)
+      both.collect().foreach(r =>
+        assert(Option(r.getString(0)) == Option(r.getString(1)), r))
     }
+  }
+
+  test("no silent codegen fallback fired in this suite") {
+    CodegenErrorWatch.assertClean()
   }
 
   test("stopwordRatio uses multiset counts, not distinct") {

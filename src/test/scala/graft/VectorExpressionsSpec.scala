@@ -198,4 +198,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(scaled == viaDf(0))
   }
+
+  test("no silent codegen fallback fired in this suite") {
+    CodegenErrorWatch.assertClean()
+  }
 }
