@@ -3603,6 +3603,72 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("event_type"))
   }
 
+  /** Keyed MERGE-shaped upsert on the lake path (VERDICT r9 #8 —
+    * closes the lake-mechanics row next to q200's dynamic overwrite
+    * and q139/q75's CDC compaction): a snapshot table is WRITTEN,
+    * read back, merged with a keyed change feed (deletes %13,
+    * doubled-price updates %7, key-shifted inserts %11 — all derived
+    * from the data, no RNG), the merged state is written as the next
+    * table version and READ BACK for the output aggregate — both
+    * writes and both reads are on the physical path, so a broken
+    * merge join, a lost insert, or a resurrected delete
+    * hash-mismatches. The merge itself is the engine-standard
+    * full-outer join on the key (what MERGE INTO lowers to when the
+    * change feed isn't tiny); at 100 TB both sides shuffle on the
+    * key once, or zero times if the table is bucketed by it
+    * (q158/q207). Version paths are distinct — a lake NEVER
+    * overwrites the file set a running read depends on. */
+  val mergeUpsert: QueryDef = QueryDef.sql(
+    """WITH base AS (SELECT o_orderkey,
+           CAST(floor(o_totalprice*1000000+0.5) AS BIGINT) AS pm
+         FROM orders),
+       kept AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN pm*2 ELSE pm END AS pm
+         FROM base WHERE o_orderkey % 13 <> 0),
+       ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+           o_orderkey AS pm FROM base WHERE o_orderkey % 11 = 0),
+       m AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pm) AS BIGINT) AS sum_pm,
+         CAST(sum(CASE WHEN o_orderkey >= 1000000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_inserted
+       FROM m GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q327_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 1000000 + lit(0.5)).cast("long")
+        .as("pm"))
+    base.write.mode("overwrite").parquet(s"$dir/t_v1.parquet")
+    val snap = s.read.parquet(s"$dir/t_v1.parquet")
+    val changes = base.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), lit(null).cast("long").as("pm"),
+          lit("D").as("op"))
+      .unionByName(base
+        .filter(col("o_orderkey") % 7 === 0
+          && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), (col("pm") * 2).as("pm"),
+          lit("U").as("op")))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_orderkey").cast("long").as("pm"), lit("I").as("op")))
+    val merged = snap.as("t")
+      .join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("o_orderkey"),
+        when(col("c.op").isin("U", "I"), col("c.pm"))
+          .otherwise(col("t.pm")).as("pm"))
+    merged.write.mode("overwrite").parquet(s"$dir/t_v2.parquet")
+    s.read.parquet(s"$dir/t_v2.parquet")
+      .groupBy((col("o_orderkey") % 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("pm")).cast("long").as("sum_pm"),
+        sum(when(col("o_orderkey") >= 1000000000L, 1L).otherwise(0L))
+          .cast("long").as("n_inserted"))
+      .orderBy(col("bucket"))
+  }
+
   /** Right-to-be-forgotten erasure + audit — the governance rewrite
     * every lake eventually runs: a forget-set relation anti-joins
     * the fact (broadcast here; at scale a shuffle anti-join on the
@@ -4754,6 +4820,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q254_span_corruption" -> spanCorruption,
     "q256_stream_upsert" -> streamUpsert,
     "q200_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
+    "q327_merge_upsert" -> mergeUpsert,
     "q201_erasure_audit" -> erasureAudit,
     "q79_dup_spans" -> dupSpans,
     "q80_integrity_audit" -> integrityAudit,

@@ -3680,7 +3680,124 @@ object Stats {
       .orderBy(col("cohort_wk"))
   }
 
+  /** Model-lift gain table: orders scored by total price (the
+    * "model score"), outcome = urgent/high priority; rows are cut
+    * into 10 equal-population deciles by score DESC and each
+    * decile's positive rate is compared to the base rate — the
+    * standard campaign-targeting / classifier-calibration read.
+    * The global rank comes from [[graft.ops.Packing
+    * .withGlobalOffsets]] (range shuffle + driver prefix over
+    * numPartitions totals), NEVER a no-partition ntile window — the
+    * single-partition collapse is exactly what this operator must
+    * avoid at 100 TB. Decile = ((i-1)*10) div n on BOTH engines
+    * (even-spread integer form; n and the per-decile counts are
+    * exact longs, lift is two IEEE divides on the 10-row residue). */
+  val decileLift: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT o_orderkey,
+           CAST(floor(o_totalprice*1000000+0.5) AS BIGINT) pm,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END y
+         FROM orders),
+       r AS (SELECT y, CAST(row_number() OVER
+               (ORDER BY pm DESC, y, o_orderkey) AS BIGINT) i FROM s),
+       t0 AS (SELECT CAST(count(*) AS BIGINT) nn FROM s),
+       dd AS (SELECT CAST(((i-1)*10)//nn + 1 AS BIGINT) AS decile, y
+              FROM r, t0),
+       g AS (SELECT decile, CAST(count(*) AS BIGINT) n_rows,
+               CAST(sum(y) AS BIGINT) n_pos FROM dd GROUP BY 1),
+       t AS (SELECT CAST(sum(n_pos) AS BIGINT) tot_pos,
+               CAST(sum(n_rows) AS BIGINT) tot_n FROM g)
+       SELECT decile, n_rows, n_pos,
+         floor((CAST(n_pos AS DOUBLE)/n_rows)
+           / (CAST(tot_pos AS DOUBLE)/tot_n) * 1000000 + 0.5)/1000000
+           AS lift
+       FROM g, t ORDER BY 1""") { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 1000000 + lit(0.5)).cast("long")
+          .as("pm"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      .withColumn("negpm", -col("pm"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.ops.Packing.withGlobalOffsets(base, "negpm",
+      "one", tieCols = Seq("y", "o_orderkey"))
+    val n = base.agg(count(lit(1)).as("nn"))
+    val g = ranked.crossJoin(broadcast(n))
+      .select((expr("(offset * 10) div nn") + 1).cast("long")
+        .as("decile"), col("y"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("y")).cast("long").as("n_pos"))
+    val t = g.agg(sum(col("n_pos")).cast("long").as("tot_pos"),
+      sum(col("n_rows")).cast("long").as("tot_n"))
+    g.crossJoin(broadcast(t))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        r6(try_divide(col("n_pos").cast("double") / col("n_rows"),
+          col("tot_pos").cast("double") / col("tot_n"))).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  /** Mann–Whitney U (rank-sum) between purchase and click values —
+    * the nonparametric two-sample location test next to q228's
+    * parametric Welch t. Ranks use the exact midrank-with-ties
+    * form, computed WITHOUT a global row sort: values quantize to
+    * micro-longs, ONE hash aggregate reduces the fact to the
+    * distinct-value relation (v, n, n1v), and the prefix count over
+    * that much smaller relation comes from
+    * [[graft.ops.Packing.withGlobalOffsets]] — midrank(v) =
+    * prefix + 1 + (n-1)/2. The rank-sum Σ n1v·midrank is a sum of
+    * exact half-integers (order-free exact in double to 2^52), so
+    * no fold-order pinning is needed; U and the rank-biserial
+    * effect size are IEEE ops on the 1-row residue. */
+  val mannWhitneyU: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT event_type,
+           CAST(floor(value*1000000+0.5) AS BIGINT) v FROM events
+         WHERE event_type IN ('purchase','click')
+           AND value IS NOT NULL),
+       c AS (SELECT v, CAST(count(*) AS BIGINT) n,
+               CAST(sum(CASE WHEN event_type='purchase' THEN 1
+                 ELSE 0 END) AS BIGINT) n1v
+             FROM s GROUP BY 1),
+       p AS (SELECT v, n, n1v,
+               CAST(coalesce(sum(n) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) offp
+             FROM c),
+       a AS (SELECT CAST(sum(n1v) AS BIGINT) n1,
+               CAST(sum(n - n1v) AS BIGINT) n2,
+               sum(n1v * (offp + 1 + (n-1)/2.0)) r1 FROM p)
+       SELECT n1, n2,
+         floor((r1 - CAST(n1 AS DOUBLE)*(n1+1)/2.0)*1000000+0.5)
+           /1000000 AS u1,
+         floor((1 - 2*(r1 - CAST(n1 AS DOUBLE)*(n1+1)/2.0)
+           / (CAST(n1 AS DOUBLE)*n2))*1000000+0.5)/1000000
+           AS rank_biserial
+       FROM a""") { (s, d) =>
+    val sv = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click")
+        && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("v"))
+    val c = sv.groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n1v"))
+    val p = graft.ops.Packing.withGlobalOffsets(c, "v", "n")
+    val a = p.agg(sum(col("n1v")).cast("long").as("n1"),
+      sum(col("n") - col("n1v")).cast("long").as("n2"),
+      sum(col("n1v")
+        * (col("offset") + lit(1) + (col("n") - lit(1)) / lit(2.0)))
+        .as("r1"))
+    val u1raw = col("r1") -
+      col("n1").cast("double") * (col("n1") + lit(1)) / lit(2.0)
+    a.select(col("n1"), col("n2"), r6(u1raw).as("u1"),
+      r6(lit(1) - lit(2) * u1raw /
+        (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q328_decile_lift" -> decileLift,
+    "q329_mannwhitney_u" -> mannWhitneyU,
     "q202_psi_drift" -> psiDrift,
     "q325_time_to_first_purchase" -> timeToFirstPurchase,
     "q203_markov_transitions" -> markovTransitions,

@@ -765,7 +765,53 @@ object TpchShapes {
       .orderBy(col("price_cv").desc, col("l_partkey"))
   }
 
+  /** Part reorder rate per market segment (the Instacart-style
+    * repeat-purchase read): a (customer, part) line is a REORDER if
+    * it appears in any order after that pair's first order. One
+    * distinct projection, one (cust, part) min-aggregate, one keyed
+    * join back — never a timeline self-join. "First" is defined by
+    * the minimal orderkey (unique, total), so the flag is exact
+    * integer arithmetic end to end. */
+  val reorderRate: QueryDef = QueryDef.sql(
+    """WITH op AS (SELECT DISTINCT c_mktsegment, o_custkey, l_partkey,
+           o_orderkey
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN customer ON c_custkey = o_custkey),
+       f AS (SELECT o_custkey, l_partkey,
+               CAST(min(o_orderkey) AS BIGINT) fk
+             FROM op GROUP BY 1, 2),
+       j AS (SELECT c_mktsegment,
+               CASE WHEN o_orderkey > fk THEN 1 ELSE 0 END re
+             FROM op JOIN f ON f.o_custkey = op.o_custkey
+                  AND f.l_partkey = op.l_partkey)
+       SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_pairs,
+         CAST(sum(re) AS BIGINT) n_reorders,
+         floor(CAST(sum(re) AS DOUBLE)/count(*)*1000000+0.5)/1000000
+           AS reorder_rate
+       FROM j GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val op = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("l_partkey"),
+        col("o_orderkey"))
+      .distinct()
+    val f = op.groupBy(col("o_custkey").as("fc"), col("l_partkey").as("fp"))
+      .agg(min(col("o_orderkey")).cast("long").as("fk"))
+    op.join(f, col("fc") === col("o_custkey")
+        && col("fp") === col("l_partkey"))
+      .select(col("c_mktsegment"),
+        when(col("o_orderkey") > col("fk"), 1L).otherwise(0L).as("re"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("re")).cast("long").as("n_reorders"),
+        r6(sum(col("re")).cast("double") / count(lit(1)))
+          .as("reorder_rate"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q330_reorder_rate" -> reorderRate,
     "q324_price_dispersion" -> priceDispersion,
     "q277_supplier_part_counts" -> supplierPartCounts,
     "q278_abc_classification" -> abcClassification,

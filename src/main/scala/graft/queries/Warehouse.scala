@@ -823,7 +823,79 @@ object Warehouse {
       .orderBy(col("p_brand"))
   }
 
+  /** LISTAGG (Spark 4.0's ANSI ordered string aggregation — the
+    * SQL:2016 surface next to q326's VARIANT): per market segment,
+    * the top-3 spender custkeys as an ORDERED csv. The WITHIN GROUP
+    * ordering is what distinguishes this from
+    * array_join(sort_array(collect_list(…))) — the order column
+    * (rank) is not part of the emitted value. Spend ranks via a
+    * segment-keyed window (bounded partitions — 5 segments ×
+    * customers, never a global sort), and only the ≤3 ranked rows
+    * per segment reach the aggregation. */
+  val listaggTopSpenders: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT c_mktsegment, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice*1000000+0.5) AS BIGINT))
+             AS BIGINT) sp
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1, 2),
+       r AS (SELECT c_mktsegment, o_custkey, sp,
+               row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY sp DESC, o_custkey) rk
+             FROM s)
+       SELECT c_mktsegment,
+         string_agg(CAST(o_custkey AS VARCHAR), ',' ORDER BY rk)
+           AS top3_custkeys,
+         CAST(sum(sp) AS BIGINT) AS top3_spend_micro
+       FROM r WHERE rk <= 3 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val sp = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("sp"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("sp").desc, col("o_custkey"))
+    sp.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("listagg(CAST(o_custkey AS STRING), ',')" +
+          " WITHIN GROUP (ORDER BY rk)").as("top3_custkeys"),
+        sum(col("sp")).cast("long").as("top3_spend_micro"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Case-insensitive grouping through Spark 4 COLLATIONS (the
+    * engine-native path — no lower() rewrite on the grouping key):
+    * part types are re-cased by key parity so every type exists in
+    * two spellings, then grouped under UTF8_LCASE collation, which
+    * must merge them back to one group per type. The emitted key is
+    * lower()-normalized (the group's representative spelling is
+    * engine-internal); the oracle groups by lower() directly —
+    * identical groups, counts, and micro-sums or the collation path
+    * is broken. */
+  val collatedGroup: QueryDef = QueryDef.sql(
+    """WITH m AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+             ELSE p_type END AS t,
+           CAST(floor(p_retailprice*1000000+0.5) AS BIGINT) pm
+         FROM part)
+       SELECT lower(t) AS p_type_lc, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pm) AS BIGINT) AS price_micro
+       FROM m GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.part(s, d)
+      .select(when(col("p_partkey") % 2 === 0, upper(col("p_type")))
+          .otherwise(col("p_type")).as("t"),
+        floor(col("p_retailprice") * 1000000 + lit(0.5)).cast("long")
+          .as("pm"))
+      .groupBy(expr("collate(t, 'UTF8_LCASE')").as("tc"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("pm")).cast("long").as("price_micro"))
+      .select(lower(col("tc")).cast("string").as("p_type_lc"),
+        col("n"), col("price_micro"))
+      .orderBy(col("p_type_lc"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q331_listagg_top_spenders" -> listaggTopSpenders,
+    "q332_collated_group" -> collatedGroup,
     "q320_orders_month_index" -> ordersMonthIndex,
     "q322_segment_order_percentiles" -> segmentOrderPercentiles,
     "q323_brand_share_slope" -> brandShareSlope,
