@@ -323,4 +323,55 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("state store loads once per partition, not once per batch — " +
+      "the lane's fixed init cost cannot silently become per-batch") {
+    // VERDICT r9 #7: the streaming lane's 2-9 s per-stream constant
+    // is state-store/offset-log INIT, paid once (SURVEY §14.40).
+    // This gate pins the invariant behind that claim WITHOUT
+    // wall-clock flakiness: across a multi-batch run, the
+    // HDFS-backed provider's loadedMap cache may MISS at most once
+    // per state partition (first load); every later batch must HIT
+    // the loaded map. An accidental re-init per batch (provider
+    // reconstruction, checkpoint re-read) shows up as misses
+    // scaling with batch count and fails here.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sinit_" +
+      ProcessHandle.current().pid()
+    val ev = Tables.events(spark, dir)
+    for (i <- 0 until 3)
+      ev.filter(col("event_id") % 3 === i).write.mode("overwrite")
+        .parquet(s"$base/in/f$i")
+    val stream = graft.Tables.normalizeEventTs(spark.readStream
+      .schema(spark.read.parquet(s"$base/in/f0").schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/*"))
+    val q = StreamOps.runToMemory(
+      StreamOps.runningUserCounts(stream), "sinit", OutputMode.Update())
+    try {
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.length >= 3,
+        s"expected >= 3 micro-batches, got ${progress.length}")
+      val stateParts = progress.flatMap(_.stateOperators.headOption)
+        .map(_.numShufflePartitions).max
+      def metric(name: String): Long =
+        progress.flatMap(_.stateOperators.headOption)
+          .map(p => Option(p.customMetrics.get(name))
+            .map(_.longValue).getOrElse(
+              fail(s"state-store metric $name missing — provider " +
+                "changed? re-pin the gate to its equivalent")))
+          .sum
+      val misses = metric("loadedMapCacheMissCount")
+      val hits = metric("loadedMapCacheHitCount")
+      assert(misses <= stateParts,
+        s"state maps re-loaded beyond first touch: $misses misses " +
+          s"over $stateParts partitions — per-batch re-init")
+      assert(hits > 0, "later batches never hit the loaded state map")
+      // state rows never reset across batches (monotone accumulation)
+      val totals = progress.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal)
+      assert(totals.zip(totals.tail).forall { case (a, b) => b >= a },
+        s"state row count regressed across batches: ${totals.toSeq}")
+    } finally q.stop()
+  }
 }
