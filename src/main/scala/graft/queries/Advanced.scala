@@ -2091,7 +2091,56 @@ object Advanced {
       .orderBy(col("event_type"))
   }
 
+  /** Log-binned degree histogram of the co-occurrence graph (same
+    * 2×mean-cut edges as q243/q267) — the power-law audit every
+    * graph pipeline runs before choosing hub mitigations. The bin is
+    * computed INTEGER-EXACT as length(bin(deg))-1 (= floor(log2)
+    * without the transcendental — a libm log2 one ulp under an
+    * exact power of two would flip the bin cross-engine). Edge
+    * residue localCheckpoints like q243, so the degree aggregate
+    * plans against a flat LogicalRDD instead of re-deriving the
+    * pair expansion. */
+  val degreeHistogram: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT DISTINCT event_type,
+           date_trunc('hour', ts) AS h, user_id FROM events),
+       pc AS (SELECT a.user_id u, b.user_id v,
+           CAST(count(*) AS BIGINT) c
+         FROM p a JOIN p b ON a.event_type = b.event_type
+           AND a.h = b.h AND a.user_id < b.user_id GROUP BY 1, 2),
+       thr AS (SELECT 2.0*avg(c) t FROM pc),
+       e AS (SELECT u, v FROM pc, thr WHERE c >= t),
+       d AS (SELECT n, CAST(count(*) AS BIGINT) deg FROM
+             (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+             GROUP BY 1)
+       SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(min(deg) AS BIGINT) AS min_deg,
+         CAST(max(deg) AS BIGINT) AS max_deg
+       FROM d GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct()
+    val pc = graft.ops.Graph.cooccurPairCounts(p,
+      Seq("event_type", "h"), "user_id")
+    val thr = pc.agg((lit(2.0)
+      * (sum(col("w")).cast("double") / count(lit(1)))).as("t"))
+    val e = pc.crossJoin(broadcast(thr))
+      .filter(col("w").cast("double") >= col("t"))
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("deg"))
+      .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        min(col("deg")).cast("long").as("min_deg"),
+        max(col("deg")).cast("long").as("max_deg"))
+      .orderBy(col("bin"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q333_degree_histogram" -> degreeHistogram,
     "q267_kcore_profile" -> kCoreProfileQ,
     "q326_variant_extract" -> variantExtract,
     "q292_refresh_cache" -> refreshCacheInvalidation,

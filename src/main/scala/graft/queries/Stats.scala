@@ -3795,9 +3795,135 @@ object Stats {
         (col("n1").cast("double") * col("n2"))).as("rank_biserial"))
   }
 
+  /** Two-pass exact skewness/kurtosis per event_type — the
+    * numerically-honest moment computation at lake scale: pass 1 is
+    * an exact integer mean (centi-quantized long sums), pass 2
+    * accumulates powers of the SHIFTED residual d = v − ⌊mean⌋
+    * (central moments are shift-invariant), so d² stays in long and
+    * d³/d⁴ go through DECIMAL(38,0) sums — exact and order-free at
+    * any row count, where raw double power sums stop being exactly
+    * representable at ~2^53 and drift with partial-agg order. The
+    * final skew/kurtosis arithmetic is the identical IEEE op
+    * sequence on both engines over the ≤|types|-row residue
+    * (m2^1.5 spelled m2·sqrt(m2) — pow(x,1.5) is a different libm
+    * entry point on each engine). */
+  val momentStats: QueryDef = QueryDef.sql(
+    """WITH s AS (SELECT event_type,
+           CAST(floor(value*100+0.5) AS BIGINT) v FROM events
+         WHERE value IS NOT NULL),
+       b AS (SELECT event_type, CAST(sum(v) AS BIGINT) s1,
+               CAST(count(*) AS BIGINT) n FROM s GROUP BY 1),
+       base AS (SELECT event_type, s1 // n AS mu0 FROM b),
+       dd AS (SELECT s.event_type, v - mu0 AS d
+              FROM s JOIN base USING (event_type)),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+               CAST(sum(d) AS DECIMAL(38,0)) c1,
+               CAST(sum(d*d) AS DECIMAL(38,0)) c2,
+               CAST(sum(CAST(d*d AS DECIMAL(38,0))*d)
+                 AS DECIMAL(38,0)) c3,
+               CAST(sum(CAST(d*d AS DECIMAL(38,0))*(d*d))
+                 AS DECIMAL(38,0)) c4
+             FROM dd GROUP BY 1),
+       u AS (SELECT event_type, n,
+               CAST(c1 AS DOUBLE)/n u1, CAST(c2 AS DOUBLE)/n u2,
+               CAST(c3 AS DOUBLE)/n u3, CAST(c4 AS DOUBLE)/n u4
+             FROM m)
+       SELECT event_type, n,
+         floor((u3 - 3*u2*u1 + 2*u1*u1*u1)
+           / ((u2 - u1*u1) * sqrt(u2 - u1*u1)) * 1000000 + 0.5)
+           /1000000 AS skewness,
+         floor(((u4 - 4*u3*u1 + 6*u2*(u1*u1) - 3*(u1*u1)*(u1*u1))
+           / ((u2 - u1*u1) * (u2 - u1*u1)) - 3) * 1000000 + 0.5)
+           /1000000 AS kurtosis_excess
+       FROM u ORDER BY 1""") { (s, d) =>
+    val sv = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+    // exact integer division for the base (values are non-negative,
+    // so Spark's truncating `div` == DuckDB's flooring `//`; a
+    // double-division cast would silently drift past 2^53 — any
+    // CONSISTENT integer base is mathematically fine by shift
+    // invariance, but both engines must pick the SAME one)
+    val base = sv.groupBy(col("event_type"))
+      .agg(sum(col("v")).cast("long").as("s1v"),
+        count(lit(1)).cast("long").as("nv"))
+      .select(col("event_type"),
+        expr("s1v div nv").cast("long").as("mu0"))
+    val dd = sv.join(base, Seq("event_type"))
+      .select(col("event_type"), (col("v") - col("mu0")).as("d"))
+    val dec = "decimal(38,0)"
+    val m = dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("d")).cast(dec).as("c1"),
+        sum(col("d") * col("d")).cast(dec).as("c2"),
+        sum((col("d") * col("d")).cast(dec) * col("d")).cast(dec)
+          .as("c3"),
+        sum((col("d") * col("d")).cast(dec) * (col("d") * col("d")))
+          .cast(dec).as("c4"))
+    val nD = col("n").cast("double")
+    val u = m.select(col("event_type"), col("n"),
+      (col("c1").cast("double") / nD).as("u1"),
+      (col("c2").cast("double") / nD).as("u2"),
+      (col("c3").cast("double") / nD).as("u3"),
+      (col("c4").cast("double") / nD).as("u4"))
+    val m2 = col("u2") - col("u1") * col("u1")
+    u.select(col("event_type"), col("n"),
+      r6((col("u3") - lit(3) * col("u2") * col("u1")
+        + lit(2) * col("u1") * col("u1") * col("u1"))
+        / (m2 * sqrt(m2))).as("skewness"),
+      r6((col("u4") - lit(4) * col("u3") * col("u1")
+        + lit(6) * col("u2") * (col("u1") * col("u1"))
+        - lit(3) * (col("u1") * col("u1")) * (col("u1") * col("u1")))
+        / (m2 * m2) - lit(3)).as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Inter-arrival coefficient of variation per event_type — the
+    * burstiness read on the GLOBAL per-type timeline (CV 1 ≈
+    * Poisson, > 1 bursty; q321 is the per-document token twin). The
+    * lag runs in |types| bounded partitions; gap second moments go
+    * through DECIMAL(38,0) (µs gaps square to ~10²⁰ — past both
+    * long and exact-double range), mean/variance/sqrt on the 5-row
+    * residue. */
+  val interarrivalCv: QueryDef = QueryDef.sql(
+    """WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) gap
+         FROM events),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+               CAST(sum(gap) AS BIGINT) s1,
+               CAST(sum(CAST(gap AS DECIMAL(38,0))*gap)
+                 AS DECIMAL(38,0)) s2
+             FROM g WHERE gap IS NOT NULL GROUP BY 1)
+       SELECT event_type, n,
+         floor(sqrt(CAST(s2 AS DOUBLE)/n
+             - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+           / (CAST(s1 AS DOUBLE)/n) * 1000000 + 0.5)/1000000 AS cv
+       FROM m ORDER BY 1""") { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val m = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("gap")).cast("long").as("s1"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap"))
+          .cast("decimal(38,0)").as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    m.select(col("event_type"), col("n"),
+      r6(sqrt(col("s2").cast("double") / nD - mean * mean) / mean)
+        .as("cv"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q328_decile_lift" -> decileLift,
     "q329_mannwhitney_u" -> mannWhitneyU,
+    "q334_moment_stats" -> momentStats,
+    "q336_interarrival_cv" -> interarrivalCv,
     "q202_psi_drift" -> psiDrift,
     "q325_time_to_first_purchase" -> timeToFirstPurchase,
     "q203_markov_transitions" -> markovTransitions,

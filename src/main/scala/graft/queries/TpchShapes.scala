@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extension tier: the remaining TPC-H plan shapes (Q2, Q4, Q8, Q9,
@@ -810,8 +811,84 @@ object TpchShapes {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Supplier switch rate: among repeat purchases of the same part
+    * by the same customer (ordered by orderkey), how often does the
+    * supplier change — the procurement-loyalty read. The lag runs in
+    * (customer, part)-keyed partitions (bounded per-order fanout —
+    * never a timeline self-join); tie order within an orderkey is
+    * completed by suppkey so the flag is deterministic when one
+    * order sources the same part from two suppliers. */
+  val supplierSwitches: QueryDef = QueryDef.sql(
+    """WITH op AS (SELECT DISTINCT o_custkey, l_partkey, o_orderkey,
+           l_suppkey
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       lg AS (SELECT l_suppkey, lag(l_suppkey) OVER
+               (PARTITION BY o_custkey, l_partkey
+                ORDER BY o_orderkey, l_suppkey) ps
+             FROM op)
+       SELECT CAST(count(*) AS BIGINT) n_repeats,
+         CAST(sum(CASE WHEN l_suppkey <> ps THEN 1 ELSE 0 END)
+           AS BIGINT) n_switches,
+         floor(CAST(sum(CASE WHEN l_suppkey <> ps THEN 1 ELSE 0 END)
+           AS DOUBLE)/count(*)*1000000+0.5)/1000000 AS switch_rate
+       FROM lg WHERE ps IS NOT NULL""") { (s, d) =>
+    val op = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("o_orderkey"),
+        col("l_suppkey"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey"), col("l_partkey"))
+      .orderBy(col("o_orderkey"), col("l_suppkey"))
+    op.select(col("l_suppkey"),
+        lag(col("l_suppkey"), 1).over(w).as("ps"))
+      .filter(col("ps").isNotNull)
+      .agg(count(lit(1)).cast("long").as("n_repeats"),
+        sum(when(col("l_suppkey") =!= col("ps"), 1L).otherwise(0L))
+          .cast("long").as("n_switches"),
+        r6(sum(when(col("l_suppkey") =!= col("ps"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("switch_rate"))
+  }
+
+  /** Week-over-week revenue growth per market segment: weekly
+    * micro-exact revenue, one segment-keyed lag window (|segments|
+    * bounded partitions of ~400 weeks each — never a global sort),
+    * percent change as a single IEEE divide per emitted row. */
+  val wowRevenueChange: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT c_mktsegment,
+           datediff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) // 7 AS wk,
+           CAST(sum(CAST(floor(o_totalprice*1000000+0.5) AS BIGINT))
+             AS BIGINT) rev
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1, 2),
+       l AS (SELECT c_mktsegment, wk, rev,
+               lag(rev) OVER (PARTITION BY c_mktsegment ORDER BY wk)
+                 pr FROM w)
+       SELECT c_mktsegment, CAST(wk AS BIGINT) wk, rev,
+         floor((CAST(rev AS DOUBLE)-pr)/pr*1000000+0.5)/1000000
+           AS wow_pct
+       FROM l WHERE pr IS NOT NULL ORDER BY 1, 2""") { (s, d) =>
+    val wk = (datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1970-01-01"))).cast("long") / 7).cast("long")
+    val w = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), wk.as("wk"))
+      .agg(sum(floor(col("o_totalprice") * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("rev"))
+    val win = Window.partitionBy(col("c_mktsegment")).orderBy(col("wk"))
+    w.withColumn("pr", lag(col("rev"), 1).over(win))
+      .filter(col("pr").isNotNull)
+      .select(col("c_mktsegment"), col("wk"), col("rev"),
+        r6((col("rev").cast("double") - col("pr")) / col("pr"))
+          .as("wow_pct"))
+      .orderBy(col("c_mktsegment"), col("wk"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q330_reorder_rate" -> reorderRate,
+    "q335_supplier_switches" -> supplierSwitches,
+    "q337_wow_revenue_change" -> wowRevenueChange,
     "q324_price_dispersion" -> priceDispersion,
     "q277_supplier_part_counts" -> supplierPartCounts,
     "q278_abc_classification" -> abcClassification,
