@@ -342,8 +342,19 @@ object Profile {
         .distinct()
       def pairs(chunk: Int): DataFrame = ops.Graph.cooccurPairCounts(
         planted, Seq("event_type", "h"), "user_id", chunk)
+      // shuffle parallelism scales with the data, as on a real
+      // cluster (the §13.4 q196 / bandsweep precedent): the hot
+      // bucket emits ~hot²/2 pairs, and per-task aggregate state
+      // only stays fixture-sized if the partition count grows with
+      // it (~2M pairs/task). At a fixed 32, the 30k tier builds
+      // 14M-entry partial-agg maps in 32 concurrent tasks and
+      // GC/spill-thrashes (measured 33.8 GB spill, 280 s max task).
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(512L, math.max(32L,
+          hot.toLong * hot / 2 / 2000000L)).toString)
       val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
       val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
@@ -352,10 +363,22 @@ object Profile {
             stageMax.merge(t.stageId, t.taskInfo.duration,
               (a, b) => math.max(a, b))
           }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = s.stageInfo.taskMetrics
+            stageInfo.put(s.stageInfo.stageId,
+              s"tasks=${s.stageInfo.numTasks} " +
+                s"sr=${m.shuffleReadMetrics.recordsRead} " +
+                s"sw=${m.shuffleWriteMetrics.recordsWritten} " +
+                s"spill=${m.memoryBytesSpilled / (1 << 20)}MB")
+          }
         })
-      for ((label, chunk) <- Seq(
-          ("chunked (1024)", 1024),
-          ("naive (chunk=MaxValue)", Int.MaxValue))) {
+      val variants = if (args.length > 2 && args(2) == "chunkonly")
+        Seq(("chunked (1024)", 1024))
+      else Seq(("chunked (1024)", 1024),
+        ("naive (chunk=MaxValue)", Int.MaxValue))
+      for ((label, chunk) <- variants) {
         maxTask.set(0); stageMax.clear()
         val t0 = System.nanoTime()
         val n = pairs(chunk).count()
@@ -365,7 +388,8 @@ object Profile {
         import scala.jdk.CollectionConverters._
         stageMax.asScala.toSeq.sortBy(-_._2).take(5).foreach {
           case (sid, ms) => println(
-            f"[profile]   stage $sid%4d max_task=${ms / 1e3}%8.3f s")
+            f"[profile]   stage $sid%4d max_task=${ms / 1e3}%8.3f s " +
+              stageInfo.getOrDefault(sid, ""))
         }
       }
       spark.stop()

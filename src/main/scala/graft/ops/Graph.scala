@@ -123,7 +123,14 @@ object Graph {
         s"""transform(sequence(0, (size(us) - 1) div $chunk),
             g -> slice(us, g * $chunk + 1, $chunk))"""))
         .as(Seq("g", "us")): _*)
+    // explicit-count repartition for the SAME reason as the inter
+    // branch below: group rows are kB-sized stubs that expand
+    // chunk²-fold on explode, and AQE coalesces a stub-sized
+    // exchange read to ONE task (measured: the coalesced intra task
+    // absorbed every bucket's intra expansion)
     val intra = groups
+      .repartition(p.sparkSession.sessionState.conf.numShufflePartitions,
+        bc :+ col("g"): _*)
       .select(col("us"), posexplode(col("us")).as(Seq("i", "u")))
       .select(col("u"),
         explode(slice(col("us"), col("i") + lit(2),

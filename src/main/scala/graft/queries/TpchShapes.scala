@@ -885,10 +885,57 @@ object TpchShapes {
       .orderBy(col("c_mktsegment"), col("wk"))
   }
 
+  /** Maximum drawdown of weekly revenue per market segment — the
+    * risk read on a revenue series (largest drop from a running
+    * peak), plus the first week attaining it. Running peak is a
+    * segment-keyed prefix-max window (|segments| bounded
+    * partitions); everything is exact micro-longs — no float ever
+    * ranks a drawdown. */
+  val maxDrawdown: QueryDef = QueryDef.sql(
+    """WITH w AS (SELECT c_mktsegment,
+           datediff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) // 7 AS wk,
+           CAST(sum(CAST(floor(o_totalprice*1000000+0.5) AS BIGINT))
+             AS BIGINT) rev
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1, 2),
+       dd AS (SELECT c_mktsegment, wk,
+               CAST(max(rev) OVER (PARTITION BY c_mktsegment
+                 ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - rev AS BIGINT) draw
+             FROM w),
+       mx AS (SELECT c_mktsegment, CAST(max(draw) AS BIGINT) md
+              FROM dd GROUP BY 1)
+       SELECT dd.c_mktsegment, md AS max_drawdown_micro,
+         CAST(min(wk) AS BIGINT) AS trough_wk
+       FROM dd JOIN mx ON mx.c_mktsegment = dd.c_mktsegment
+         AND dd.draw = mx.md
+       GROUP BY 1, 2 ORDER BY 1""") { (s, d) =>
+    val wkCol = (datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1970-01-01"))).cast("long") / 7).cast("long")
+    val w = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), wkCol.as("wk"))
+      .agg(sum(floor(col("o_totalprice") * 1000000 + lit(0.5))
+        .cast("long")).cast("long").as("rev"))
+    val win = Window.partitionBy(col("c_mktsegment")).orderBy(col("wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = w.select(col("c_mktsegment"), col("wk"),
+      (max(col("rev")).over(win) - col("rev")).cast("long").as("draw"))
+    val mx = dd.groupBy(col("c_mktsegment").as("ms"))
+      .agg(max(col("draw")).cast("long").as("md"))
+    dd.join(mx, col("ms") === col("c_mktsegment")
+        && col("draw") === col("md"))
+      .groupBy(col("c_mktsegment"), col("md").as("max_drawdown_micro"))
+      .agg(min(col("wk")).cast("long").as("trough_wk"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q330_reorder_rate" -> reorderRate,
     "q335_supplier_switches" -> supplierSwitches,
     "q337_wow_revenue_change" -> wowRevenueChange,
+    "q338_max_drawdown" -> maxDrawdown,
     "q324_price_dispersion" -> priceDispersion,
     "q277_supplier_part_counts" -> supplierPartCounts,
     "q278_abc_classification" -> abcClassification,
