@@ -2139,8 +2139,55 @@ object Advanced {
       .orderBy(col("bin"))
   }
 
+  /** Bounded BFS profile via RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE` — the second deliberate `spark.sql` routing
+    * next to q42: recursion has no DataFrame-API surface): from the
+    * lexicographically-first event type, expand the user-journey
+    * transition graph (q203's edges) depth-by-depth with UNION ALL
+    * + an explicit depth bound (Spark rejects UNION-distinct
+    * recursion, so termination is the bound, and the per-node MIN
+    * depth collapses path multiplicity after the fact — BFS levels
+    * from a DFS-enumerated path set). The graph is |event types|²
+    * bounded, so the path fan-out is a plan constant; the point is
+    * the recursive-plan surface, not volume. */
+  val recursiveReach: QueryDef = QueryDef.sql(
+    """WITH RECURSIVE e AS (
+         SELECT src, dst FROM (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM events)
+         WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+       st AS (SELECT min(src) s FROM e),
+       r(n, d) AS (
+         SELECT s, 0 FROM st
+         UNION ALL
+         SELECT e.dst, d + 1 FROM r JOIN e ON e.src = r.n WHERE d < 3)
+       SELECT n AS event_type, CAST(min(d) AS BIGINT) AS min_depth
+       FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val edges = Tables.events(s, d)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+    edges.createOrReplaceTempView("graft_q339_edges")
+    s.sql(
+      """WITH RECURSIVE st AS (SELECT min(src) s FROM graft_q339_edges),
+         r(n, d) AS (
+           SELECT s, 0 FROM st
+           UNION ALL
+           SELECT e.dst, d + 1 FROM r
+             JOIN graft_q339_edges e ON e.src = r.n WHERE d < 3)
+         SELECT n AS event_type, CAST(min(d) AS BIGINT) AS min_depth
+         FROM r GROUP BY 1 ORDER BY 1""")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q333_degree_histogram" -> degreeHistogram,
+    "q339_recursive_reach" -> recursiveReach,
     "q267_kcore_profile" -> kCoreProfileQ,
     "q326_variant_extract" -> variantExtract,
     "q292_refresh_cache" -> refreshCacheInvalidation,

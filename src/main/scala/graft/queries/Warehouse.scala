@@ -893,9 +893,35 @@ object Warehouse {
       .orderBy(col("p_type_lc"))
   }
 
+  /** Declared SQL UDF (Spark 4's `CREATE FUNCTION … RETURN expr` —
+    * SQL:2016 PSM-lite): a taxed-revenue scalar defined ONCE in the
+    * catalog and reused by name. Unlike a JVM-closure UDF (a
+    * codegen-opaque black box this engine bans from hot paths), a
+    * SQL UDF is INLINED into the plan by the analyzer — the
+    * expression participates in whole-stage codegen, constant
+    * folding and pushdown exactly as if written inline, which the
+    * oracle pins by computing the same expression literally. */
+  val sqlUdfTaxed: QueryDef = QueryDef.sql(
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*1.08*100
+           +0.5) AS BIGINT)) AS BIGINT) AS taxed_cents
+       FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_taxed(" +
+      "p DOUBLE, disc DOUBLE) RETURNS DOUBLE RETURN p * (1 - disc) * 1.08")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("graft_taxed(l_extendedprice, l_discount)").as("t"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("t") * 100 + lit(0.5)).cast("long")).cast("long")
+          .as("taxed_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q331_listagg_top_spenders" -> listaggTopSpenders,
     "q332_collated_group" -> collatedGroup,
+    "q340_sql_udf_taxed" -> sqlUdfTaxed,
     "q320_orders_month_index" -> ordersMonthIndex,
     "q322_segment_order_percentiles" -> segmentOrderPercentiles,
     "q323_brand_share_slope" -> brandShareSlope,
