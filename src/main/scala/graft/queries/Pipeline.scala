@@ -4446,6 +4446,49 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       .orderBy(col("user_id"))
   }
 
+  /** Running per-user totals through `transformWithState` — Spark 4's
+    * arbitrary-state streaming API (StatefulProcessor + typed state
+    * handles, the mapGroupsWithState successor) under the
+    * correctness gate. State carries exact micro-long totals, so the
+    * answer is independent of micro-batch split and per-batch row
+    * order; the final latest-per-user selection (max running count
+    * wins, the q256 canonicalization) makes the update-mode sink
+    * deterministic under ANY batching. Requires — and here pins —
+    * the RocksDB state-store provider path (prior provider restored
+    * after). Oracle: per-user count + exact quantized sum. */
+  val streamTws: QueryDef = QueryDef.sql(
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT)) AS BIGINT)
+           AS total_micro
+       FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.StreamOps.runningTotalsTws(
+          graft.streaming.StreamOps.eventsStream(s, d))
+        .writeStream.format("memory").queryName("graft_q341_sink")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc)
+      s.table("graft_q341_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"), col("total_micro"))
+        .orderBy(col("user_id"))
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** XML roundtrip — Spark 4's built-in XML source exercised as the
     * third interchange format next to q172 (CSV) and q128 (JSONL):
     * the corpus is written as XML (entity-escaping &<> in text),
@@ -4819,6 +4862,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q252_l_diversity" -> lDiversity,
     "q254_span_corruption" -> spanCorruption,
     "q256_stream_upsert" -> streamUpsert,
+    "q341_stream_tws" -> streamTws,
     "q200_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
     "q327_merge_upsert" -> mergeUpsert,
     "q201_erasure_audit" -> erasureAudit,

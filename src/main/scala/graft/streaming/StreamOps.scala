@@ -120,6 +120,29 @@ object StreamOps {
       }.toDF("user_id", "n_events", "total_value")
   }
 
+  /** Running per-user totals via `transformWithState` — Spark 4's
+    * arbitrary-state API (StatefulProcessor over typed state
+    * handles; the successor to mapGroupsWithState, and the one that
+    * composes multiple state variables, timers and TTL). Requires
+    * the RocksDB state-store provider — the caller sets it (the
+    * q341 query and the spec both do, restoring the prior provider
+    * after). Values are micro-quantized to LONGS before they reach
+    * state, so the running total is exact and independent of
+    * per-batch row order — a double accumulator here would make the
+    * output depend on shuffle arrival order. */
+  def runningTotalsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as[Long])
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_events", "total_micro")
+  }
+
   /** Last-write-wins upsert state op: keep exactly ONE
     * (ts_us, event_id, value) triple per user, replaced whenever a
     * strictly later (ts, event_id) arrives — the streaming form of
@@ -351,5 +374,30 @@ object StreamOps {
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q
+  }
+}
+
+/** StatefulProcessor behind [[StreamOps.runningTotalsTws]]: one
+  * ValueState[(count, total_micro)] per user key, updated per batch
+  * and re-emitted (update mode). Top-level class (not an anonymous
+  * closure) so the streaming runtime can serialize it cleanly. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, total) = if (state.exists()) state.get() else (0L, 0L)
+    rows.foreach { r => n += 1; total += r._2 }
+    state.update((n, total))
+    Iterator.single((key, n, total))
   }
 }
