@@ -1605,6 +1605,12 @@ object Advanced {
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         col("user_id"))
       .distinct()
+    // NOT checkpointed, unlike q243: the three consumers of ee
+    // (degree, both wedge-join sides) share the pair pipeline's
+    // exchanges via ReusedExchange, and a LogicalRDD barrier here
+    // was measured 2.7× SLOWER at sf0.1 (17.3 s vs 6.5 s — the
+    // checkpoint hides size estimates, so the wedge join loses its
+    // broadcast and every consumer reshuffles the flat RDD)
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
     val ee = e.select(col("u"), col("v"))
