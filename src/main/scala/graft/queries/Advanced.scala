@@ -1580,9 +1580,14 @@ object Advanced {
     * iterative BFS every graph engine runs. The expansion is an
     * edge-edge equi-join on the middle node; the per-hop `distinct`
     * is what keeps the frontier a SET at scale (without it the
-    * wedge multiplicity compounds per hop). Hub fan-out is bounded
-    * here by the >= 3-bucket support filter; at web scale the same
-    * shape takes a degree cap or the q184 orientation trick. */
+    * wedge multiplicity compounds per hop). The upstream pair
+    * GENERATION is hot-bucket-distributed (the chunked
+    * [[graft.ops.Graph.cooccurPairCounts]], SURVEY §15.2); hub
+    * fan-out in the wedge join itself is bounded by the >= 3-bucket
+    * support filter, and the 10× probe (§13.4) pins the expansion
+    * as linear in wedge volume — the honest bound for EXACT 2-hop
+    * counts (an approximate variant would take a degree cap or the
+    * q184 orientation trick, at the cost of the oracle). */
   val kHopReach: QueryDef = QueryDef.sql(
     """WITH p AS (SELECT DISTINCT event_type,
                     date_trunc('hour', ts) AS h, user_id FROM events),

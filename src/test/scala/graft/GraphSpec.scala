@@ -80,6 +80,24 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurPairCounts pins BOTH explode inputs behind " +
+      "explicit-count repartitions (AQE must not coalesce them)") {
+    import spark.implicits._
+    // the cap's plan gate (VERDICT r9 #1 done-criterion): the intra
+    // and inter branches each expand chunk²-fold AFTER their
+    // exchange, so both exchanges carry an explicit partition count
+    // — an uncounted one is AQE-coalesced to a single partition by
+    // its stub-sized input bytes, re-serializing the hot-bucket
+    // straggler (measured 40.7 s vs 8 s max-task, SURVEY §15.2)
+    val p = (1 to 50).map(u => ("b", u.toLong)).toDF("bkt", "user")
+    val plan = Graph.cooccurPairCounts(p, Seq("bkt"), "user", 8)
+      .queryExecution.executedPlan.toString
+    val n = "REPARTITION_BY_NUM".r.findAllIn(plan).length
+    assert(n >= 2,
+      s"expected >= 2 explicit-count repartitions in the pair plan, " +
+        s"found $n:\n$plan")
+  }
+
   test("kCoreProfile releases every block it persists/checkpoints") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L),
