@@ -608,7 +608,61 @@ object Corpus {
       .orderBy(col("token"))
   }
 
+  /** Vocabulary coverage curve by power-of-two rank tiers: how much
+    * of the token stream the top-2^j vocabulary entries cover — the
+    * read that sizes a tokenizer's vocab budget (the area under
+    * this curve is what a bigger vocab buys). The fact reduces to
+    * the vocabulary relation in ONE hash aggregate; the global
+    * frequency rank comes from [[graft.ops.Packing
+    * .withGlobalOffsets]] over that (vocab-sized, not corpus-sized)
+    * relation — never a no-partition window over the corpus; tier
+    * binning is integer-exact via length(bin(rank))−1 (the q333
+    * stance: no libm log2 on a bin boundary). The cumulative runs
+    * over the ≤⌈log2 |V|⌉-row residue. */
+  val vocabCoverageTiers: QueryDef = QueryDef.sql(
+    """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) tk
+                    FROM documents),
+       c AS (SELECT tk, CAST(count(*) AS BIGINT) n FROM tok
+             WHERE tk <> '' GROUP BY 1),
+       rk AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, tk)
+               AS BIGINT) r FROM c),
+       t AS (SELECT CAST(sum(n) AS BIGINT) tot FROM rk),
+       tier AS (SELECT CAST(length(bin(r)) - 1 AS BIGINT) tier,
+                  CAST(sum(n) AS BIGINT) cn FROM rk GROUP BY 1)
+       SELECT tier, cn AS tier_tokens,
+         CAST(sum(cn) OVER (ORDER BY tier) AS BIGINT) AS cum_tokens,
+         floor(CAST(sum(cn) OVER (ORDER BY tier) AS DOUBLE)
+           / (SELECT tot FROM t) * 1000000 + 0.5)/1000000
+           AS cum_coverage
+       FROM tier ORDER BY 1""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("tk")).agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("negn", -col("n"))
+      .withColumn("one", lit(1L))
+    val rk = graft.ops.Packing.withGlobalOffsets(c, "negn", "one",
+      tieCols = Seq("tk"))
+    val tot = rk.agg(sum(col("n")).cast("long").as("tot"))
+    val tier = rk
+      .groupBy((length(bin(col("offset") + 1)) - 1).cast("long")
+        .as("tier"))
+      .agg(sum(col("n")).cast("long").as("cn"))
+    val w = Window.orderBy(col("tier"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tier.crossJoin(broadcast(tot))
+      .select(col("tier"), col("cn").as("tier_tokens"),
+        sum(col("cn")).over(w).cast("long").as("cum_tokens"),
+        col("tot"))
+      .select(col("tier"), col("tier_tokens"), col("cum_tokens"),
+        r6(col("cum_tokens").cast("double") / col("tot"))
+          .as("cum_coverage"))
+      .orderBy(col("tier"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q343_vocab_coverage_tiers" -> vocabCoverageTiers,
     "q321_token_burstiness" -> tokenBurstiness,
     "q287_oov_rate" -> oovRate,
     "q289_token_jsd" -> tokenJsd,

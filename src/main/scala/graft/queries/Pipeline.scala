@@ -610,13 +610,33 @@ object Pipeline {
 
   /** IVF-cell ANN top-3 — the inverted-file scale path (nlist =
     * sqrt(n) cells, probe the 40% nearest — see the measured recall
-    * curve in VectorOps.ivfTopK's scaladoc). Cell structure is
-    * data-dependent → rows-only; AnnRecallSpec gates measured
-    * recall vs the exact baseline. */
-  val annIvf: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * curve in VectorOps.ivfTopK's scaladoc) under the
+    * planted-duplicate containment audit (the q33/q38 pattern,
+    * VERDICT r9 #4): an IDENTICAL vector is assigned the query's
+    * own nearest-centroid cell, and the probe set always contains
+    * the query's own cell (nearest = its assignment argmax), so the
+    * planted duplicate is a GUARANTEED candidate that must surface
+    * in the top-3 at exact cosine 1 — seeding, cell assignment, the
+    * probe join and the heap re-rank are all on the hash-checked
+    * path. Cell-structure-dependent recall on non-identical
+    * neighbors stays measured in AnnRecallSpec. */
+  val annIvf: QueryDef = QueryDef.sql(
+    """SELECT vec_id AS q_id, TRUE AS ok FROM embeddings
+       WHERE vec_id < 10 ORDER BY 1""") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), 3)
-      .orderBy(col("q_id"), col("rank"))
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+      col("label")))
+    val queries = emb.filter(col("vec_id") < 10)
+    val top = VectorOps.ivfTopK(doubled, queries, 3)
+    queries.select(col("vec_id").as("q_id"))
+      .join(top.filter(col("n_id") === col("q_id") + 100000L
+          && col("cos") === 1.0)
+        .select(col("q_id"), lit(true).as("__hit")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__hit"), lit(false)).as("ok"))
+      .orderBy(col("q_id"))
   }
 
   /** Exact all-pairs n-gram Jaccard at 0.5 — the dedup-family

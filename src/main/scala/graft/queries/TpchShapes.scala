@@ -931,11 +931,61 @@ object TpchShapes {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Discrete hazard table over inter-order gaps — the survival-
+    * analysis read on repurchase behavior (what fraction of
+    * still-at-risk customers reorder in month m of silence). Gaps
+    * come from a customer-keyed lag; the fact reduces to ≤13 month
+    * buckets in one aggregate, and the reverse-cumulative at-risk
+    * count runs over that bounded residue (a window over 13 rows,
+    * not the fact). Hazard = events/at_risk is the only divide; the
+    * cumulative-product survival curve is deliberately NOT emitted —
+    * an ordered float product is fold-order-fragile cross-engine,
+    * while the hazard table carries the same information exactly. */
+  val hazardTable: QueryDef = QueryDef.sql(
+    """WITH o AS (SELECT DISTINCT o_custkey,
+           datediff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) d FROM orders),
+       g AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey
+               ORDER BY d) gap FROM o),
+       gg AS (SELECT least(gap // 30, 12) AS gap_m FROM g
+              WHERE gap IS NOT NULL),
+       c AS (SELECT gap_m, CAST(count(*) AS BIGINT) ev FROM gg
+             GROUP BY 1),
+       r0 AS (SELECT gap_m, ev,
+                CAST(sum(ev) OVER (ORDER BY gap_m DESC) AS BIGINT)
+                  at_risk FROM c)
+       SELECT CAST(gap_m AS BIGINT) gap_month, ev AS n_events,
+         at_risk,
+         floor(CAST(ev AS DOUBLE)/at_risk*1000000+0.5)/1000000
+           AS hazard
+       FROM r0 ORDER BY 1""") { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    val c = o.select((col("d") - lag(col("d"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .select(least(expr("gap div 30"), lit(12L)).cast("long")
+        .as("gap_m"))
+      .groupBy(col("gap_m")).agg(count(lit(1)).cast("long").as("ev"))
+    val wr = Window.orderBy(col("gap_m").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.select(col("gap_m").as("gap_month"), col("ev").as("n_events"),
+        sum(col("ev")).over(wr).cast("long").as("at_risk"))
+      .select(col("gap_month"), col("n_events"), col("at_risk"),
+        r6(col("n_events").cast("double") / col("at_risk"))
+          .as("hazard"))
+      .orderBy(col("gap_month"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q330_reorder_rate" -> reorderRate,
     "q335_supplier_switches" -> supplierSwitches,
     "q337_wow_revenue_change" -> wowRevenueChange,
     "q338_max_drawdown" -> maxDrawdown,
+    "q342_hazard_table" -> hazardTable,
     "q324_price_dispersion" -> priceDispersion,
     "q277_supplier_part_counts" -> supplierPartCounts,
     "q278_abc_classification" -> abcClassification,
