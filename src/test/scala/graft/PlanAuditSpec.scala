@@ -676,6 +676,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q16.contains("CartesianProduct"))
   }
 
+  test("round-10 tranche shapes: global ranks ride range shuffles, " +
+      "reorder/switch joins never cartesian, SQL UDF inlines") {
+    // (q327's merge join runs EAGERLY inside the query — the
+    // returned plan is only the readback aggregate, so the
+    // full-outer shape is covered by the oracle, not gated here;
+    // the using-columns join is an equi-join by construction)
+    // q328/q343: the global rank comes from withGlobalOffsets'
+    // range shuffle, not a no-partition window over the fact
+    for (q <- Seq("q328_decile_lift", "q343_vocab_coverage_tiers")) {
+      val p = executedPlan(q)
+      assert(p.contains("rangepartitioning"),
+        s"$q's global rank must ride repartitionByRange:\n$p")
+    }
+    // q330/q335: (cust, part) joins stay keyed
+    for (q <- Seq("q330_reorder_rate", "q335_supplier_switches")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // q340: the SQL UDF must be analyzer-inlined — no UDF/invoke
+    // node survives into the physical plan
+    val u = executedPlan("q340_sql_udf_taxed")
+    assert(!u.toLowerCase.contains("batchevalpython")
+      && !u.contains("ScalaUDF"),
+      s"q340's SQL UDF must inline, not execute as a black box:\n$u")
+  }
+
   test("q36's three aggregates share one cached relation") {
     val df = SparkEntry.queries("q36_cached_multi_agg")(spark, dir)
     df.collect()
