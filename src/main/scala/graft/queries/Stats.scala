@@ -3919,11 +3919,67 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Bitmap retention: each user's activity compresses to ONE
+    * 63-bit day mask (`bit_or` of day-offset bits — the bitwise
+    * aggregate surface, and the layout real engagement systems use:
+    * a user-month is 8 bytes regardless of event count), then the
+    * day-d retention of day-0 actives is a popcount-style probe of
+    * the mask — integer-exact end to end, and the 30-way day
+    * expansion runs over the USER relation, never the fact. At
+    * 100 TB the fact collapses to |users| longs in one aggregate;
+    * every downstream question (retention, streaks, L28) is mask
+    * arithmetic. */
+  val bitmapRetention: QueryDef = QueryDef.sql(
+    """WITH d0 AS (SELECT min(datediff('day', DATE '1970-01-01',
+           CAST(ts AS DATE))) m FROM events),
+       u AS (SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) <<
+                 least(CAST(datediff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) - m AS INTEGER), 62)) mask
+             FROM events, d0 GROUP BY 1),
+       base AS (SELECT CAST(count(*) AS BIGINT) n0 FROM u
+                WHERE (mask & 1) = 1),
+       days AS (SELECT unnest(range(30)) d),
+       ret AS (SELECT d, CAST(sum(CASE WHEN (mask & 1) = 1
+                 AND ((mask >> CAST(d AS INTEGER)) & 1) = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) n_ret
+               FROM u, days GROUP BY 1)
+       SELECT CAST(d AS BIGINT) day_offset, n_ret,
+         floor(CAST(n_ret AS DOUBLE)/(SELECT n0 FROM base)
+           *1000000+0.5)/1000000 AS retention
+       FROM ret ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+    val d0 = ev.agg(min(col("day")).as("m"))
+    val u = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(least(day - m, 62) AS INT))").as("b"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(col("b")).as("mask"))
+    val base = u.filter((col("mask").bitwiseAND(1)) === 1)
+      .agg(count(lit(1)).cast("long").as("n0"))
+    u.select(col("mask"),
+        explode(sequence(lit(0L), lit(29L))).as("d"))
+      .select(col("d"),
+        when(col("mask").bitwiseAND(1) === 1
+          && expr("shiftright(mask, CAST(d AS INT))")
+            .bitwiseAND(1) === 1, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("d"))
+      .agg(sum(col("hit")).cast("long").as("n_ret"))
+      .crossJoin(broadcast(base))
+      .select(col("d").as("day_offset"), col("n_ret"),
+        r6(col("n_ret").cast("double") / col("n0")).as("retention"))
+      .orderBy(col("day_offset"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q328_decile_lift" -> decileLift,
     "q329_mannwhitney_u" -> mannWhitneyU,
     "q334_moment_stats" -> momentStats,
     "q336_interarrival_cv" -> interarrivalCv,
+    "q344_bitmap_retention" -> bitmapRetention,
     "q202_psi_drift" -> psiDrift,
     "q325_time_to_first_purchase" -> timeToFirstPurchase,
     "q203_markov_transitions" -> markovTransitions,
