@@ -3974,12 +3974,43 @@ object Stats {
       .orderBy(col("day_offset"))
   }
 
+  /** Active-days histogram off the q344 day mask: engagement depth
+    * as popcount (`bit_count`) of the per-user bitmap — the L30
+    * distribution read, two integer aggregates end to end (fact →
+    * masks, masks → histogram). */
+  val activeDaysHistogram: QueryDef = QueryDef.sql(
+    """WITH d0 AS (SELECT min(datediff('day', DATE '1970-01-01',
+           CAST(ts AS DATE))) m FROM events),
+       u AS (SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) <<
+                 least(CAST(datediff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) - m AS INTEGER), 62)) mask
+             FROM events, d0 GROUP BY 1)
+       SELECT CAST(bit_count(mask) AS BIGINT) active_days,
+         CAST(count(*) AS BIGINT) n_users
+       FROM u GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+    val d0 = ev.agg(min(col("day")).as("m"))
+    ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(least(day - m, 62) AS INT))").as("b"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(col("b")).as("mask"))
+      .groupBy(bit_count(col("mask")).cast("long").as("active_days"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("active_days"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q328_decile_lift" -> decileLift,
     "q329_mannwhitney_u" -> mannWhitneyU,
     "q334_moment_stats" -> momentStats,
     "q336_interarrival_cv" -> interarrivalCv,
     "q344_bitmap_retention" -> bitmapRetention,
+    "q345_active_days_histogram" -> activeDaysHistogram,
     "q202_psi_drift" -> psiDrift,
     "q325_time_to_first_purchase" -> timeToFirstPurchase,
     "q203_markov_transitions" -> markovTransitions,
