@@ -202,25 +202,36 @@ object Graph {
       (r.getLong(0), r.getLong(1) / 2)
     }
     val sc = spark.sparkContext
-    val rddsBefore = sc.getPersistentRDDs.keySet
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    // release exactly the blocks THIS function checkpointed — the id
+    // of each localCheckpoint's backing RDD is read off its
+    // LogicalRDD leaf (a before/after diff of the GLOBAL persistent-
+    // RDD registry would silently unpersist anything a concurrent
+    // thread cached during the call; ADVICE r10)
+    val ckptIds = scala.collection.mutable.ArrayBuffer[Int]()
+    def ckpt(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      out.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          ckptIds += r.rdd.id
+      }
+      out
+    }
+    var e = ckpt(edges.select(col("u"), col("v")))
     val out = scala.collection.mutable.ArrayBuffer((0L, stats(e)))
     for (r <- 1 to rounds) {
       val deg = e.select(col("u").as("n"))
         .unionByName(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("n"))
-      e = e
+      e = ckpt(e
         .join(keep.select(col("n").as("ku")),
           col("u") === col("ku"), "left_semi")
         .join(keep.select(col("n").as("kv")),
-          col("v") === col("kv"), "left_semi")
-        .localCheckpoint()
+          col("v") === col("kv"), "left_semi"))
       out += ((r.toLong, stats(e)))
     }
-    val rddsAfter = sc.getPersistentRDDs
-    (rddsAfter.keySet -- rddsBefore)
-      .foreach(id => rddsAfter(id).unpersist(blocking = false))
+    val reg = sc.getPersistentRDDs
+    ckptIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
     out.toSeq.map { case (r, (n, m)) => (r, n, m) }
       .toDF("round", "n_nodes", "n_edges")
       .orderBy(col("round"))

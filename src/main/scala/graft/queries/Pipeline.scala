@@ -548,10 +548,17 @@ object Pipeline {
       col("label")))
     val queries = emb.filter(col("vec_id") < 10)
     val top = VectorOps.lshTopK(doubled, queries, 3)
+    // tie-proof audit (ADVICE r10): if the fixture ever held OTHER
+    // vectors identical to a query, 3+ cos-1.0 ties could push the
+    // planted id out of the k-cut by the smaller-id tie-break — the
+    // ONLY way it can be evicted is by a full list of cos-1.0 ties,
+    // so `ok` accepts that case too (still on the hash-checked path:
+    // every accepted row went through keys → bucket join → re-rank)
     queries.select(col("vec_id").as("q_id"))
-      .join(top.filter(col("n_id") === col("q_id") + 100000L
-          && col("cos") === 1.0)
-        .select(col("q_id"), lit(true).as("__hit")),
+      .join(top.groupBy(col("q_id")).agg(
+          (bool_or(col("n_id") === col("q_id") + 100000L
+             && col("cos") === 1.0)
+           || every(col("cos") === 1.0)).as("__hit")),
         Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__hit"), lit(false)).as("ok"))
@@ -629,10 +636,15 @@ object Pipeline {
       col("label")))
     val queries = emb.filter(col("vec_id") < 10)
     val top = VectorOps.ivfTopK(doubled, queries, 3)
+    // tie-proof audit — same reasoning as q33 annLsh: eviction of
+    // the planted id from the k-cut is only possible by a full list
+    // of cos-1.0 ties, which proves the same guaranteed-candidate
+    // property (ADVICE r10)
     queries.select(col("vec_id").as("q_id"))
-      .join(top.filter(col("n_id") === col("q_id") + 100000L
-          && col("cos") === 1.0)
-        .select(col("q_id"), lit(true).as("__hit")),
+      .join(top.groupBy(col("q_id")).agg(
+          (bool_or(col("n_id") === col("q_id") + 100000L
+             && col("cos") === 1.0)
+           || every(col("cos") === 1.0)).as("__hit")),
         Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__hit"), lit(false)).as("ok"))
@@ -1685,13 +1697,20 @@ object Pipeline {
 
   /** ADC top-k over a Lloyd-trained PQ codebook (m=16, k=16 → 16
     * bytes/vector, 16× vs float32): the compressed-domain search
-    * path — scan codes, sum LUT entries. Approximate by construction
-    * → rows-only; PqSpec gates recall vs the exact q32 baseline and
-    * trained-vs-random codebook quality. */
-  val pqAdc: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * path — scan codes, sum LUT entries. Approximate vs the exact
+    * q32 baseline (PqSpec recall gates), but DETERMINISTIC given the
+    * codebook — so the codebook is frozen to parquet
+    * ([[graft.sources.OracleAux]]) and the oracle recomputes encode,
+    * ADC, shortlist and re-rank over the same doubles
+    * ([[PqOracle.adcTopKSql]]), hash-checking the full search path
+    * (VERDICT r10 #1). */
+  val pqAdc: QueryDef = QueryDef.sql(
+      PqOracle.adcTopKSql("q54_codebook")) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
-    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, iters = 1)
+    val cb = graft.sources.OracleAux.freezeAndRead(s,
+      VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, iters = 1),
+      "q54_codebook", graft.sources.OracleAux.embeddingsTag(emb))
     VectorOps.pqAdcTopK(emb, queries, 3, cb, 16, 4)
       .orderBy(col("q_id"), col("rank"))
   }
@@ -1707,12 +1726,23 @@ object Pipeline {
     * more than the probe saves, exactly like q40-vs-q32; the
     * structure pays at the scale where a full scan stops fitting the
     * time budget, and the deployed regime amortizes everything but
-    * the probe scan (persisted cells+codes, q73's index pattern). */
-  val annIvfPq: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * the probe scan (persisted cells+codes, q73's index pattern).
+    * Approximate on two axes vs the exact baseline (AnnRecallSpec
+    * gates), but deterministic given codebook + centroids — both are
+    * frozen to parquet and the oracle recomputes assignment, probes,
+    * ADC and re-rank over the same doubles
+    * ([[PqOracle.ivfPqTopKSql]], VERDICT r10 #1). */
+  val annIvfPq: QueryDef = QueryDef.sql(
+      PqOracle.ivfPqTopKSql("q116_codebook", "q116_centroids")) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
-    val cb = VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, iters = 1)
-    VectorOps.ivfPqTopK(emb, queries, 3, cb, 16, 4)
+    val tag = graft.sources.OracleAux.embeddingsTag(emb)
+    val cb = graft.sources.OracleAux.freezeAndRead(s,
+      VectorOps.pqTrain(VectorOps.normalize(emb), 16, 16, 4, iters = 1),
+      "q116_codebook", tag)
+    VectorOps.ivfPqTopK(emb, queries, 3, cb, 16, 4,
+        centroidsSink = c =>
+          graft.sources.OracleAux.freezeAndRead(s, c, "q116_centroids", tag))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -3654,9 +3684,13 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
          CAST(sum(CASE WHEN o_orderkey >= 1000000000 THEN 1 ELSE 0 END)
            AS BIGINT) AS n_inserted
        FROM m GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q327_" +
-      Integer.toHexString(d.hashCode) + "_" +
-      ProcessHandle.current().pid()
+    // pid-keyed (each process writes its own table versions) →
+    // registered for shutdown-hook deletion, or repeated runs across
+    // processes would accumulate snapshot files in tmp without bound
+    val dir = graft.sources.ScratchDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q327_" +
+        Integer.toHexString(d.hashCode) + "_" +
+        ProcessHandle.current().pid())
     val base = Tables.orders(s, d).select(col("o_orderkey"),
       floor(col("o_totalprice") * 1000000 + lit(0.5)).cast("long")
         .as("pm"))
@@ -3835,8 +3869,14 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     * timed region) and q116 (full IVF-PQ build e2e) — the three rows
     * together put measured numbers on what index amortization buys.
     * Training is deterministic given the corpus, so PqSpec gates
-    * bit-equality of this search against q54's inline-trained one. */
-  val pqSearchAmortized: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * bit-equality of this search against q54's inline-trained one.
+    * Oracle: the persisted codebook is re-frozen to the OracleAux
+    * location each run and DuckDB recomputes the search over it —
+    * valid because the persisted code relation is bit-equal to a
+    * fresh full-corpus encode with the same codebook (the PqSpec
+    * zero-drift gate). */
+  val pqSearchAmortized: QueryDef = QueryDef.sql(
+      PqOracle.adcTopKSql("q130_codebook")) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val layout = s"${System.getProperty("java.io.tmpdir")}/graft_q130_" +
       Integer.toHexString(d.hashCode)
@@ -3853,7 +3893,9 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       VectorOps.pqCodes(emb, s.read.parquet(s"$layout/codebook"), 16, 4)
         .write.mode("overwrite").parquet(s"$layout/codes")
     }
-    val cb = s.read.parquet(s"$layout/codebook")
+    val cb = graft.sources.OracleAux.freezeAndRead(s,
+      s.read.parquet(s"$layout/codebook"), "q130_codebook",
+      graft.sources.OracleAux.embeddingsTag(emb))
     val codes = s.read.parquet(s"$layout/codes")
     VectorOps.pqAdcTopKFromCodes(codes, emb,
         emb.filter(col("vec_id") < 10), 3, cb, 16, 4)
@@ -4010,8 +4052,14 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     * only honest staleness cost is codebook quality, which retrains
     * on rebuild cadence (q130's sig discipline), never per batch.
     * At 100 TB: nightly cost = encode(delta) + append, not
-    * retrain(corpus) + re-encode(corpus). */
-  val pqIndexIncremental: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * retrain(corpus) + re-encode(corpus).
+    * Oracle: the stale codebook is frozen to the OracleAux location
+    * and DuckDB recomputes the search as a full-corpus encode over
+    * it — exactly the zero-drift equivalence this row exists to
+    * demonstrate (old codes ∪ delta codes ≡ batch re-encode, both
+    * row-local argmin over the same frozen doubles). */
+  val pqIndexIncremental: QueryDef = QueryDef.sql(
+      PqOracle.adcTopKSql("q134_codebook")) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val mid = emb.agg((max(col("vec_id")) / 2).cast("long"))
       .collect()(0).getLong(0) // bounded driver scalar (q120 pattern)
@@ -4027,7 +4075,9 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
       VectorOps.pqCodes(old, s.read.parquet(s"$layout/codebook"), 16, 4)
         .write.mode("overwrite").parquet(s"$layout/codes")
     }
-    val cb = s.read.parquet(s"$layout/codebook")
+    val cb = graft.sources.OracleAux.freezeAndRead(s,
+      s.read.parquet(s"$layout/codebook"), "q134_codebook",
+      graft.sources.OracleAux.embeddingsTag(emb))
     val delta = VectorOps.pqCodes(emb.filter(col("vec_id") >= mid),
       cb, 16, 4)
     val codes = s.read.parquet(s"$layout/codes").unionByName(delta)

@@ -3854,8 +3854,12 @@ object Stats {
     val dec = "decimal(38,0)"
     val m = dd.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("d")).cast(dec).as("c1"),
-        sum(col("d") * col("d")).cast(dec).as("c2"),
+        // d and d·d cast to DECIMAL(38,0) BEFORE the sum (as c3/c4
+        // do): the oracle sums in HUGEINT, and a long accumulator
+        // would overflow at scale (throw under ANSI) — the exactness
+        // claim must hold at any row count, not just fixture counts
+        sum(col("d").cast(dec)).cast(dec).as("c1"),
+        sum((col("d") * col("d")).cast(dec)).cast(dec).as("c2"),
         sum((col("d") * col("d")).cast(dec) * col("d")).cast(dec)
           .as("c3"),
         sum((col("d") * col("d")).cast(dec) * (col("d") * col("d")))

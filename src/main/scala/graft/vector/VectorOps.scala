@@ -285,7 +285,7 @@ object VectorOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (assigned, probes) =
+    val (assigned, probes, _) =
       ivfAssignAndProbes(corpus, queries, nlist, nprobe, idCol, vecCol)
     // per-query top-k through the bounded-heap TopK AGGREGATE, not a
     // window: the window formulation shuffles and SORTS every probed
@@ -322,7 +322,7 @@ object VectorOps {
   def ivfCandidateCounts(corpus: DataFrame, queries: DataFrame,
       nlist: Int = 0, nprobe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (assigned, probes) =
+    val (assigned, probes, _) =
       ivfAssignAndProbes(corpus, queries, nlist, nprobe, idCol, vecCol)
     assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("q_id") =!= col("n_id"))
@@ -330,12 +330,14 @@ object VectorOps {
   }
 
   /** Shared IVF front half (ivfTopK + ivfPqTopK): builds the cell
-    * structure and returns (assigned, probes) — `assigned` is the
-    * persisted normed corpus plus its `cell` id, `probes` is one row
-    * per (query, probed cell) carrying the query vector+norm. */
+    * structure and returns (assigned, probes, centroids) — `assigned`
+    * is the persisted normed corpus plus its `cell` id, `probes` is
+    * one row per (query, probed cell) carrying the query vector+norm,
+    * and `centroids` is the persisted (c_id, c_v, c_norm) relation
+    * (exposed so ivfPqTopK can freeze it for its oracle). */
   private def ivfAssignAndProbes(corpus: DataFrame, queries: DataFrame,
       nlist: Int, nprobe: Int,
-      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(corpus.sparkSession)
     // no spread(): per-row work here is nlist dot products, light
     // enough that forcing a repartition shuffle costs more than the
@@ -419,7 +421,7 @@ object VectorOps {
       .select(col("q_id"), col("q_v"), col("q_norm"),
         explode(transform(col("__cells"), s => s.getField("c_id")))
           .as("cell"))
-    (assigned, probes)
+    (assigned, probes, centroids)
   }
 
   /** IVF-PQ: the FAISS-style composition of the two scale structures.
@@ -439,11 +441,16 @@ object VectorOps {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebook: DataFrame, m: Int, dsub: Int,
       nlist: Int = 0, nprobe: Int = 0, rerank: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidsSink: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (assigned, probes) =
+    val (assigned, probes, centroids) =
       ivfAssignAndProbes(corpus, queries, nlist, nprobe, idCol, vecCol)
+    // oracle-freeze hook (graft.sources.OracleAux): receives the
+    // PERSISTED centroid relation, so what the sink writes is
+    // bit-identical to what assignment/probes consumed
+    centroidsSink(centroids)
     // candidate code rows: (q_id, n_id, codes) for members of probed
     // cells — the cell mapping rides `assigned` (skinny join), the
     // probe list is broadcast, and only then do codes attach, so the
