@@ -30,6 +30,110 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.nonEmpty && args(0) == "taxi-year") {
+      // Reference-scale taxi run (VERDICT r10 #3): a deterministic
+      // synthetic TLC-shaped YEAR at the reference's own operating
+      // point (~40M rows — /root/reference/.MISSING_LARGE_BLOBS
+      // lists 12 monthly files of a yellow-taxi year), then the full
+      // TaxiPipeline e2e: clean → features → cache → 7 analytics +
+      // p99 → parquet sink. Wall time prints per pass;
+      // tools/check_taxi_year.py recomputes all 7 tables in DuckDB
+      // from the same raw parquet and compares. Usage:
+      //   Profile taxi-year [rows=40000000]
+      val rows = if (args.length > 1) args(1).toLong else 40000000L
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_taxi_year"
+      val rawDir = s"$base/raw_$rows"
+      graft.sources.FixtureMemo.once(rawDir, s"taxi_year_gen_v1:$rows") {
+        // every column is a pure hash of the row id (content-
+        // deterministic, RNG-free, cluster-layout-independent — the
+        // q121 replayability discipline). u(salt) ∈ [0,1) uniform.
+        def u(salt: Int) =
+          pmod(xxhash64(col("id"), lit(salt)), lit(1000000L))
+            .cast("double") / lit(1000000.0)
+        def money(c: org.apache.spark.sql.Column) = round(c, 2)
+        val pickup = timestamp_seconds(lit(1704067200L) + // 2024-01-01 UTC
+          pmod(xxhash64(col("id"), lit(1)), lit(31536000L)))
+        // short-trip-heavy distance; ~1% exact zeros (exercises the
+        // revenue_per_mile null-guard), plus rare zero DURATIONS for
+        // the avg_speed guard and NULLs in the four null-prone TLC
+        // columns so clean() has real work (~4% of rows dropped)
+        val dist = when(u(98) < 0.01, lit(0.0))
+          .otherwise(money(u(3) * u(3) * lit(20.0) + lit(0.3)))
+        val durSec = when(u(99) < 0.005, lit(0L))
+          .otherwise((u(2) * u(2) * lit(5340.0)).cast("long") + 60L)
+        val fare = when(u(97) < 0.003, lit(0.0))
+          .otherwise(money(lit(3.0) + lit(2.5) * dist
+            + durSec.cast("double") / 60.0 * lit(0.35)
+            + u(9) * lit(2.0)))
+        val payment = when(u(8) < 0.55, 1).when(u(8) < 0.85, 2)
+          .when(u(8) < 0.90, 3).when(u(8) < 0.95, 4)
+          .otherwise(5) // 5 = "Unknown" branch of the A6 decode
+        val pu = (u(5) * u(5) * lit(265.0)).cast("int") + 1
+        val dO = (u(6) * u(6) * lit(265.0)).cast("int") + 1
+        val tip = when(payment === 1, money(fare * u(10) * lit(0.3)))
+          .otherwise(lit(0.0))
+        val tolls = when(u(11) < 0.05, lit(6.55)).otherwise(lit(0.0))
+        val extra = when(u(12) < 0.3, lit(1.0))
+          .when(u(12) < 0.5, lit(0.5)).otherwise(lit(0.0))
+        val cong = when(u(13) < 0.01, lit(null).cast("double"))
+          .when(pu < 100, lit(2.5)).otherwise(lit(0.0))
+        val airport = when(u(14) < 0.01, lit(null).cast("double"))
+          .when(pu.isin(132, 138), lit(1.75)).otherwise(lit(0.0))
+        spark.range(rows)
+          .select(
+            when(u(0) < 0.55, 1).otherwise(2).as("VendorID"),
+            pickup.as("tpep_pickup_datetime"),
+            timestamp_seconds(unix_timestamp(pickup) + durSec)
+              .as("tpep_dropoff_datetime"),
+            when(u(4) < 0.015, lit(null).cast("long"))
+              .otherwise((u(15) * lit(5.0)).cast("long") + 1)
+              .as("passenger_count"),
+            dist.as("trip_distance"),
+            when(u(7) < 0.015, lit(null).cast("long"))
+              .otherwise(when(pu.isin(132, 138), 2L).otherwise(1L))
+              .as("RatecodeID"),
+            when(u(16) < 0.01, "Y").otherwise("N")
+              .as("store_and_fwd_flag"),
+            pu.as("PULocationID"), dO.as("DOLocationID"),
+            payment.as("payment_type"),
+            fare.as("fare_amount"), extra.as("extra"),
+            lit(0.5).as("mta_tax"), tip.as("tip_amount"),
+            tolls.as("tolls_amount"),
+            lit(1.0).as("improvement_surcharge"),
+            money(fare + extra + lit(0.5) + tip + tolls + lit(1.0)
+              + coalesce(cong, lit(0.0)) + coalesce(airport, lit(0.0)))
+              .as("total_amount"),
+            cong.as("congestion_surcharge"),
+            airport.as("Airport_fee"))
+          .repartition(96)
+          .write.mode("overwrite").parquet(rawDir + "/data")
+      }
+      val rawDf = spark.read.parquet(rawDir + "/data")
+      val outDir = s"$base/out_$rows"
+      // two passes: pass 1 includes OS page-cache fill for the ~GB
+      // raw parquet; pass 2 is the steady-state number for SURVEY
+      for (pass <- 1 to 2) {
+        Caching.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val cleaned = graft.taxi.TaxiPipeline.clean(rawDf)
+        graft.taxi.TaxiPipeline.run(cleaned,
+          new graft.sources.ParquetSink(outDir), overwrite = true)
+        println(f"[profile] taxi-year pass $pass e2e " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.3f s ($rows rows)")
+      }
+      println(s"[profile] raw=${rawDf.count()} " +
+        s"clean=${graft.taxi.TaxiPipeline.clean(rawDf).count()}")
+      Seq("demand_heatmap", "tip_trends", "fare_anomalies",
+        "trip_performance", "popular_routes", "payment_analysis",
+        "distance_distribution").foreach { t =>
+        println(s"[profile]   $t rows=" +
+          spark.read.parquet(s"$outDir/$t").count())
+      }
+      println(s"[profile] raw=$rawDir/data out=$outDir")
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q48") {
       // q48 fragment split: pair generation vs component iteration
       val docs = Tables.documents(spark, sfDir)

@@ -112,6 +112,26 @@ class GraphSpec extends AnyFunSuite {
       "kCoreProfile leaked persistent RDD blocks")
   }
 
+  test("q346 HLL 2-hop reach: measured relative error vs exact q196 " +
+      "at sf0.001 and sf0.01") {
+    // the catalog row's in-plan `ok` gate asserts err <= max(1, 5%);
+    // this test MEASURES the error (expected 0: Datasketches HLL is
+    // list/set-mode exact below ~3/4·2^lgK distincts, far above the
+    // fixture reach sizes) and pins the approx row set == exact's
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q346_khop_reach_hll")(spark, sf)
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getBoolean(3)),
+        s"HLL estimate outside max(1, 5%) of exact at $sf")
+      val exact = SparkEntry.queries("q196_khop_reach")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val got = rows.map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == exact, s"q346's exact tier diverged from q196 at $sf")
+      Caching.releaseAll()
+    }
+  }
+
   test("matches the reference power iteration bit-for-bit, " +
       "including dangling nodes") {
     val g = Seq(("a", "b", 2L), ("c", "b", 1L), ("b", "a", 1L),
