@@ -75,7 +75,8 @@ object Bench {
     val streamingLane = Set("q47_stream_tumbling", "q120_stream_static_dedup",
       "q144_stream_contamination", "q151_stream_sessionize",
       "q153_stream_interval_join", "q155_stream_session_window",
-      "q183_stream_dropdup", "q341_stream_tws")
+      "q183_stream_dropdup", "q341_stream_tws",
+      "q347_stream_interval_left")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     // streaming-lane warmup (untimed): the lane's first query

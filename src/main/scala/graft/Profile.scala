@@ -30,6 +30,158 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.nonEmpty && args(0) == "graph-zipf") {
+      // 100× SKEWED graph probe (VERDICT r10 #5, the r9 #6
+      // remainder): a power-law replica generator — not disjoint
+      // uniform replicas, not one planted bucket — driving the graph
+      // structures at 1×/10×/100× volume. Two Zipf surfaces:
+      //  (a) bucket-size-skewed occurrences → the chunked pair
+      //      generation (q196/q184/q243/q267's shared upstream);
+      //  (b) degree-skewed edges → exact wedge expansion (q196
+      //      core), HLL reach (q346 core), label propagation (q243),
+      //      k-core peel (q267), oriented triangles (q184).
+      // Every timing prints ITS honest volume driver (pairs, wedges,
+      // edges) next to wall + max-task: the linearity claim is
+      // time-vs-volume, and the straggler claim is max-task share.
+      // Usage: Profile graph-zipf [tier ...]   (default 1 10 100)
+      import org.apache.spark.sql.DataFrame
+      val tiers = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10, 100)
+      def u(salt: Int) =
+        pmod(xxhash64(col("id"), lit(salt)), lit(1000000L))
+          .cast("double") / lit(1000000.0)
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
+        })
+      def probe(label: String, volume: => Long)(consume: => Long): Unit = {
+        Caching.releaseAll(); spark.catalog.clearCache()
+        maxTask.set(0)
+        val t0 = System.nanoTime()
+        val out = consume
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] $label%-28s vol=${volume}%12d out=$out%12d " +
+          f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s")
+      }
+      for (k <- tiers) {
+        // shuffle parallelism grows with the tier, as on a real
+        // cluster (the hot-bucket-probe lesson: fixed-32 partitions
+        // build tier-sized partial-agg maps per task)
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(512, math.max(32, 8 * k)).toString)
+        val dir = graft.sources.ScratchDirs.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_zipf_" +
+            s"${k}_" + ProcessHandle.current().pid())
+        // (a) occurrences with Zipf bucket sizes: bucket = ⌊B·u²⌋
+        // gives s_b ∝ 1/√(bB) — hot bucket ≈ rows/√B members, pair
+        // volume ≈ rows²·lnB/4B, a full spectrum of bucket sizes
+        val occRows = 200000L * k
+        val nb = 20000L * k
+        val nUsers = 10000L * k
+        spark.range(occRows).select(
+            (u(1) * u(1) * lit(nb.toDouble)).cast("long").as("b"),
+            (u(2) * lit(nUsers.toDouble)).cast("long").as("user"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$dir/occ")
+        val occ = spark.read.parquet(s"$dir/occ")
+        probe(s"zipf ${k}x pairgen", {
+          // honest driver: Σ s·(s−1)/2 over bucket sizes
+          occ.groupBy(col("b")).agg(count(lit(1)).as("s"))
+            .agg((sum(col("s") * (col("s") - 1)) / 2).cast("long"))
+            .collect()(0).getLong(0)
+        }) {
+          ops.Graph.cooccurPairCounts(occ, Seq("b"), "user")
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        // (b) degree-skewed edges: endpoint = ⌊n·u²⌋ → deg ∝ 1/√id,
+        // hubs at low ids (deg_0 ≈ 2m/√n before partner dedup)
+        val m = 100000L * k
+        val n = 10000L * k
+        spark.range(m).select(
+            (u(3) * u(3) * lit(n.toDouble)).cast("long").as("a"),
+            (u(4) * u(4) * lit(n.toDouble)).cast("long").as("bb"))
+          .filter(col("a") =!= col("bb"))
+          .select(least(col("a"), col("bb")).as("u"),
+            greatest(col("a"), col("bb")).as("v"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        val e = spark.read.parquet(s"$dir/edges")
+        val ee = e.select(col("u"), col("v"))
+          .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val edgeCount = e.count()
+        lazy val wedges = ee.groupBy(col("u"))
+          .agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * (col("d") - 1))).collect()(0)
+          .getLong(0)
+        // the NAIVE wedge join (q196's original two-hop) is probed
+        // only below 100×: its single-task hub tail is the finding
+        // (193 s of a 212 s run at 10×), and at 100× that one task
+        // alone would run ~45 min to re-prove it
+        if (k < 100) probe(s"zipf ${k}x 2hop naive", wedges) {
+          val two = ee.as("a").join(ee.as("b"),
+              col("a.v") === col("b.u") && col("a.u") =!= col("b.v"))
+            .select(col("a.u").as("src"), col("b.v").as("dst"))
+          ee.select(col("u").as("src"), col("v").as("dst"))
+            .unionByName(two).distinct()
+            .groupBy(col("src")).agg(count(lit(1)).as("r"))
+            .agg(sum(col("r"))).collect()(0).getLong(0)
+        }
+        probe(s"zipf ${k}x 2hop chunked", wedges) {
+          // same exact result through the CHUNKED pair machinery:
+          // middle node = bucket, neighbors = members — a hub's
+          // deg² expansion spreads across tasks (rank-slice chunks)
+          // instead of landing on one join-key reducer, and the
+          // (u,v) pair aggregation collapses wedge multiplicity
+          // map-side before the reach distinct
+          val pairs = ops.Graph.cooccurPairCounts(
+            ee.select(col("u").as("b"), col("v").as("user")),
+            Seq("b"), "user").select(col("u"), col("v"))
+          val two = pairs.unionByName(
+            pairs.select(col("v").as("u"), col("u").as("v")))
+          ee.select(col("u").as("src"), col("v").as("dst"))
+            .unionByName(two.select(col("u").as("src"),
+              col("v").as("dst")))
+            .distinct()
+            .groupBy(col("src")).agg(count(lit(1)).as("r"))
+            .agg(sum(col("r"))).collect()(0).getLong(0)
+        }
+        probe(s"zipf ${k}x 2hop hll", edgeCount) {
+          val s1 = ee.groupBy(col("u")).agg(
+            hll_sketch_agg(col("v")).as("sk"))
+          // repartition by u between join and union: the join output
+          // is keyed by v, so a hub-v task would otherwise build a
+          // partial-agg map over ~every u (KB sketch per entry —
+          // measured 31 s max-task at 10×); partial agg on v-keyed
+          // data collapses nothing anyway (each u is spread thin)
+          val sk2 = ee.join(s1.select(col("u").as("v"), col("sk")), "v")
+            .repartition(col("u"))
+            .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("sk2"))
+          s1.join(sk2, "u")
+            .select((hll_sketch_estimate(
+              hll_union(col("sk"), col("sk2"))) - 1L).as("r"))
+            .agg(sum(col("r"))).collect()(0).getLong(0)
+        }
+        probe(s"zipf ${k}x labelprop(3)", edgeCount) {
+          ops.Graph.labelPropagation(e, 3)
+            .agg(count_distinct(col("lbl"))).collect()(0).getLong(0)
+        }
+        probe(s"zipf ${k}x kcore(3,3)", edgeCount) {
+          ops.Graph.kCoreProfile(e, 3, 3)
+            .agg(sum(col("n_edges"))).collect()(0).getLong(0)
+        }
+        probe(s"zipf ${k}x triangles", edgeCount) {
+          ops.Graph.triangleCounts(e)
+            .agg(coalesce(sum(col("n_tri")), lit(0L))).collect()(0)
+            .getLong(0)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "taxi-year") {
       // Reference-scale taxi run (VERDICT r10 #3): a deterministic
       // synthetic TLC-shaped YEAR at the reference's own operating

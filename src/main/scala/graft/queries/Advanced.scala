@@ -1622,11 +1622,25 @@ object Advanced {
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val deg = ee.groupBy(col("u").as("src"))
       .agg(count(lit(1)).cast("long").as("n_direct"))
-    val two = ee.as("a").join(ee.as("b"), col("a.v") === col("b.u")
-        && col("a.u") =!= col("b.v"))
-      .select(col("a.u").as("src"), col("b.v").as("dst"))
+    // wedge expansion through the CHUNKED pair machinery (middle
+    // node = bucket, its neighbors = members): identical result to
+    // the ee⋈ee join on the middle node, but a hub's deg² expansion
+    // spreads across rank-slice chunks instead of landing on one
+    // join-key reducer task, and the (u,v) pair aggregation
+    // collapses wedge multiplicity map-side before the reach
+    // distinct. The graph-zipf probe measured the join form at a
+    // 160 s single task in a 178 s run (10× Zipf tier) vs 38 s
+    // max-task for this form at the same 148M wedges — and at the
+    // hub-free fixture the two are within noise of each other.
+    val pairs = graft.ops.Graph.cooccurPairCounts(
+        ee.select(col("u").as("b"), col("v").as("user")),
+        Seq("b"), "user")
+      .select(col("u"), col("v"))
+    val two = pairs.unionByName(
+      pairs.select(col("v").as("u"), col("u").as("v")))
     val reach = ee.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(two).distinct()
+      .unionByName(two.select(col("u").as("src"), col("v").as("dst")))
+      .distinct()
     reach.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("n_reach2"))
       .join(deg, Seq("src"))
@@ -1691,7 +1705,13 @@ object Advanced {
     val s1 = ee.groupBy(col("u")).agg(
       hll_sketch_agg(col("v")).as("sk"),
       count(lit(1)).cast("long").as("n_direct"))
+    // repartition by u between the sketch-attach join (keyed by v)
+    // and the union: on a skewed graph a hub-v task otherwise builds
+    // a partial-agg map over ~every u at a KB sketch per entry — the
+    // graph-zipf probe measured it as a 31 s straggler at 10×, and
+    // partial agg collapses nothing on v-keyed data anyway
     val sk2 = ee.join(s1.select(col("u").as("v"), col("sk")), "v")
+      .repartition(col("u"))
       .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("sk2"))
     val approx = s1.join(sk2, "u")
       .select(col("u").as("src"), col("n_direct"),

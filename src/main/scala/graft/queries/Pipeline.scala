@@ -1321,6 +1321,57 @@ object Pipeline {
       .orderBy(col("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (VERDICT r10 #7 — the
+    * one streaming join mode q153's inner join doesn't cover):
+    * matched pairs emit immediately; an unmatched left emits once
+    * with null right columns when the watermark PROVES no match can
+    * still arrive (no speculative emission, no retraction, state
+    * still watermark-bounded). The provability horizon is part of
+    * the semantics and therefore part of the oracle: for a bounded
+    * replay, a left row's null record exists iff the end of its
+    * join window sits below the final watermark — max(ts) − 2 h,
+    * millisecond-truncated the way the engine tracks event time —
+    * so the oracle is the batch left range join RESTRICTED to that
+    * horizon on the unmatched side. Lefts younger than the horizon
+    * are correctly absent: the stream cannot yet distinguish "no
+    * match" from "match still in flight". */
+  val streamIntervalJoinLeft: QueryDef = QueryDef.sql(
+    """WITH mx AS (SELECT to_timestamp(floor(epoch_ms(max(ts))
+                     / 1000.0)) AS m FROM events),
+       p AS (SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+               CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
+                    AS BIGINT) AS gap_s
+             FROM events l JOIN events r
+               ON l.user_id = r.user_id
+              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+              AND l.event_id <> r.event_id),
+       u AS (SELECT l.user_id, l.event_id AS l_id,
+               CAST(NULL AS BIGINT) AS r_id,
+               CAST(NULL AS BIGINT) AS gap_s
+             FROM events l, mx
+             WHERE l.ts + INTERVAL 5 MINUTE < mx.m - INTERVAL 2 HOUR
+               AND NOT EXISTS (SELECT 1 FROM p
+                               WHERE p.l_id = l.event_id))
+       SELECT user_id, l_id, r_id, gap_s FROM p
+       UNION ALL SELECT user_id, l_id, r_id, gap_s FROM u
+       ORDER BY user_id, l_id, r_id NULLS FIRST""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "graft_q347_stream_sink"
+    val q = graft.streaming.StreamOps.intervalJoinLeftOuter(
+        graft.streaming.StreamOps.eventsStream(s, d),
+        graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** The pure-SQL user surface under the correctness gate: the whole
     * query is one `spark.sql` string driving the engine's registered
     * extension functions (graft_shingle_hashes / graft_jaccard —
@@ -4882,6 +4933,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q151_stream_sessionize" -> streamSessionize,
     "q152_audio_fingerprint" -> audioFingerprint,
     "q153_stream_interval_join" -> streamIntervalJoin,
+    "q347_stream_interval_left" -> streamIntervalJoinLeft,
     "q154_session_window" -> sessionWindowNative,
     "q155_stream_session_window" -> streamSessionWindow,
     "q156_prefix_filter_jaccard" -> prefixFilterJaccard,

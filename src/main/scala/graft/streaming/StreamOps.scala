@@ -354,6 +354,35 @@ object StreamOps {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the join mode
+    * [[intervalJoin]]'s inner form doesn't cover: every left event
+    * emits, matched rows immediately, and an UNMATCHED left emits
+    * once (null right columns) when the watermark passes the end of
+    * its join window and the engine can prove no match can still
+    * arrive. That proof is the whole mechanism: outer results are
+    * never emitted speculatively, so there are no retractions in
+    * append mode, and state stays watermark-bounded exactly as in
+    * the inner join. Lefts younger than (watermark delay + window)
+    * at end-of-input remain unemitted — not wrong, just not yet
+    * provable; the q347 oracle encodes that horizon explicitly. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      withinMinutes: Int = 5, watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("l_id") =!= col("r_id"),
+      "leftOuter")
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Stream into any batch [[graft.sources.Sink]] via foreachBatch —
     * micro-batches append through the same sink abstraction the
     * batch pipeline uses (the streaming analogue of the reference's

@@ -132,6 +132,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter: matches equal the inner join; null rows " +
+      "are exactly the unmatched lefts past the watermark horizon") {
+    val q = StreamOps.runToMemory(
+      StreamOps.intervalJoinLeftOuter(
+        StreamOps.eventsStream(spark, dir),
+        StreamOps.eventsStream(spark, dir), withinMinutes = 5),
+      "ijl", OutputMode.Append())
+    try {
+      val rows = spark.table("ijl").collect()
+      val matched = rows.filter(!_.isNullAt(2))
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val nulls = rows.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val l = e.select(col("user_id").as("u"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      val r = e.select(col("user_id").as("u"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      val batch = l.join(r, Seq("u"))
+        .filter(col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES") &&
+          col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(matched == batch, "matched pairs must equal the inner join")
+      // unmatched-null rows: exactly the batch-unmatched lefts whose
+      // window end sits below the final watermark (max ts − 2 h,
+      // ms-truncated — the engine's event-time resolution)
+      val matchedLeftIds = batch.map(_._1)
+      val horizon = Tables.events(spark, dir)
+        .agg(expr("timestamp_millis(unix_millis(max(ts)))").as("m"))
+        .collect()(0).getTimestamp(0).getTime - 2L * 3600 * 1000
+      val expectedNulls = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts")).collect()
+        .filter(r0 => !matchedLeftIds.contains(r0.getLong(0)))
+        .filter(r0 => r0.getTimestamp(1).getTime + 5 * 60 * 1000 < horizon)
+        .map(_.getLong(0)).toSet
+      assert(nulls == expectedNulls,
+        "null emissions must be the unmatched lefts past the horizon")
+      assert(nulls.nonEmpty, "fixture must exercise the outer branch")
+    } finally q.stop()
+  }
+
   test("streamToSink: micro-batches append through the Sink trait") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stream = StreamOps.eventsStream(spark, dir)
