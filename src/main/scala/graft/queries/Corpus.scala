@@ -661,7 +661,222 @@ object Corpus {
       .orderBy(col("tier"))
   }
 
+  /** RAG chunking with overlap — the retrieval-index prep every RAG
+    * pipeline runs before embedding: sliding 32-token windows at
+    * stride 24 (8-token overlap carries context across boundaries),
+    * each chunk fingerprinted (md5 of the joined window) for the
+    * downstream chunk-level dedup (q349) and index keying. Fully
+    * row-local: tokenize → explode the per-doc chunk-index range →
+    * slice — no shuffle until the final order, so the op is a scan
+    * at any corpus size. A doc shorter than the stride yields
+    * exactly one (possibly short) chunk; trailing windows clamp to
+    * the token count. */
+  val ragChunking: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+               list_slice(toks, u.i * 24 + 1, u.i * 24 + 32) AS ch
+             FROM t, unnest(range(CAST(floor((len(toks) - 1) / 24) + 1
+               AS BIGINT))) u(i))
+       SELECT doc_id, chunk_idx, CAST(len(ch) AS INTEGER) AS n_toks,
+              md5(array_to_string(ch, ' ')) AS fp
+       FROM c ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    chunks(s, d)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ch")).as("n_toks"),
+        md5(concat_ws(" ", col("ch"))).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Shared chunk relation for q348/q349: (doc_id, chunk_idx, ch). */
+  private def chunks(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / 24).cast("int")))
+          .as("chunk_idx"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * 24 + 1, lit(32)).as("ch"))
+
+  /** Chunk-level exact dedup across documents — which 32-token
+    * windows recur (boilerplate headers, license blocks, templated
+    * passages), the RAG-index dedup that stops retrieving the same
+    * passage N times under N doc ids. Hash-groupBy over q348's
+    * fingerprints: map-side partial counts, only fingerprint groups
+    * cross the shuffle — the q29 exact-dedup shape one level below
+    * the document. */
+  val chunkDedup: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id,
+               list_slice(toks, u.i * 24 + 1, u.i * 24 + 32) AS ch
+             FROM t, unnest(range(CAST(floor((len(toks) - 1) / 24) + 1
+               AS BIGINT))) u(i))
+       SELECT md5(array_to_string(ch, ' ')) AS fp,
+              CAST(count(*) AS BIGINT) AS n_occ,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              min(doc_id) AS first_doc
+       FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""") { (s, d) =>
+    chunks(s, d)
+      .select(col("doc_id"), md5(concat_ws(" ", col("ch"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("fp"))
+  }
+
+  /** Tokenizer fertility per language — chars-per-token, the number
+    * that decides how much of a context window each language burns
+    * (CJK text at whitespace granularity reads several× the fertility
+    * of English) and hence per-language token budgets in a mixture.
+    * One hash aggregate over row-local projections; both ratios are
+    * single divisions of exact integer sums (no float-fold order
+    * anywhere), r6 on output only. */
+  val tokenizerFertility: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT lang, length(trim(text)) AS nc,
+                    len(string_split(trim(text), ' ')) AS nt
+                  FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS sum_toks,
+              floor((CAST(sum(nt) AS DOUBLE) / count(*))
+                * 1000000 + 0.5) / 1000000 AS avg_toks,
+              floor((CAST(sum(nc) AS DOUBLE) / sum(nt))
+                * 1000000 + 0.5) / 1000000 AS chars_per_tok
+       FROM t GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), length(trim(col("text"))).as("nc"),
+        graft.text.TextOps.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nt")).cast("long").as("sum_toks"),
+        r6(sum(col("nt")).cast("double") / count(lit(1))).as("avg_toks"),
+        r6(sum(col("nc")).cast("double") / sum(col("nt")))
+          .as("chars_per_tok"))
+      .orderBy(col("lang"))
+  }
+
+  /** Theta-sketch set algebra over daily audiences — the mergeable
+    * sketch family HLL can't provide: INTERSECTION and DIFFERENCE
+    * estimates (Datasketches Theta, Spark 4's theta_* functions).
+    * Per (day ≤ 3, event_type) the distinct-user set folds into a
+    * theta sketch; every same-day type pair then reads estimated
+    * |A∩B| and |A∖B| from sketch algebra alone — the "overlap
+    * between any two audience segments without re-scanning" read
+    * that powers segment dashboards at 100 TB (sketches are KB-sized
+    * mergeable state; the exact pair join this query also carries is
+    * the fixture-scale audit, not the deployed path). DRIVER-CHECKED
+    * via the q104 containment pattern: exact n_both / n_a_only are
+    * SQL-portable, and the booleans assert in-plan that both
+    * estimates land within max(2, 5%) of exact — below the 4096
+    * nominal entries the sets here never exceed, a theta sketch
+    * retains the full set and the estimates are EXACT, so the gate
+    * is deterministic. */
+  val thetaAudienceOverlap: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT DISTINCT CAST(dayofmonth(ts) AS INTEGER) AS d,
+                    event_type, user_id
+                  FROM events WHERE dayofmonth(ts) <= 3),
+       sz AS (SELECT d, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM t GROUP BY 1, 2),
+       p AS (SELECT a.d, a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+             FROM t a JOIN t b ON a.d = b.d AND a.user_id = b.user_id
+               AND a.event_type < b.event_type
+             GROUP BY 1, 2, 3),
+       pairs AS (SELECT x.d, x.event_type AS type_a,
+                   y.event_type AS type_b, x.n AS n_a
+                 FROM sz x JOIN sz y ON x.d = y.d
+                   AND x.event_type < y.event_type)
+       SELECT pairs.d, type_a, type_b,
+              COALESCE(n_both, 0) AS n_both,
+              n_a - COALESCE(n_both, 0) AS n_a_only,
+              TRUE AS inter_ok, TRUE AS diff_ok
+       FROM pairs LEFT JOIN p USING (d, type_a, type_b)
+       ORDER BY 1, 2, 3""") { (s, d) =>
+    val t = Tables.events(s, d)
+      .select(dayofmonth(col("ts")).as("d"), col("event_type"),
+        col("user_id"))
+      .filter(col("d") <= 3)
+      .distinct()
+    val sk = t.groupBy(col("d"), col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).cast("long").as("n"))
+    val both = t.as("x").join(t.as("y"),
+        col("x.d") === col("y.d")
+          && col("x.user_id") === col("y.user_id")
+          && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.d").as("d"), col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    val a = sk.select(col("d"), col("event_type").as("type_a"),
+      col("sk").as("sk_a"), col("n").as("n_a"))
+    val b = sk.select(col("d").as("d2"), col("event_type").as("type_b"),
+      col("sk").as("sk_b"))
+    val tol = (exact: org.apache.spark.sql.Column) =>
+      greatest(lit(2L), (lit(0.05) * exact).cast("long"))
+    a.join(b, col("d") === col("d2") && col("type_a") < col("type_b"))
+      .join(both, Seq("d", "type_a", "type_b"), "left")
+      .select(col("d"), col("type_a"), col("type_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (col("n_a") - coalesce(col("n_both"), lit(0L))).as("n_a_only"),
+        col("sk_a"), col("sk_b"))
+      .select(col("d"), col("type_a"), col("type_b"),
+        col("n_both"), col("n_a_only"),
+        (abs(theta_sketch_estimate(
+            theta_intersection(col("sk_a"), col("sk_b")))
+          - col("n_both")) <= tol(col("n_both"))).as("inter_ok"),
+        (abs(theta_sketch_estimate(
+            theta_difference(col("sk_a"), col("sk_b")))
+          - col("n_a_only")) <= tol(col("n_a_only"))).as("diff_ok"))
+      .orderBy(col("d"), col("type_a"), col("type_b"))
+  }
+
+  /** Curriculum phase assignment — order the corpus easy→hard (token
+    * count as the difficulty proxy, doc_id tie-break), split into 4
+    * contiguous phases, and give each phase a deterministic shuffle
+    * key (md5 of doc_id) so training reads phases in order but docs
+    * within a phase in pseudo-random order. No window functions: the
+    * global rank comes from the range-shuffle + driver-prefix
+    * mechanism ([[graft.ops.Packing.withGlobalOffsets]], the
+    * q127/q328 pattern), phase is pure arithmetic on the offset, and
+    * the within-phase order is emitted AS the shuffle-key column
+    * rather than materialized through a per-phase window (which
+    * would sort n/4 rows in one task at scale). */
+  val curriculumPhases: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS score
+           FROM documents),
+       r AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY score, doc_id) AS BIGINT) AS i FROM t),
+       n0 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t)
+       SELECT doc_id, CAST((i - 1) * 4 // nn + 1 AS INTEGER) AS phase,
+              md5(CAST(doc_id AS VARCHAR)) AS shuf
+       FROM r, n0 ORDER BY phase, shuf, doc_id""") { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("score"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.ops.Packing.withGlobalOffsets(base, "score",
+      "one", tieCols = Seq("doc_id"))
+    val n = base.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (expr("(offset * 4) div nn") + 1).cast("int").as("phase"),
+        md5(col("doc_id").cast("string")).as("shuf"))
+      .orderBy(col("phase"), col("shuf"), col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q348_rag_chunking" -> ragChunking,
+    "q349_chunk_dedup" -> chunkDedup,
+    "q350_tokenizer_fertility" -> tokenizerFertility,
+    "q351_theta_audience_overlap" -> thetaAudienceOverlap,
+    "q352_curriculum_phases" -> curriculumPhases,
     "q343_vocab_coverage_tiers" -> vocabCoverageTiers,
     "q321_token_burstiness" -> tokenBurstiness,
     "q287_oov_rate" -> oovRate,
