@@ -712,4 +712,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(rels.size == 3 && rels.distinct.size == 1)
   }
+
+  test("round-11 tranche shapes: q348 chunking is scan-shaped, q352 " +
+      "rides range partitioning, q196/q346 stay hub-safe, q351 " +
+      "keeps sketch algebra out of joins' build sides") {
+    // q348: tokenize -> explode -> slice is row-local; the ONLY
+    // exchange is the final output order (plus AQE reads) -- a
+    // chunker that shuffles before fingerprinting would move the
+    // whole corpus twice at 100 TB
+    val ch = executedPlan("q348_rag_chunking")
+    assert(ch.contains("Generate explode"),
+      s"q348 must expand chunk indices via explode:\n$ch")
+    assert(!ch.contains("SortMergeJoin") && !ch.contains("HashJoin"),
+      s"q348 must be join-free:\n$ch")
+    // q352: the global rank must come from repartitionByRange (the
+    // withGlobalOffsets recipe: range shuffle + per-partition window
+    // + driver prefix — its scalar residues legitimately pass through
+    // 1-row SinglePartition exchanges, so only the range gate holds)
+    val cu = executedPlan("q352_curriculum_phases")
+    assert(cu.contains("rangepartitioning"),
+      s"q352's global offsets must ride repartitionByRange:\n$cu")
+    // q196 (chunked wedge expansion) and q346 (sketch union): both
+    // must pin their hot-path exchanges -- the explicit-count
+    // repartitions inside cooccurPairCounts for q196, and the
+    // repartition-by-u between sketch-attach join and union in q346
+    val kh = executedPlan("q196_khop_reach")
+    assert(kh.contains("REPARTITION_BY_NUM"),
+      s"q196's chunked pair generation must pin explicit-count " +
+        s"repartitions:\n$kh")
+    val hll = executedPlan("q346_khop_reach_hll")
+    assert(hll.contains("REPARTITION_BY_COL"),
+      s"q346's sketch union must repartition by node before the " +
+        s"union aggregate:\n$hll")
+  }
 }
