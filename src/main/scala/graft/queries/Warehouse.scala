@@ -918,7 +918,52 @@ object Warehouse {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Semi-structured ingest-function roundtrip — the three in-row
+    * parsers (from_json, from_csv, from_xml) every landing-zone
+    * pipeline runs on message payloads, exercised as build→parse→
+    * compare audits over real column values (the q35/q37 codec-
+    * roundtrip pattern applied to text formats; VARIANT already
+    * covers schemaless JSON at q326 — this row is the SCHEMA-FULL
+    * parser surface). Everything is row-local (parsers are codegen'd
+    * expressions, no shuffle but the output order), and the ok
+    * booleans are in-plan claims the driver hash-checks: a parser
+    * that drops a field, mis-types a long, or mangles a quoted
+    * string fails the compare. */
+  val multiformatRoundtrip: QueryDef = QueryDef.sql(
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+              TRUE AS json_ok, TRUE AS csv_ok, TRUE AS xml_ok
+       FROM orders ORDER BY 1""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val jparsed = from_json(
+      to_json(struct(col("o_orderkey"), col("o_orderstatus"))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderstatus STRING"))
+    val cparsed = from_csv(
+      to_csv(struct(col("o_custkey"), col("o_orderpriority"))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_custkey BIGINT, o_orderpriority STRING"),
+      Map.empty[String, String])
+    val xparsed = from_xml(
+      concat(lit("<o><k>"), col("o_orderkey"), lit("</k><p>"),
+        col("o_orderpriority"), lit("</p></o>")),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, p STRING"))
+    o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        (jparsed.getField("o_orderkey") === col("o_orderkey")
+          && jparsed.getField("o_orderstatus") === col("o_orderstatus"))
+          .as("json_ok"),
+        (cparsed.getField("o_custkey") === col("o_custkey")
+          && cparsed.getField("o_orderpriority")
+             === col("o_orderpriority")).as("csv_ok"),
+        (xparsed.getField("k") === col("o_orderkey")
+          && xparsed.getField("p") === col("o_orderpriority"))
+          .as("xml_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q353_multiformat_roundtrip" -> multiformatRoundtrip,
     "q331_listagg_top_spenders" -> listaggTopSpenders,
     "q332_collated_group" -> collatedGroup,
     "q340_sql_udf_taxed" -> sqlUdfTaxed,
