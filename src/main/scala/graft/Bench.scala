@@ -76,7 +76,7 @@ object Bench {
       "q144_stream_contamination", "q151_stream_sessionize",
       "q153_stream_interval_join", "q155_stream_session_window",
       "q183_stream_dropdup", "q341_stream_tws",
-      "q347_stream_interval_left")
+      "q347_stream_interval_left", "q355_stream_interval_full")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     // streaming-lane warmup (untimed): the lane's first query

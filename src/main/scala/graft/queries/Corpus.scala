@@ -871,7 +871,70 @@ object Corpus {
       .orderBy(col("phase"), col("shuf"), col("doc_id"))
   }
 
+  /** Count-min-sketch heavy hitters — the frequency-sketch family
+    * member next to HLL (cardinality, q43/q104), Theta (set algebra,
+    * q351), Bloom (membership, q62/q131) and GK (quantiles, q03):
+    * sub-linear mergeable state whose estimates NEVER undercount and
+    * overcount by at most ε·N with confidence δ. The corpus bigram
+    * stream folds into one CMS (ε=0.001, δ=0.99, fixed seed —
+    * deterministic given the data); the exact top-20 bigrams then
+    * audit it IN-PLAN: `lower_ok` (est ≥ exact, the structural
+    * guarantee) and `upper_ok` (est ≤ exact + ⌈ε·N⌉, the
+    * probabilistic bound — deterministic for a fixed seed and
+    * corpus, and the sketch width ⌈e/ε⌉≈2718 exceeds the bigram
+    * vocabulary here, so collisions are rare and est==exact in
+    * practice). Estimation is a bounded driver step (read the
+    * sketch, probe 20 candidates — the q188/codebook collect
+    * pattern), re-entering the plan as a 20-row broadcast; at 100 TB
+    * the sketch is the only corpus-sized reduction and is KB-sized
+    * mergeable state. */
+  val cmsHeavyHitters: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM t WHERE len(toks) >= 2),
+       c AS (SELECT bg, CAST(count(*) AS BIGINT) AS exact_n
+             FROM g GROUP BY 1),
+       r AS (SELECT bg, exact_n FROM c
+             ORDER BY exact_n DESC, bg LIMIT 20)
+       SELECT bg, exact_n, TRUE AS lower_ok, TRUE AS upper_ok
+       FROM r ORDER BY exact_n DESC, bg""") { (s, d) =>
+    import s.implicits._
+    // raw occurrence stream, NOT TextOps.shingles (which dedups per
+    // doc) — frequency sketches count multiplicity
+    val bg = Tables.documents(s, d)
+      .select(graft.text.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val n = bg.count()
+    val eps = 0.001
+    val sketchBytes = bg.agg(count_min_sketch(col("bg"), lit(eps),
+        lit(0.99), lit(42)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val top = bg.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("long").as("exact_n"))
+      .orderBy(col("exact_n").desc, col("bg")).limit(20)
+    // bounded driver probe: 20 candidates against the sketch — the
+    // aggregate added strings as UTF-8 bytes, so probe the same way
+    val ests = top.collect().map(r => (r.getString(0),
+        cms.estimateCount(r.getString(0).getBytes("UTF-8"))))
+      .toSeq.toDF("bg", "est")
+    val slack = math.ceil(eps * n).toLong
+    top.join(broadcast(ests), "bg")
+      .select(col("bg"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("lower_ok"),
+        (col("est") <= col("exact_n") + lit(slack)).as("upper_ok"))
+      .orderBy(col("exact_n").desc, col("bg"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q354_cms_heavy_hitters" -> cmsHeavyHitters,
     "q348_rag_chunking" -> ragChunking,
     "q349_chunk_dedup" -> chunkDedup,
     "q350_tokenizer_fertility" -> tokenizerFertility,

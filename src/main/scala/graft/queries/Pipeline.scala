@@ -1372,6 +1372,60 @@ object Pipeline {
       .orderBy(col("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the third and last
+    * join mode of the family (q153 inner, q347 left outer). Both
+    * sides' unmatched rows emit with nulls once PROVABLE, and the
+    * two provability horizons are asymmetric (see
+    * [[graft.streaming.StreamOps.intervalJoinFullOuter]]): a left's
+    * null needs the watermark past l.ts + 5 min; a right's only
+    * past r.ts (no earlier-or-equal left can still arrive). The
+    * oracle is the batch full range join restricted by BOTH
+    * horizons on the respective null sides — again exact, again
+    * hash-checked. */
+  val streamIntervalJoinFull: QueryDef = QueryDef.sql(
+    """WITH mx AS (SELECT to_timestamp(floor(epoch_ms(max(ts))
+                     / 1000.0)) AS m FROM events),
+       p AS (SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+               CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
+                    AS BIGINT) AS gap_s
+             FROM events l JOIN events r
+               ON l.user_id = r.user_id
+              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+              AND l.event_id <> r.event_id),
+       ul AS (SELECT l.user_id, l.event_id AS l_id,
+               CAST(NULL AS BIGINT) AS r_id,
+               CAST(NULL AS BIGINT) AS gap_s
+             FROM events l, mx
+             WHERE l.ts + INTERVAL 5 MINUTE < mx.m - INTERVAL 2 HOUR
+               AND NOT EXISTS (SELECT 1 FROM p
+                               WHERE p.l_id = l.event_id)),
+       ur AS (SELECT r.user_id, CAST(NULL AS BIGINT) AS l_id,
+               r.event_id AS r_id, CAST(NULL AS BIGINT) AS gap_s
+             FROM events r, mx
+             WHERE r.ts < mx.m - INTERVAL 2 HOUR
+               AND NOT EXISTS (SELECT 1 FROM p
+                               WHERE p.r_id = r.event_id))
+       SELECT user_id, l_id, r_id, gap_s FROM p
+       UNION ALL SELECT user_id, l_id, r_id, gap_s FROM ul
+       UNION ALL SELECT user_id, l_id, r_id, gap_s FROM ur
+       ORDER BY user_id, l_id NULLS FIRST, r_id NULLS FIRST""") { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "graft_q355_stream_sink"
+    val q = graft.streaming.StreamOps.intervalJoinFullOuter(
+        graft.streaming.StreamOps.eventsStream(s, d),
+        graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** The pure-SQL user surface under the correctness gate: the whole
     * query is one `spark.sql` string driving the engine's registered
     * extension functions (graft_shingle_hashes / graft_jaccard —
@@ -4934,6 +4988,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q152_audio_fingerprint" -> audioFingerprint,
     "q153_stream_interval_join" -> streamIntervalJoin,
     "q347_stream_interval_left" -> streamIntervalJoinLeft,
+    "q355_stream_interval_full" -> streamIntervalJoinFull,
     "q154_session_window" -> sessionWindowNative,
     "q155_stream_session_window" -> streamSessionWindow,
     "q156_prefix_filter_jaccard" -> prefixFilterJaccard,

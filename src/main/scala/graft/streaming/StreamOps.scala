@@ -383,6 +383,32 @@ object StreamOps {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join-
+    * mode family (q153 inner, q347 left outer): both sides emit
+    * watermark-proven unmatched rows with nulls on the other side.
+    * The two null horizons differ because the time-range condition
+    * is asymmetric: a LEFT row can match rights up to l.ts+window,
+    * so its null emission waits for the watermark to pass that
+    * window end; a RIGHT row only matches lefts with l.ts ≤ r.ts,
+    * so its null emits once the watermark passes r.ts itself. */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      withinMinutes: Int = 5, watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("l_id") =!= col("r_id"),
+      "fullOuter")
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Stream into any batch [[graft.sources.Sink]] via foreachBatch —
     * micro-batches append through the same sink abstraction the
     * batch pipeline uses (the streaming analogue of the reference's

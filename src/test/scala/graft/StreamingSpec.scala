@@ -175,6 +175,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinFullOuter: matched == inner join; left nulls == " +
+      "the left-outer join's; right nulls are the unmatched rights " +
+      "past the (asymmetric) right horizon") {
+    val q = StreamOps.runToMemory(
+      StreamOps.intervalJoinFullOuter(
+        StreamOps.eventsStream(spark, dir),
+        StreamOps.eventsStream(spark, dir), withinMinutes = 5),
+      "ijf", OutputMode.Append())
+    try {
+      val rows = spark.table("ijf").collect()
+      val matched = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val lNulls = rows.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      val rNulls = rows.filter(_.isNullAt(1)).map(_.getLong(2)).toSet
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val l = e.select(col("user_id").as("u"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      val r = e.select(col("user_id").as("u"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      val batch = l.join(r, Seq("u"))
+        .filter(col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES") &&
+          col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(matched == batch)
+      val horizon = Tables.events(spark, dir)
+        .agg(expr("timestamp_millis(unix_millis(max(ts)))").as("m"))
+        .collect()(0).getTimestamp(0).getTime - 2L * 3600 * 1000
+      val all = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts")).collect()
+        .map(r0 => (r0.getLong(0), r0.getTimestamp(1).getTime))
+      val matchedL = batch.map(_._1)
+      val matchedR = batch.map(_._2)
+      // left horizon: window end below the watermark; right horizon:
+      // the row's own timestamp below it (no l.ts <= r.ts can arrive)
+      assert(lNulls == all.filter(x => !matchedL.contains(x._1))
+        .filter(x => x._2 + 5 * 60 * 1000 < horizon).map(_._1).toSet)
+      assert(rNulls == all.filter(x => !matchedR.contains(x._1))
+        .filter(x => x._2 < horizon).map(_._1).toSet)
+      assert(rNulls.nonEmpty && lNulls.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamToSink: micro-batches append through the Sink trait") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stream = StreamOps.eventsStream(spark, dir)
