@@ -1717,12 +1717,17 @@ object Advanced {
       .select(col("u").as("src"), col("n_direct"),
         (hll_sketch_estimate(hll_union(col("sk"), col("sk2"))) - 1L)
           .as("n_hll"))
-    // exact tier (fixture-scale audit reference = q196's expansion)
-    val two = ee.as("a").join(ee.as("b"), col("a.v") === col("b.u")
-        && col("a.u") =!= col("b.v"))
-      .select(col("a.u").as("src"), col("b.v").as("dst"))
+    // exact tier (fixture-scale audit reference): the same chunked
+    // wedge expansion q196 ships — hub-safe for the same reason
+    val pairs = graft.ops.Graph.cooccurPairCounts(
+        ee.select(col("u").as("b"), col("v").as("user")),
+        Seq("b"), "user")
+      .select(col("u"), col("v"))
+    val two = pairs.unionByName(
+      pairs.select(col("v").as("u"), col("u").as("v")))
     val reach = ee.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(two).distinct()
+      .unionByName(two.select(col("u").as("src"), col("v").as("dst")))
+      .distinct()
       .groupBy(col("src")).agg(count(lit(1)).cast("long").as("n_reach2"))
     approx.join(reach, "src")
       .select(col("src").as("user_id"), col("n_direct"), col("n_reach2"),
