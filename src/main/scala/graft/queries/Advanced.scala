@@ -1737,6 +1737,130 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** ANF / neighborhood function to 3 hops — [[kHopReachHll]]'s
+    * sketch propagation ITERATED (the actual HyperBall/ANF
+    * algorithm, Boldi-Vigna WWW'11; Palmer et al. KDD'02): round h
+    * unions every node's round-(h−1) sketch with its neighbors',
+    * so h rounds cost O(h·m) sketch ships — the neighborhood
+    * function N(h) and effective-diameter read for graphs where
+    * exact h-hop sets are Σdeg^h-intractable. Exact audit tier is
+    * SAMPLED (1-in-5 sources; 1-in-25 once the graph has ≥1000
+    * nodes — scale-aware like the adaptive banding) and the sample
+    * filter applies BEFORE any expansion, so the audit cost is
+    * sampled-side × deg, never a hub's full deg².
+    * `ok1/ok2/ok3` assert in-plan that each hop's estimate lands
+    * within max(1, 5 %) of exact (list/set-mode exact at fixture
+    * sizes, same argument as q346). Fixture honesty: at sf0.1 the
+    * co-occurrence graph saturates at 2 hops (reach2 ≈ n−1), so
+    * hop 3 adds ~nothing there; sf0.001/0.01 grow 41 %/14 % at
+    * hop 3 and exercise the iteration for real. */
+  val anfReach3: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT DISTINCT event_type,
+                    date_trunc('hour', ts) AS h, user_id FROM events),
+       m0 AS (SELECT CASE WHEN count(DISTINCT user_id) >= 1000
+                THEN 25 ELSE 5 END AS m FROM p),
+       e AS (SELECT a.user_id AS u, b.user_id AS v
+             FROM p a JOIN p b ON a.event_type = b.event_type
+               AND a.h = b.h AND a.user_id < b.user_id
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+       ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       ees AS (SELECT u, v FROM ee, m0 WHERE u % m0.m = 0),
+       r2 AS (SELECT a.u AS src, b.v AS dst
+              FROM ees a JOIN ee b ON a.v = b.u WHERE a.u <> b.v
+              UNION SELECT u, v FROM ees),
+       r3 AS (SELECT r2.src, ee.v AS dst
+              FROM r2 JOIN ee ON r2.dst = ee.u WHERE ee.v <> r2.src
+              UNION SELECT src, dst FROM r2),
+       d1 AS (SELECT u AS src, CAST(count(*) AS BIGINT) AS n_reach1
+              FROM ees GROUP BY 1),
+       d2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach2
+              FROM r2 GROUP BY 1),
+       d3 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach3
+              FROM r3 GROUP BY 1)
+       SELECT d1.src AS user_id, n_reach1, n_reach2, n_reach3,
+              TRUE AS ok1, TRUE AS ok2, TRUE AS ok3
+       FROM d1 JOIN d2 ON d1.src = d2.src JOIN d3 ON d1.src = d3.src
+       ORDER BY 1""") { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    // scale-aware audit modulus (the corpus-adaptive-banding
+    // discipline): 1-in-5 sources at small fixtures, 1-in-25 once
+    // the graph is dense enough that reach relations saturate —
+    // bounded driver scalar, recomputed identically by the oracle
+    val mod = if (p.select(col("user_id")).distinct().count() >= 1000)
+      25 else 5
+    val e = graft.ops.Graph.cooccurEdges(p,
+      Seq("event_type", "h"), "user_id", minSupport = 3)
+    val ee = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // ---- sketch tier (the scale path): S1 = sketch(N(v)); Sh =
+    // S(h-1) ∪ neighbors' S(h-1). Each round is one edge join +
+    // repartition-by-node + union agg (the q346 hub-safety shape).
+    val s1 = ee.groupBy(col("u"))
+      .agg(hll_sketch_agg(col("v")).as("sk1"),
+        count(lit(1)).cast("long").as("d1"))
+    def propagate(prev: org.apache.spark.sql.DataFrame,
+        skCol: String, outCol: String) =
+      ee.join(prev.select(col("u").as("v"), col(skCol)), "v")
+        .repartition(col("u"))
+        .groupBy(col("u")).agg(hll_union_agg(col(skCol)).as("__nb"))
+        .join(prev, "u")
+        .withColumn(outCol, hll_union(col(skCol), col("__nb")))
+        .drop("__nb")
+    val s2 = propagate(s1, "sk1", "sk2")
+    // round 3 ships DENSE sk2 sketches (KB each once reach
+    // saturates), so it restricts to the sampled output nodes — the
+    // only rows this query emits; the all-nodes form is the same
+    // line without the filter (rounds 1-2 must stay global: a
+    // sampled node's neighbors are arbitrary)
+    val s3 = ee.filter(col("u") % mod === 0)
+      .join(s2.select(col("u").as("v"), col("sk2")), "v")
+      .repartition(col("u"))
+      .groupBy(col("u")).agg(hll_union_agg(col("sk2")).as("__nb"))
+      .join(s2, "u")
+      .withColumn("sk3", hll_union(col("sk2"), col("__nb")))
+    val est = s3.select(col("u").as("src"),
+      hll_sketch_estimate(col("sk1")).as("e1"),
+      (hll_sketch_estimate(col("sk2")) - 1L).as("e2"),
+      (hll_sketch_estimate(col("sk3")) - 1L).as("e3"),
+      col("d1"))
+    // ---- exact audit tier, SAMPLED sources filtered BEFORE any
+    // expansion: the wedge join only ever fans out of the ~1/mod
+    // sampled rows (sampled-side × deg work, never a full hub deg²
+    // — the full-graph exact shape lives in q196/q346), and hop 3
+    // is one more edge join over the sampled reach-2 rows
+    val eeS = ee.filter(col("u") % mod === 0)
+    val two = eeS.as("a").join(ee.as("b"), col("a.v") === col("b.u")
+        && col("a.u") =!= col("b.v"))
+      .select(col("a.u").as("src"), col("b.v").as("dst"))
+    val r2 = eeS.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(two)
+      .distinct()
+    val r3 = r2.join(ee.select(col("u").as("dst"), col("v")), "dst")
+      .filter(col("v") =!= col("src"))
+      .select(col("src"), col("v").as("dst"))
+      .unionByName(r2)
+      .distinct()
+    val n2 = r2.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_reach2"))
+    val n3 = r3.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_reach3"))
+    val tol = (exact: org.apache.spark.sql.Column) =>
+      greatest(lit(1L), (lit(0.05) * exact).cast("long"))
+    est.filter(col("src") % mod === 0)
+      .join(n2, "src").join(n3, "src")
+      .select(col("src").as("user_id"),
+        col("d1").as("n_reach1"), col("n_reach2"), col("n_reach3"),
+        (abs(col("e1") - col("d1")) <= tol(col("d1"))).as("ok1"),
+        (abs(col("e2") - col("n_reach2")) <= tol(col("n_reach2")))
+          .as("ok2"),
+        (abs(col("e3") - col("n_reach3")) <= tol(col("n_reach3")))
+          .as("ok3"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user event-time coverage: each event opens a 2-hour
     * activity interval, overlapping intervals merge (interval
     * UNION), and the output is the merged-interval count and total
@@ -2314,6 +2438,7 @@ object Advanced {
     "q195_pareto_frontier" -> paretoFrontier,
     "q196_khop_reach" -> kHopReach,
     "q346_khop_reach_hll" -> kHopReachHll,
+    "q356_anf_reach3" -> anfReach3,
     "q198_interval_coverage" -> intervalCoverage,
     "q180_map_breadth" -> mapBreadth,
     "q87_rolling_hour" -> rollingHour,
