@@ -764,9 +764,27 @@ object Profile {
 
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
-      // (same measurement discipline as Bench, without the full sweep)
+      // (same measurement discipline as Bench, without the full
+      // sweep), with max-task attribution so single-task-straggler
+      // shares are visible per run
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
+        })
       args.drop(1).foreach { name =>
-        timed(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+        (1 to 2).foreach { i =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          maxTask.set(0)
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(name)(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[profile] $name%-40s run$i $sec%8.3f s " +
+            f"max_task=${maxTask.get / 1e3}%7.3f s")
+        }
       }
       spark.stop()
       return

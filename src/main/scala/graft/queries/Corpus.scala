@@ -154,8 +154,11 @@ object Corpus {
     * over distinct token-3-gram shingle sets — the screen that
     * catches a document EMBEDDED in a larger one, which symmetric
     * Jaccard (q30/q39) dilutes away. Pair candidates come from the
-    * inverted shingle index (a shingle-keyed self-join, never
-    * docs×docs); the top-10 output orders by the RAW containment
+    * inverted shingle index routed through the chunked pair
+    * expansion ([[graft.ops.Graph.cooccurPairCounts]] with the
+    * shingle as the bucket — never docs×docs, and never a hot
+    * shingle's f² inside one join task); the top-10 output orders
+    * by the RAW containment
     * double (the identical IEEE divide on both engines, so the
     * LIMIT boundary is deterministic) with a (doc_a, doc_b) total
     * tie-break, and only the emitted value is r6-rounded. */
@@ -187,12 +190,24 @@ object Corpus {
       explode(graft.text.TextOps.shingles(col("toks"), 3)).as("g"))
     val sz = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("ns"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
-    val p = a.join(b, a("g") === b("g")
-        && col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).cast("long").as("common"))
+    // Hot-shingle safety: a raw g===g self-join puts a shingle
+    // shared by f documents (boilerplate at corpus scale) through
+    // ONE g-keyed join task as f² rows — measured 65-75% single-
+    // task share even at sf0.1. Route the pair counts through the
+    // chunked co-occurrence machinery instead (shingle = bucket):
+    // rank-sliced member sets spread a hot shingle's (f/chunk)²
+    // cross products over explicit-count repartitions, and the
+    // symmetric (u<v, common) count is exactly |S(A)∩S(B)|.
+    // Containment is asymmetric, so emit BOTH directions. (The
+    // bucket column is renamed: cooccurPairCounts uses `g` for its
+    // internal chunk index.)
+    val pc = graft.ops.Graph.cooccurPairCounts(
+      sh.select(col("doc_id"), col("g").as("shingle")),
+      Seq("shingle"), "doc_id")
+    val p = pc.select(col("u").as("doc_a"), col("v").as("doc_b"),
+        col("w").cast("long").as("common"))
+      .unionByName(pc.select(col("v").as("doc_a"),
+        col("u").as("doc_b"), col("w").cast("long").as("common")))
     p.join(sz, col("doc_a") === col("doc_id"))
       .select(col("doc_a"), col("doc_b"), col("common"),
         (col("common").cast("double") / col("ns")).as("cont"))

@@ -551,14 +551,16 @@ object Pipeline {
     // tie-proof audit (ADVICE r10): if the fixture ever held OTHER
     // vectors identical to a query, 3+ cos-1.0 ties could push the
     // planted id out of the k-cut by the smaller-id tie-break — the
-    // ONLY way it can be evicted is by a full list of cos-1.0 ties,
-    // so `ok` accepts that case too (still on the hash-checked path:
-    // every accepted row went through keys → bucket join → re-rank)
+    // ONLY way it can be evicted is by a FULL list of k cos-1.0
+    // ties, so `ok` accepts that case only when the k-cut is
+    // actually full (ADVICE r11: an all-ties list SHORTER than k
+    // would mean the planted candidate was dropped, not evicted)
     queries.select(col("vec_id").as("q_id"))
       .join(top.groupBy(col("q_id")).agg(
           (bool_or(col("n_id") === col("q_id") + 100000L
              && col("cos") === 1.0)
-           || every(col("cos") === 1.0)).as("__hit")),
+           || (every(col("cos") === 1.0)
+               && count(lit(1)) === 3)).as("__hit")),
         Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__hit"), lit(false)).as("ok"))
@@ -637,14 +639,16 @@ object Pipeline {
     val queries = emb.filter(col("vec_id") < 10)
     val top = VectorOps.ivfTopK(doubled, queries, 3)
     // tie-proof audit — same reasoning as q33 annLsh: eviction of
-    // the planted id from the k-cut is only possible by a full list
-    // of cos-1.0 ties, which proves the same guaranteed-candidate
-    // property (ADVICE r10)
+    // the planted id from the k-cut is only possible by a FULL list
+    // of k cos-1.0 ties, which proves the same guaranteed-candidate
+    // property; a shorter all-ties list means a dropped candidate
+    // and fails (ADVICE r10/r11)
     queries.select(col("vec_id").as("q_id"))
       .join(top.groupBy(col("q_id")).agg(
           (bool_or(col("n_id") === col("q_id") + 100000L
              && col("cos") === 1.0)
-           || every(col("cos") === 1.0)).as("__hit")),
+           || (every(col("cos") === 1.0)
+               && count(lit(1)) === 3)).as("__hit")),
         Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__hit"), lit(false)).as("ok"))
@@ -1336,8 +1340,8 @@ object Pipeline {
     * are correctly absent: the stream cannot yet distinguish "no
     * match" from "match still in flight". */
   val streamIntervalJoinLeft: QueryDef = QueryDef.sql(
-    """WITH mx AS (SELECT to_timestamp(floor(epoch_ms(max(ts))
-                     / 1000.0)) AS m FROM events),
+    """WITH mx AS (SELECT to_timestamp(epoch_ms(max(ts))
+                     / 1000.0) AS m FROM events),
        p AS (SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
                CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
                     AS BIGINT) AS gap_s
@@ -1383,8 +1387,8 @@ object Pipeline {
     * horizons on the respective null sides — again exact, again
     * hash-checked. */
   val streamIntervalJoinFull: QueryDef = QueryDef.sql(
-    """WITH mx AS (SELECT to_timestamp(floor(epoch_ms(max(ts))
-                     / 1000.0)) AS m FROM events),
+    """WITH mx AS (SELECT to_timestamp(epoch_ms(max(ts))
+                     / 1000.0) AS m FROM events),
        p AS (SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
                CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
                     AS BIGINT) AS gap_s

@@ -744,5 +744,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hll.contains("REPARTITION_BY_COL"),
       s"q346's sketch union must repartition by node before the " +
         s"union aggregate:\n$hll")
+    // q230 (containment top-k, VERDICT r11 #1): the inverted-index
+    // pair generation must ride the chunked machinery too -- a raw
+    // g===g self-join puts a hot shingle's f^2 expansion in ONE
+    // reducer task (measured 65-75% single-task share at sf0.1)
+    val ct = executedPlan("q230_containment_topk")
+    assert(ct.contains("REPARTITION_BY_NUM"),
+      s"q230's shingle pair generation must pin explicit-count " +
+        s"repartitions (chunked expansion, not a raw self-join):\n$ct")
   }
 }
