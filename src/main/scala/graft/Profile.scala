@@ -182,6 +182,213 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "text-skew") {
+      // Planted stop-shingle probe (VERDICT r11 #2): the graph-zipf
+      // discipline applied to the SHINGLE-keyed text/dedup family.
+      // Synthetic corpus at 1×/10× volume with three populations:
+      //  - TEMPLATE CLUSTER (fixed 2,000 docs): one 40-token template
+      //    with a single doc-dependent token perturbation (J≈0.92) —
+      //    the boilerplate that concentrates LSH/simhash/prefix
+      //    buckets into one hot (band,bucket) cell;
+      //  - STOP-SHINGLE docs (fixed 14,000 — 70% of the 1× corpus):
+      //    one planted 3-gram, the text analogue of the Zipf hub in
+      //    the inverted shingle index (f²/2 ≈ 9.8e7 pairs from ONE
+      //    shingle key — fixed ABSOLUTE df so its pair volume is a
+      //    constant reference line across tiers, exactly like the
+      //    zipf probe's honest volume drivers);
+      //  - BACKGROUND (the remaining (20,000·k − 16,000) docs) over
+      //    a vocabulary that grows with the tier (3,000·k words), so
+      //    background bucket sizes stay Zipf-tail-shaped instead of
+      //    saturating.
+      // Every probe prints its honest volume driver (Σ s(s−1)/2 over
+      // its own bucket relation) next to wall + max-task: linearity
+      // is time-vs-volume, concentration is max-task share. The
+      // NAIVE inverted-index self-join (q230's pre-r12 shape) is
+      // probed at 1× only — its single-task hot-shingle tail is the
+      // finding, re-proving it at 10× would be one ~100× longer task.
+      // Usage: Profile text-skew [tier ...]   (default 1 10)
+      import org.apache.spark.sql.DataFrame
+      val tiers = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      graft.functions.GraftFunctions.register(spark)
+      val only = sys.env.get("SPARK_GRAFT_TS_ONLY")
+        .map(_.split(",").map(_.trim).toSeq)
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
+            stageMax.merge(t.stageId, t.taskInfo.duration,
+              (a, b) => math.max(a, b))
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = s.stageInfo.taskMetrics
+            stageInfo.put(s.stageInfo.stageId,
+              s"tasks=${s.stageInfo.numTasks} " +
+                s"sr=${m.shuffleReadMetrics.recordsRead} " +
+                s"sw=${m.shuffleWriteMetrics.recordsWritten} " +
+                s"spill=${m.memoryBytesSpilled / (1 << 20)}MB")
+          }
+        })
+      def probe(label: String, volume: => Long)(consume: => Long): Unit = {
+        if (only.exists(fs => !fs.exists(label.contains))) return
+        Caching.releaseAll(); spark.catalog.clearCache()
+        maxTask.set(0); stageMax.clear()
+        val t0 = System.nanoTime()
+        val out = consume
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] $label%-30s vol=${volume}%12d out=$out%10d " +
+          f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s")
+        stageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach {
+          case (sid, ms) => println(
+            f"[profile]   stage $sid%4d max_task=${ms / 1e3}%8.3f s " +
+              stageInfo.getOrDefault(sid, ""))
+        }
+      }
+      // Σ s(s−1)/2 over a (bucket..., member) relation
+      def pairVol(p: DataFrame, buckets: Seq[String]): Long =
+        p.groupBy(buckets.map(col): _*).agg(count(lit(1)).as("s"))
+          .agg(coalesce((sum(col("s") * (col("s") - 1)) / 2), lit(0))
+            .cast("long"))
+          .collect()(0).getLong(0)
+      val tmplDocs = 2000L
+      val stopDocs = 14000L
+      for (k <- tiers) {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(512, math.max(32, 8 * k)).toString)
+        val nDocs = 20000L * k
+        val vocab = 3000L * k
+        val dir = graft.sources.ScratchDirs.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_textskew_" +
+            s"${k}_" + ProcessHandle.current().pid())
+        def word(j: org.apache.spark.sql.Column, salt: Int) =
+          concat(lit("w"), pmod(
+            xxhash64(col("id") * lit(41L) + j, lit(salt)),
+            lit(vocab)).cast("string"))
+        val bgToks = transform(sequence(lit(0L), lit(39L)),
+          j => word(j, 7))
+        val stopToks = transform(sequence(lit(0L), lit(39L)), j =>
+          when(j === 10L, lit("sx")).when(j === 11L, lit("sy"))
+            .when(j === 12L, lit("sz")).otherwise(word(j, 7)))
+        val tmplToks = transform(sequence(lit(0L), lit(39L)), j =>
+          when(j === pmod(col("id"), lit(40L)),
+            concat(lit("p"), col("id").cast("string")))
+            .otherwise(concat(lit("t"), j.cast("string"))))
+        spark.range(nDocs)
+          .select(col("id").as("doc_id"), concat_ws(" ",
+            when(col("id") < tmplDocs, tmplToks)
+              .when(col("id") < tmplDocs + stopDocs, stopToks)
+              .otherwise(bgToks)).as("text"))
+          .write.mode("overwrite").parquet(s"$dir/docs")
+        val docs = spark.read.parquet(s"$dir/docs")
+        // inverted 3-gram shingle index — the q230/q39 upstream
+        val sh = docs
+          .select(col("doc_id"),
+            graft.text.TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(
+            graft.text.TextOps.shingles(col("toks"), 3)).as("shingle"))
+        // pair-volume-scaled reducer count for the containment
+        // probes (the cooccur-hot lesson: ~2M pairs/task keeps the
+        // (u,v) partial-agg maps fixture-sized; at a fixed 32 the
+        // 1.6e8-pair tier-1 relation builds 5M-entry maps per task
+        // and spill-thrashes — on a real cluster this is just the
+        // default-parallelism-scales-with-data operating point)
+        val shVol = pairVol(sh, Seq("shingle"))
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(512L, math.max(32L, shVol / 2000000L)).toString)
+        if (k == 1) probe(s"ts ${k}x containment naive", shVol) {
+          val a = sh.select(col("doc_id").as("da"), col("shingle"))
+          val b = sh.select(col("doc_id").as("db"), col("shingle"))
+          a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+            .groupBy(col("da"), col("db"))
+            .agg(count(lit(1)).as("common"))
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        probe(s"ts ${k}x containment chunked", shVol) {
+          ops.Graph.cooccurPairCounts(sh, Seq("shingle"), "doc_id")
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(512, math.max(32, 8 * k)).toString)
+        probe(s"ts ${k}x minhash lsh (q30)", {
+          // the banded bucket relation this op actually shuffles
+          val banded = graft.dedup.Dedup
+            .hashedShingles(docs, "doc_id", "text", 3)
+            .select(col("__id"), posexplode(
+              graft.functions.GraftFunctions.minhashBuckets(
+                col("__hs"), 128, 64)).as(Seq("band", "bucket")))
+          pairVol(banded, Seq("band", "bucket"))
+        }) {
+          graft.dedup.Dedup
+            .minhashNearDupPairs(docs, "doc_id", "text", 0.6)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        probe(s"ts ${k}x simhash (q31)", nDocs) {
+          graft.dedup.Dedup
+            .simhashNearDupPairs(docs, "doc_id", "text")
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        probe(s"ts ${k}x prefix-filter (q156)", {
+          graft.dedup.Dedup.prefixCandidatesOf(
+            graft.dedup.Dedup.hashedShingles(docs, "doc_id", "text", 3)
+              .select(col("__id"), col("__hs")), 0.8)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }) {
+          graft.dedup.Dedup
+            .prefixFilterJaccardPairs(docs, "doc_id", "text", 0.8)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        if (k == 1) probe(s"ts ${k}x exact jaccard (q39)",
+          nDocs * (nDocs - 1) / 2) {
+          graft.dedup.Dedup
+            .exactJaccardPairs(docs, "doc_id", "text", 0.6)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        probe(s"ts ${k}x chunk dedup (q349)", nDocs) {
+          // q349's core: md5 fingerprint per 32-token window,
+          // hash-groupBy — a hot boilerplate chunk is partial-agg
+          // safe by construction (counts collapse map-side)
+          docs.select(col("doc_id"),
+              graft.text.TextOps.tokens(col("text")).as("toks"))
+            .select(col("doc_id"), explode(sequence(lit(0),
+              floor((size(col("toks")) - 1) / 24).cast("int")))
+              .as("ci"), col("toks"))
+            .select(col("doc_id"), md5(concat_ws(" ",
+              slice(col("toks"), col("ci") * 24 + 1, lit(32))))
+              .as("fp"))
+            .groupBy(col("fp"))
+            .agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        probe(s"ts ${k}x dup spans (q79)", nDocs) {
+          // q79's core: dup-gram count (partial-agg) + broadcast
+          // semi join + per-doc island windows — a stop 16-gram
+          // only bumps one count map-side
+          val grams = docs
+            .select(col("doc_id"),
+              graft.text.TextOps.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 16)
+            .select(col("doc_id"), posexplode(
+              graft.functions.GraftFunctions.gramHashes(
+                col("toks"), 16)).as(Seq("pos", "gh")))
+          val dup = grams.groupBy(col("gh"))
+            .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+            .select(col("gh"))
+          grams.join(broadcast(dup), Seq("gh"))
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "taxi-year") {
       // Reference-scale taxi run (VERDICT r10 #3): a deterministic
       // synthetic TLC-shaped YEAR at the reference's own operating

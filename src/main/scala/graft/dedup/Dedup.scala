@@ -53,17 +53,24 @@ object Dedup {
         hash(slice(sigCol, b * lit(rowsPerBand) + lit(1),
           lit(rowsPerBand))).as("bucket")))
 
-  /** All ordered pairs (a < b by the array's sort order) from a
-    * sorted bucket-member array — the candidate-generation step after
-    * a groupBy on (band, bucket). One groupBy shuffle replaces a
-    * bucket self-join, so the signature pipeline upstream is consumed
-    * ONCE instead of once per join side. Pair count is quadratic in
-    * bucket size: run exact dedup (exactGroups) first so identical
-    * documents — which share every band — don't inflate one bucket. */
-  private def bucketPairs(members: Column): Column =
-    flatten(transform(members, (x, i) =>
-      transform(slice(members, i + lit(2), size(members)),
-        y => struct(x.as("a"), y.as("b")))))
+  /** Distinct ordered candidate pairs (u < v) from a bucketed
+    * (bucketCols, member) projection — every banded/inverted-index
+    * candidate generator in this family routes here, which routes to
+    * [[graft.ops.Graph.cooccurPairCounts]] (VERDICT r11 #2, the
+    * text-family skew fix): one groupBy shuffle still replaces a
+    * bucket self-join (the signature pipeline upstream is consumed
+    * ONCE), but a hot bucket's k² expansion is chunk-distributed
+    * across explicit-count repartitions instead of flattened into a
+    * single group row — the flatten shape both concentrated the k²
+    * work in ONE task and materialized the full k² struct array in
+    * that row's memory (a 10⁵-member boilerplate bucket is 10¹⁰
+    * structs — straggler death, then OOM). The (u,v) aggregation
+    * also collapses cross-bucket multiplicity map-side, replacing
+    * the old explode→distinct. `w` = number of shared buckets rides
+    * along for callers with a min-support semantic (winnowing). */
+  private def bucketPairCounts(p: DataFrame, bucketCols: Seq[String],
+      memberCol: String): DataFrame =
+    graft.ops.Graph.cooccurPairCounts(p, bucketCols, memberCol)
 
   /** Candidate near-dup pairs via MinHash+LSH over word n-gram
     * shingles, then EXACT Jaccard verification at `threshold`.
@@ -105,13 +112,9 @@ object Dedup {
       .select(col("__id"),
         posexplode(GraftFunctions.minhashBuckets(col("__hs"), numHashes,
           bands)).as(Seq("band", "bucket")))
-    val candidates = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(bucketPairs(col("__ids"))).as("__p"))
-      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
-      .distinct()
+    val candidates = bucketPairCounts(banded, Seq("band", "bucket"),
+        "__id")
+      .select(col("u").as("a_id"), col("v").as("b_id"))
     candidates
       .join(hashed.select(col("__id").as("a_id"), col("__hs").as("a_hs")),
         "a_id")
@@ -199,18 +202,12 @@ object Dedup {
     // prefix length |S| - ceil(t*|S|) + 1; slice takes column args
     val prefixLen = (col("__n")
       - ceil(lit(threshold) * col("__n")) + 1).cast("int")
-    ranked
+    val prefixRel = ranked
       .select(col("__id"),
         explode(slice(col("__sorted"), lit(1), prefixLen)).as("p"))
       .select(col("__id"), col("p.h").as("h"))
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("__p"))
-      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
-      .distinct()
+    bucketPairCounts(prefixRel, Seq("h"), "__id")
+      .select(col("u").as("a_id"), col("v").as("b_id"))
   }
 
   /** Hash the shingle sets of `df` the way the prefix-filter join
@@ -292,21 +289,16 @@ object Dedup {
           shiftright(col("__sim"), c * width)
             .bitwiseAND(lit(mask)).as("value"))): _*)).as("__c"))
       .select(col("__r"), col("__c.chunk"), col("__c.value"))
-    chunked
-      .groupBy(col("chunk"), col("value"))
-      .agg(sort_array(collect_list(col("__r"))).as("__rs"))
-      .filter(size(col("__rs")) > 1)
-      .select(explode(bucketPairs(col("__rs"))).as("__p"))
-      .select(col("__p.a.__id").as("a_id"), col("__p.b.__id").as("b_id"),
-        bit_count(col("__p.a.__sim").bitwiseXOR(col("__p.b.__sim")))
+    // the (u,v) pair aggregation inside bucketPairCounts collapses
+    // cross-chunk multiplicity (≤ `chunks`-fold) map-side; hamming
+    // is functionally determined by the pair, so verifying after
+    // that collapse is semantically identical to the old
+    // verify-before-distinct while gaining hot-bucket chunking
+    bucketPairCounts(chunked, Seq("chunk", "value"), "__r")
+      .select(col("u.__id").as("a_id"), col("v.__id").as("b_id"),
+        bit_count(col("u.__sim").bitwiseXOR(col("v.__sim")))
           .as("hamming"))
-      // verify BEFORE dedup: hamming is row-local and functionally
-      // determined by the pair, so filtering first is semantically
-      // identical while the distinct's shuffle carries only the
-      // (rare) passing pairs instead of every bucket collision —
-      // the same verify-then-dedup rationale as cpRawMatches
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Distinct doc pairs sharing at least one verbatim run of
@@ -328,12 +320,8 @@ object Dedup {
         explode(array_distinct(transform(
           sequence(lit(1), size(col("__toks")) - (runLen - 1)),
           i => concat_ws(" ", slice(col("__toks"), i, lit(runLen)))))).as("__g"))
-    grams.groupBy(col("__g"))
-      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(bucketPairs(col("__ids"))).as("__p"))
-      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
-      .distinct()
+    bucketPairCounts(grams, Seq("__g"), "__id")
+      .select(col("u").as("a_id"), col("v").as("b_id"))
   }
 
   /** Near-dup candidate pairs by winnowing fingerprints (rolling
@@ -354,13 +342,13 @@ object Dedup {
       .select(col(idCol).as("__id"),
         explode(GraftFunctions.winnow(col("__toks"), ngram, window))
           .as("fp"))
-    fps.groupBy(col("fp"))
-      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(bucketPairs(col("__ids"))).as("__p"))
-      .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
+    // .distinct() mirrors the old collect_set semantics (winnowing
+    // can select the same fingerprint from overlapping windows); the
+    // shared-bucket count `w` IS n_shared, so the old explode →
+    // re-groupBy disappears entirely
+    bucketPairCounts(fps.distinct(), Seq("fp"), "__id")
+      .select(col("u").as("a_id"), col("v").as("b_id"),
+        col("w").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

@@ -1113,13 +1113,6 @@ object VectorOps {
         (col("__i") + 1).cast("int").as("rank"))
   }
 
-  /** All ordered pairs (a < b) from a sorted bucket-member array —
-    * see graft.dedup.Dedup for the groupBy-not-self-join rationale. */
-  private def bucketPairs(members: Column): Column =
-    flatten(transform(members, (x, i) =>
-      transform(slice(members, i + lit(2), size(members)),
-        y => struct(x.as("a"), y.as("b")))))
-
   /** Exact embedding near-dup pairs: all pairs with cosine >= tau.
     * Brute-force block self-join — the exactness baseline the LSH
     * path approximates. Norms are precomputed per row, so pair-time
