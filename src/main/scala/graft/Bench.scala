@@ -137,12 +137,35 @@ object Bench {
     // lands at the isolated cost and the min reports it; a real
     // regression reads slow twice. Streaming rows are excluded (a
     // re-run re-pays the fixed micro-batch machinery by design).
-    res.toSeq.filterNot(r => streamingLane(r._1))
-      .sortBy(-_._2._1).take(5).map(_._1).foreach { name =>
-        val r = timedPass(name)
-        emit(s"""{"query":"$name","sec":${r._1},"max_task_ms":${r._2},"retime":true}""")
-        if (r._1 < res(name)._1) res(name) = r
-      }
+    //
+    // VERDICT r11 #6 extension: entries OUTSIDE the top-5 window can
+    // still ship a co-tenancy artifact number (r11's q313: 4.8 s in
+    // the artifact, 0.7 s isolated — min-of-2 lost twice to one
+    // sustained burst). Every full run persists its per-query map to
+    // a history file; the next run ALSO re-times any batch entry
+    // reading > 3× its previous value (and > 1 s — sub-second jitter
+    // is not a spike), capped at 12 extra passes so a genuinely
+    // slower box can't turn the defense into a third full lane.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "/root/repo/.bench_history.json")
+    val prev: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(histPath)
+      val txt = try src.mkString finally src.close()
+      """"([^"]+)":([-0-9.Ee+]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val batch = res.toSeq.filterNot(r => streamingLane(r._1))
+    val top5 = batch.sortBy(-_._2._1).take(5).map(_._1)
+    val spiked = batch.filterNot(r => top5.contains(r._1))
+      .filter { case (n, (sec, _)) =>
+        sec > 1.0 && prev.get(n).exists(p => sec > 3 * p) }
+      .sortBy(-_._2._1).take(12).map(_._1)
+    (top5 ++ spiked).foreach { name =>
+      val r = timedPass(name)
+      val why = if (top5.contains(name)) "top5" else "hist3x"
+      emit(s"""{"query":"$name","sec":${r._1},"max_task_ms":${r._2},"retime":"$why"}""")
+      if (r._1 < res(name)._1) res(name) = r
+    }
     val results = res.toSeq
     val total = results.map(_._2._1).sum
     val streamingTotal =
@@ -221,6 +244,15 @@ object Bench {
         contract("{}"))
       .find(_.length <= 1800).get
     emit(line)
+    // persist this run's per-query map for the next run's hist3x
+    // re-time rule — full runs only (a subset would erase the
+    // catalog-wide baseline)
+    if (only.isEmpty) try {
+      val w = new java.io.PrintWriter(histPath)
+      try w.write(results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+        .mkString("{", ",", "}"))
+      finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

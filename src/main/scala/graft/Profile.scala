@@ -51,20 +51,25 @@ object Profile {
         pmod(xxhash64(col("id"), lit(salt)), lit(1000000L))
           .cast("double") / lit(1000000.0)
       val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
-              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
+            shufBytes.addAndGet(
+              t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
         })
       def probe(label: String, volume: => Long)(consume: => Long): Unit = {
         Caching.releaseAll(); spark.catalog.clearCache()
-        maxTask.set(0)
+        maxTask.set(0); shufBytes.set(0)
         val t0 = System.nanoTime()
         val out = consume
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[profile] $label%-28s vol=${volume}%12d out=$out%12d " +
-          f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s")
+          f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s " +
+          f"shuf=${shufBytes.get / (1 << 20)}%6d MB")
       }
       for (k <- tiers) {
         // shuffle parallelism grows with the tier, as on a real
@@ -164,6 +169,28 @@ object Profile {
               hll_union(col("sk"), col("sk2"))) - 1L).as("r"))
             .agg(sum(col("r"))).collect()(0).getLong(0)
         }
+        probe(s"zipf ${k}x 3hop anf", edgeCount) {
+          // q356's sketch tier, GLOBAL (unsampled) form — the
+          // dense-sketch regime the verdict asked to probe: round 3
+          // ships every node's hop-2 sketch along every edge. The
+          // shuf column is the honest volume driver here (KB-scale
+          // saturated sketches × m edge ships); the structural claim
+          // is O(h·m) bytes with no single-task tail — each round is
+          // one edge join + repartition-by-node + union agg, the
+          // q346 hub-safety shape.
+          val s1 = ee.groupBy(col("u")).agg(
+            hll_sketch_agg(col("v")).as("sk"))
+          def prop(prev: DataFrame) =
+            ee.join(prev.select(col("u").as("v"), col("sk")), "v")
+              .repartition(col("u"))
+              .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("__nb"))
+              .join(prev, "u")
+              .select(col("u"),
+                hll_union(col("sk"), col("__nb")).as("sk"))
+          val s3 = prop(prop(s1))
+          s3.select((hll_sketch_estimate(col("sk")) - 1L).as("r"))
+            .agg(sum(col("r"))).collect()(0).getLong(0)
+        }
         probe(s"zipf ${k}x labelprop(3)", edgeCount) {
           ops.Graph.labelPropagation(e, 3)
             .agg(count_distinct(col("lbl"))).collect()(0).getLong(0)
@@ -237,12 +264,15 @@ object Profile {
         })
       def probe(label: String, volume: => Long)(consume: => Long): Unit = {
         if (only.exists(fs => !fs.exists(label.contains))) return
+        // volume runs BEFORE the timed region so its stages never
+        // pollute the consume pass's stage attribution
+        val vol = volume
         Caching.releaseAll(); spark.catalog.clearCache()
         maxTask.set(0); stageMax.clear()
         val t0 = System.nanoTime()
         val out = consume
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[profile] $label%-30s vol=${volume}%12d out=$out%10d " +
+        println(f"[profile] $label%-30s vol=${vol}%12d out=$out%10d " +
           f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s")
         stageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach {
           case (sid, ms) => println(
@@ -257,12 +287,20 @@ object Profile {
             .cast("long"))
           .collect()(0).getLong(0)
       val tmplDocs = 2000L
-      val stopDocs = 14000L
       for (k <- tiers) {
         spark.conf.set("spark.sql.shuffle.partitions",
           math.min(512, math.max(32, 8 * k)).toString)
         val nDocs = 20000L * k
         val vocab = 3000L * k
+        // hot-shingle df grows with √k so its pair volume (f²/2)
+        // grows LINEARLY with the tier — the runnable scaling. A df
+        // that stays 70% OF THE CORPUS is not a concentration
+        // problem but a volume wall: at 10× it is 0.245·(2e5)² ≈
+        // 1e10 pairs of exact OUTPUT, quadratic by definition of
+        // containment — no plan shape removes it (the scale lever
+        // there is semantic: df-capped screening, a different
+        // operator). At 1× this still IS 70% of the corpus.
+        val stopDocs = math.round(14000.0 * math.sqrt(k.toDouble))
         val dir = graft.sources.ScratchDirs.register(
           s"${System.getProperty("java.io.tmpdir")}/graft_textskew_" +
             s"${k}_" + ProcessHandle.current().pid())
@@ -311,7 +349,8 @@ object Profile {
             .agg(count(lit(1))).collect()(0).getLong(0)
         }
         probe(s"ts ${k}x containment chunked", shVol) {
-          ops.Graph.cooccurPairCounts(sh, Seq("shingle"), "doc_id")
+          ops.Graph.cooccurPairCounts(sh, Seq("shingle"), "doc_id",
+              cacheGroups = true)
             .agg(count(lit(1))).collect()(0).getLong(0)
         }
         spark.conf.set("spark.sql.shuffle.partitions",
@@ -383,6 +422,139 @@ object Profile {
             .select(col("gh"))
           grams.join(broadcast(dup), Seq("gh"))
             .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "rich-fixture") {
+      // De-saturated fixture for the overlap/coverage gates (VERDICT
+      // r11 #3): the shipped documents fixture has a 31-word
+      // vocabulary shared by every lang/source and events where every
+      // user does every event_type (SURVEY §16.7) — so q222's source
+      // overlaps and q351's audience intersections pass on DEGENERATE
+      // set relations (≈100% overlap). This generator writes a
+      // 100×-docs / 20×-events fixture where the gates have to earn
+      // their semantics:
+      //  - documents (50,000): token ids drawn u³-Zipf over a 60,000-
+      //    type window PER SOURCE, windows offset 15,000 per source
+      //    index — adjacent sources share 75% of their RANGES,
+      //    distant ones 0%, and realized vocab overlap varies
+      //    smoothly in between (never 0%/100%). The u³ tail gives
+      //    Heaps-ish vocab growth and a real Zipf tier structure for
+      //    q343; doc lengths 20-120 give q352 a non-trivial score
+      //    distribution.
+      //  - events (~200,000 / 2,000 users / 30 days): a user
+      //    participates in event_type t only if hash(user,t) clears
+      //    t's rate (70/50/35/25/15%), so per-(day,type) audiences
+      //    are PARTIAL and pairwise intersections land strictly
+      //    inside (0%, 100%). Per-(day,type) distinct users stay
+      //    well under the theta-sketch exactness bound (4,096), so
+      //    q351 remains hash-exact.
+      // Usage: Profile rich-fixture [outDir]; then run Verify +
+      // tools/check_oracle.py against outDir for
+      // q222/q343/q351/q352 (and any other documents/events query).
+      val out = if (args.length > 1) args(1)
+        else s"${System.getProperty("java.io.tmpdir")}/graft_rich_fixture"
+      val nDocs = 50000L
+      def h(salt: Int, c: org.apache.spark.sql.Column*) =
+        xxhash64((lit(salt) +: c): _*)
+      val docBase = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          pmod(h(1, col("id")), lit(100L)).as("lm"),
+          pmod(h(2, col("id")), lit(20L)).cast("int").as("srcIdx"),
+          (pmod(h(3, col("id")), lit(101L)) + 20L).cast("int").as("len"))
+        .select(col("doc_id"), col("srcIdx"), col("len"),
+          when(col("lm") < 40, "en").when(col("lm") < 65, "de")
+            .when(col("lm") < 80, "fr").when(col("lm") < 92, "es")
+            .otherwise("ja").as("lang"))
+      val toks = transform(sequence(lit(1L), col("len").cast("long")),
+        j => {
+          // u ∈ [0,1) from a 48-bit hash slice; rank = ⌊60000·u³⌋ —
+          // power-law CDF P(rank < x) = (x/60000)^(1/3): a dense
+          // Zipf head plus a long rare-type tail (Heaps growth).
+          // 30% of positions draw instead from a SHARED 500-type
+          // Zipf (the stopword layer): consecutive shared draws make
+          // bigrams every source emits, so q222's source-overlap
+          // jaccard lands strictly inside (0, 1) — without it the
+          // per-source windows give ≈0 realized BIGRAM overlap
+          // (measured: 3.5M tokens over (60k)² pair space), the
+          // degeneracy just mirrored to the other end.
+          val u = pmod(h(4, col("doc_id") * lit(131L) + j),
+            lit(1L << 24)).cast("double") / lit((1L << 24).toDouble)
+          val rank = floor(u * u * u * lit(60000.0)).cast("long")
+          val cu = pmod(h(12, col("doc_id") * lit(131L) + j),
+            lit(1L << 24)).cast("double") / lit((1L << 24).toDouble)
+          when(pmod(h(13, col("doc_id") * lit(131L) + j), lit(10L)) < 3,
+            concat(lit("c"),
+              floor(cu * cu * lit(500.0)).cast("long").cast("string")))
+            .otherwise(concat(lit("w"),
+              (col("srcIdx").cast("long") * lit(15000L) + rank)
+                .cast("string")))
+        })
+      docBase
+        .select(col("doc_id"),
+          concat_ws(" ", toks).as("text"),
+          col("lang"),
+          concat(lit("src"), col("srcIdx").cast("string")).as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val nEvRaw = 500000L
+      val rates = map(
+        lit("view"), lit(70L), lit("click"), lit(50L),
+        lit("purchase"), lit(35L), lit("share"), lit(25L),
+        lit("refund"), lit(15L))
+      spark.range(nEvRaw)
+        .select(col("id").as("event_id"),
+          pmod(h(5, col("id")), lit(2000L)).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("share"), lit("refund")),
+            (pmod(h(6, col("id")), lit(5L)) + 1).cast("int"))
+            .as("event_type"),
+          pmod(h(7, col("id")), lit(30L)).as("day"),
+          pmod(h(8, col("id")), lit(86400000000L)).as("us_in_day"),
+          (pmod(h(9, col("id")), lit(100000L)).cast("double") / 100.0)
+            .as("value"))
+        .filter(pmod(h(10, col("user_id"), col("event_type")), lit(100L))
+          < element_at(rates, col("event_type")))
+        .select(col("event_id"),
+          timestamp_micros(lit(1704067200000000L) +
+            col("day") * lit(86400000000L) + col("us_in_day")).as("ts"),
+          col("user_id"), col("event_type"), col("value"),
+          concat(lit("{\"k\": "),
+            pmod(h(11, col("event_id")), lit(100L)).cast("string"),
+            lit("}")).as("props"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"[profile] rich fixture written to $out")
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "stream-cost") {
+      // Where do the ~9-12 s per availableNow stream actually go?
+      // (VERDICT r11 #4 groundwork): run one windowed-count stream,
+      // print per-micro-batch durationMs breakdown + batch count.
+      import org.apache.spark.sql.streaming.Trigger
+      val parts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(32, 32, 8, 8, 4, 4)
+      parts.zipWithIndex.foreach { case (np, run) =>
+        spark.conf.set("spark.sql.shuffle.partitions", np.toString)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamOps.windowedCounts(
+            graft.streaming.StreamOps.eventsStream(spark, sfDir))
+          .writeStream.format("noop")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] stream-cost parts=$np%3d run$run " +
+          f"total=$sec%8.3f s batches=${q.recentProgress.length}")
+        q.recentProgress.foreach { p =>
+          println(s"[profile]   batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}")
         }
       }
       spark.stop()

@@ -70,7 +70,11 @@ object Dedup {
     * along for callers with a min-support semantic (winnowing). */
   private def bucketPairCounts(p: DataFrame, bucketCols: Seq[String],
       memberCol: String): DataFrame =
-    graft.ops.Graph.cooccurPairCounts(p, bucketCols, memberCol)
+    // cacheGroups=true: banding/fingerprint relations are singleton-
+    // dominated (~1 bucket per row), the filtered stub cache is tiny,
+    // and skipping the repeated post-shuffle agg passes dominates
+    graft.ops.Graph.cooccurPairCounts(p, bucketCols, memberCol,
+      cacheGroups = true)
 
   /** Candidate near-dup pairs via MinHash+LSH over word n-gram
     * shingles, then EXACT Jaccard verification at `threshold`.

@@ -115,14 +115,40 @@ object Graph {
     *          members would double-count pairs here, exactly as
     *          they would in the oracle's self-join) */
   def cooccurPairCounts(p: DataFrame, bucketCols: Seq[String],
-      userCol: String, chunk: Int = 1024): DataFrame = {
+      userCol: String, chunk: Int = 1024,
+      cacheGroups: Boolean = false): DataFrame = {
     val bc = bucketCols.map(col)
-    val groups = p.groupBy(bc: _*)
+    // singleton buckets contribute no pairs — filter them BEFORE the
+    // chunk machinery (free for every caller: a degree-1 node makes
+    // no wedge, a 1-doc posting makes no pair)
+    val raw = p.groupBy(bc: _*)
       .agg(sort_array(collect_set(col(userCol))).as("us"))
+      .filter(size(col("us")) > 1)
       .select(bc :+ posexplode(expr(
         s"""transform(sequence(0, (size(us) - 1) div $chunk),
             g -> slice(us, g * $chunk + 1, $chunk))"""))
         .as(Seq("g", "us")): _*)
+    // The stub relation has three consumers (intra + both inter join
+    // sides); exchange reuse covers the groupBy SHUFFLE but the
+    // post-shuffle collect_set/sort_array/slice aggregation re-runs
+    // per consumer. Whether to cache it depends on the relation's
+    // SHAPE, so the caller decides:
+    //  - cacheGroups=true (singleton-dominated relations — LSH
+    //    banding at ~1 bucket/row): the filter leaves almost
+    //    nothing, the cache is KB-sized, and skipping two of the
+    //    three agg passes over 1e7 buckets is the dominant win
+    //    (measured 396 s → 65 s at the 10× text-skew tier);
+    //  - cacheGroups=false (dense graph relations — every node a
+    //    bucket): the InMemoryRelation hides size estimates from
+    //    AQE (the q196 LogicalRDD lesson) and the eager
+    //    materialization of every node's neighbor array costs more
+    //    than the two repeated agg passes it saves (measured: q356
+    //    10.8 s → 30.7 s, q346 7.2 s → 12.4 s when cached).
+    val groups = if (cacheGroups) {
+      val g = graft.Caching.retain(raw.persist())
+      g.count() // materialize before the three consumers fork
+      g
+    } else raw
     // explicit-count repartition for the SAME reason as the inter
     // branch below: group rows are kB-sized stubs that expand
     // chunk²-fold on explode, and AQE coalesces a stub-sized

@@ -203,7 +203,7 @@ object Corpus {
     // internal chunk index.)
     val pc = graft.ops.Graph.cooccurPairCounts(
       sh.select(col("doc_id"), col("g").as("shingle")),
-      Seq("shingle"), "doc_id")
+      Seq("shingle"), "doc_id", cacheGroups = true)
     val p = pc.select(col("u").as("doc_a"), col("v").as("doc_b"),
         col("w").cast("long").as("common"))
       .unionByName(pc.select(col("v").as("doc_a"),
@@ -948,7 +948,125 @@ object Corpus {
       .orderBy(col("exact_n").desc, col("bg"))
   }
 
+  /** Verbatim-duplication spectrum via PREFIX-DOUBLING suffix ranks —
+    * the distributed suffix-structure recipe behind suffix-array
+    * training-data dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — their tool
+    * builds one giant suffix array; the doubling form is the only
+    * shape that survives a cluster): round t labels every token
+    * position's forward 2^t-token window by combining round t−1's
+    * labels at (p, p+2^(t−1)) — log₂ L rounds of one offset
+    * self-join + one label compaction each, never a global suffix
+    * sort. Output: per power-of-two window length, how many
+    * positions start a window that recurs VERBATIM anywhere in the
+    * corpus, and how many documents carry one — the spectrum that
+    * separates license boilerplate (deep tiers) from stopword
+    * collisions (win 1-2), and the exact-run statistic q79's
+    * fixed-16-gram islands sample at a single tier.
+    *
+    * Labels compact to the MINIMUM (doc, pos) id sharing the window
+    * (one groupBy + join-back per round): equality-consistent and
+    * deterministic, and the emitted COUNTS are invariant to label
+    * values — so the oracle's dense_rank labels agree without the
+    * engines ever comparing a rank. Each round localCheckpoints
+    * (kCoreProfile lesson: round r references round r−1 three
+    * times; an untruncated tree re-analyzes 3^r subtrees) and
+    * per-round stats are 1-row aggregates collected as the round
+    * completes — the result is a bounded ≤8-row local relation,
+    * blocks released before returning. 100 TB shape: log L rounds
+    * of key-partitioned shuffles over the (doc, pos) relation. */
+  val dupRunTiers: QueryDef = {
+    val rounds = (1 to 7).map { t =>
+      val off = 1 << (t - 1)
+      s"""r$t AS MATERIALIZED (SELECT a.doc_id, a.pos, a.n,
+         CAST(dense_rank() OVER (ORDER BY a.rk, b.rk) AS BIGINT) AS rk
+         FROM r${t - 1} a JOIN r${t - 1} b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + $off)"""
+    }.mkString(",\n")
+    val stats = (0 to 7).map { t =>
+      s"""SELECT CAST(${1 << t} AS BIGINT) AS win_len,
+         CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_pos,
+         CAST(count(DISTINCT doc_id) FILTER (WHERE c > 1) AS BIGINT)
+           AS n_docs
+         FROM (SELECT doc_id, count(*) OVER (PARTITION BY rk) AS c
+               FROM r$t)"""
+    }.mkString(" UNION ALL ")
+    QueryDef.sql(
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ')
+             AS toks FROM documents),
+         p0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i]
+                  AS tok, CAST(len(toks) AS BIGINT) AS n
+                FROM t, unnest(generate_series(1, len(toks))) u(i)),
+         r0 AS MATERIALIZED (SELECT doc_id, pos, n,
+           CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS rk
+           FROM p0),
+         $rounds
+         SELECT * FROM ($stats) WHERE n_pos > 0
+         ORDER BY win_len""") { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val sc = s.sparkContext
+      val ckptIds = scala.collection.mutable.ArrayBuffer[Int]()
+      def ckpt(df: DataFrame): DataFrame = {
+        val out = df.localCheckpoint()
+        out.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            ckptIds += r.rdd.id
+        }
+        out
+      }
+      val pid = col("doc_id") * lit(1048576L) + col("pos")
+      val p0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+          posexplode(col("toks")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("n"), col("tok"))
+      var cur = ckpt(p0
+        .join(p0.groupBy(col("tok")).agg(min(pid).as("lbl")), "tok")
+        .select(col("doc_id"), col("pos"), col("n"), col("lbl")))
+      val rows = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)]()
+      var win = 1L
+      var more = true
+      while (more) {
+        val st = cur
+          .join(cur.groupBy(col("lbl")).agg(count(lit(1)).as("c")), "lbl")
+          .agg(count(lit(1)).as("np"),
+            coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("ndp"),
+            count_distinct(when(col("c") > 1, col("doc_id"))).as("nd"))
+          .collect()(0)
+        if (st.getLong(0) > 0)
+          rows += ((win, st.getLong(0), st.getLong(1), st.getLong(2)))
+        more = win < 128 && st.getLong(0) > 0
+        if (more) {
+          val b = cur.select(col("doc_id").as("b_doc"),
+            col("pos").as("b_pos"), col("lbl").as("lb"))
+          val joined = cur.join(b,
+              col("doc_id") === col("b_doc")
+                && col("b_pos") === col("pos") + lit(win))
+            .select(col("doc_id"), col("pos"), col("n"),
+              col("lbl").as("la"), col("lb"))
+          cur = ckpt(joined
+            .join(joined.groupBy(col("la"), col("lb"))
+              .agg(min(pid).as("lbl")), Seq("la", "lb"))
+            .select(col("doc_id"), col("pos"), col("n"), col("lbl")))
+          win *= 2
+        }
+      }
+      val reg = sc.getPersistentRDDs
+      ckptIds.foreach(id =>
+        reg.get(id).foreach(_.unpersist(blocking = false)))
+      import s.implicits._
+      rows.toSeq.toDF("win_len", "n_pos", "n_dup_pos", "n_docs")
+        .orderBy(col("win_len"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q358_dup_run_tiers" -> dupRunTiers,
     "q354_cms_heavy_hitters" -> cmsHeavyHitters,
     "q348_rag_chunking" -> ragChunking,
     "q349_chunk_dedup" -> chunkDedup,

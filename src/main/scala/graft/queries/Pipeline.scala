@@ -156,25 +156,26 @@ object Pipeline {
        ORDER BY 1, 2""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q155_stream_sink"
-    val q = graft.streaming.StreamOps.eventsStream(s, d)
-      .groupBy(col("user_id"),
-        session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        r6(sum(col("value"))).as("total_value"))
-      .select(col("user_id"),
-        unix_micros(col("sw.start")).as("session_start_us"),
-        col("n_events"), col("total_value"))
-      .writeStream.format("memory").queryName(sink)
-      // complete is the only mode Spark allows for an unwatermarked
-      // session-window streaming aggregation (update is rejected with
-      // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION; append requires
-      // a watermark and emits only closed sessions, reintroducing the
-      // tail-flush clause q151 needed). The charge is state re-emission
-      // per batch — the engine's contract for this operator.
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.eventsStream(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("value"))).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"), col("total_value"))
+        .writeStream.format("memory").queryName(sink)
+        // complete is the only mode Spark allows for an unwatermarked
+        // session-window streaming aggregation (update is rejected with
+        // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION; append requires
+        // a watermark and emits only closed sessions, reintroducing the
+        // tail-flush clause q151 needed). The charge is state re-emission
+        // per batch — the engine's contract for this operator.
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("user_id"), col("session_start_us"), col("n_events"),
         col("total_value"))
@@ -655,6 +656,38 @@ object Pipeline {
       .orderBy(col("q_id"))
   }
 
+  /** Sharded (per-label) IVF ANN under the planted-duplicate
+    * containment audit — the language/domain-partitioned index
+    * layout real corpora deploy (VERDICT r11 #7): every label gets
+    * its own independent IVF index and each query is routed ONLY to
+    * its own label's shard. The planted duplicate carries the
+    * query's label, so it lands in the same shard, assigns to the
+    * query's own nearest cell under identical tie-breaks, and is a
+    * GUARANTEED candidate at exact cosine 1 — seeding, per-group
+    * refinement, the (group, cell) probe join and the k-cut are all
+    * on the hash-checked path. Same full-k tie acceptance as
+    * q33/q40 (ADVICE r10/r11). */
+  val annIvfPerGroup: QueryDef = QueryDef.sql(
+    """SELECT vec_id AS q_id, TRUE AS ok FROM embeddings
+       WHERE vec_id < 10 ORDER BY 1""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+      col("label")))
+    val queries = emb.filter(col("vec_id") < 10)
+    val top = VectorOps.ivfTopKPerGroup(doubled, queries, 3, "label")
+    queries.select(col("vec_id").as("q_id"))
+      .join(top.groupBy(col("q_id")).agg(
+          (bool_or(col("n_id") === col("q_id") + 100000L
+             && col("cos") === 1.0)
+           || (every(col("cos") === 1.0)
+               && count(lit(1)) === 3)).as("__hit")),
+        Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__hit"), lit(false)).as("ok"))
+      .orderBy(col("q_id"))
+  }
+
   /** Exact all-pairs n-gram Jaccard at 0.5 — the dedup-family
     * exactness baseline, oracle-checked against DuckDB's
     * string-shingle Jaccard (set sizes identical through the hashed
@@ -1086,13 +1119,14 @@ object Pipeline {
        FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q47_stream_sink"
-    val q = graft.streaming.StreamOps.windowedCounts(
-        graft.streaming.StreamOps.eventsStream(s, d))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.windowedCounts(
+          graft.streaming.StreamOps.eventsStream(s, d))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("window_start"), col("event_type"), col("n"),
         r6(col("total_value")).as("total_value"))
@@ -1116,13 +1150,14 @@ object Pipeline {
        FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q183_stream_sink"
-    val q = graft.streaming.StreamOps.dedupedCounts(
-        graft.streaming.StreamOps.eventsStream(s, d))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.dedupedCounts(
+          graft.streaming.StreamOps.eventsStream(s, d))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("event_type"), col("n"),
         r6(col("total_value")).as("total_value"))
@@ -1176,13 +1211,14 @@ object Pipeline {
        ORDER BY 1, 2""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q151_stream_sink"
-    val q = graft.streaming.StreamOps.sessionizeStreamExact(
-        graft.streaming.StreamOps.eventsStream(s, d))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.sessionizeStreamExact(
+          graft.streaming.StreamOps.eventsStream(s, d))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("user_id"), col("session_start_us"), col("n_events"),
         r6(col("duration_min")).as("duration_min"))
@@ -1218,18 +1254,19 @@ object Pipeline {
       .select(TextOps.fingerprint(col("text")).as("fingerprint"))
       .distinct()
     val sink = "graft_q120_stream_sink"
-    val q = graft.streaming.StreamOps.documentsStream(s, d)
-      .filter(col("doc_id") >= mid)
-      .select(col("doc_id"), TextOps.fingerprint(col("text"))
-        .as("fingerprint"))
-      .join(index, Seq("fingerprint"), "left_anti")
-      .groupBy(col("fingerprint"))
-      .agg(min(col("doc_id")).as("keep_id"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.documentsStream(s, d)
+        .filter(col("doc_id") >= mid)
+        .select(col("doc_id"), TextOps.fingerprint(col("text"))
+          .as("fingerprint"))
+        .join(index, Seq("fingerprint"), "left_anti")
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("fingerprint"), col("keep_id"))
       .orderBy(col("fingerprint"))
@@ -1268,20 +1305,21 @@ object Pipeline {
       .select(explode(TextOps.shingles(col("toks"), 3)).as("g"))
       .distinct()
     val sink = "graft_q144_stream_sink"
-    val q = graft.streaming.StreamOps.documentsStream(s, d)
-      .filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(TextOps.shingles(col("toks"), 3)).as("g"))
-      .join(broadcast(bench), "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.documentsStream(s, d)
+        .filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("toks"), 3)).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .filter(col("n_shared") >= 10)
       .select(col("doc_id"), col("n_shared"))
@@ -1310,14 +1348,15 @@ object Pipeline {
        ORDER BY 1, 2, 3""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q153_stream_sink"
-    val q = graft.streaming.StreamOps.intervalJoin(
-        graft.streaming.StreamOps.eventsStream(s, d),
-        graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.intervalJoin(
+          graft.streaming.StreamOps.eventsStream(s, d),
+          graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("user_id"), col("l_id"), col("r_id"),
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
@@ -1361,14 +1400,15 @@ object Pipeline {
        ORDER BY user_id, l_id, r_id NULLS FIRST""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q347_stream_sink"
-    val q = graft.streaming.StreamOps.intervalJoinLeftOuter(
-        graft.streaming.StreamOps.eventsStream(s, d),
-        graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.intervalJoinLeftOuter(
+          graft.streaming.StreamOps.eventsStream(s, d),
+          graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("user_id"), col("l_id"), col("r_id"),
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
@@ -1415,14 +1455,15 @@ object Pipeline {
        ORDER BY user_id, l_id NULLS FIRST, r_id NULLS FIRST""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q355_stream_sink"
-    val q = graft.streaming.StreamOps.intervalJoinFullOuter(
-        graft.streaming.StreamOps.eventsStream(s, d),
-        graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.intervalJoinFullOuter(
+          graft.streaming.StreamOps.eventsStream(s, d),
+          graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     s.table(sink)
       .select(col("user_id"), col("l_id"), col("r_id"),
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
@@ -4606,15 +4647,16 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
          floor(value*1000000+0.5)/1000000 AS last_value
        FROM latest WHERE rk=1 ORDER BY user_id""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
-    val q = graft.streaming.StreamOps.lwwUpsert(
-        graft.streaming.StreamOps.eventsStream(s, d)
-          .filter(col("event_type")
-            .isin("purchase", "signup", "click")))
-      .writeStream.format("memory").queryName("graft_q256_sink")
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.drainSized(s, d) {
+      graft.streaming.StreamOps.lwwUpsert(
+          graft.streaming.StreamOps.eventsStream(s, d)
+            .filter(col("event_type")
+              .isin("purchase", "signup", "click")))
+        .writeStream.format("memory").queryName("graft_q256_sink")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("last_event_id").desc)
     s.table("graft_q256_sink")
@@ -4646,13 +4688,14 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
-      val q = graft.streaming.StreamOps.runningTotalsTws(
-          graft.streaming.StreamOps.eventsStream(s, d))
-        .writeStream.format("memory").queryName("graft_q341_sink")
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamOps.drainSized(s, d) {
+        graft.streaming.StreamOps.runningTotalsTws(
+            graft.streaming.StreamOps.eventsStream(s, d))
+          .writeStream.format("memory").queryName("graft_q341_sink")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("n_events").desc)
       s.table("graft_q341_sink")
@@ -4969,6 +5012,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q177_editdist_neardup" -> editDistanceNearDup,
     "q179_fim_split" -> fimSplit,
     "q40_ann_ivf" -> annIvf,
+    "q357_ann_ivf_per_group" -> annIvfPerGroup,
     "q41_winnow_pairs" -> winnowPairs,
     "q45_frame_sample" -> frameSample,
     "q46_event_gap_minutes" -> eventGapMinutes,

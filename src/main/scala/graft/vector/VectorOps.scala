@@ -312,6 +312,114 @@ object VectorOps {
         (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** Sharded ANN: an independent IVF index PER GROUP — the
+    * language/domain-partitioned layout real corpora deploy (one
+    * index per shard key, each query routed to its own shard's
+    * index, never across). Same seed → one-Lloyd-refine → assign →
+    * probe pipeline as [[ivfTopK]] with the group key riding every
+    * relation: seeding is a per-group smallest-hash bounded heap
+    * ([[graft.ops.TopK]] — no per-group sort), centroid refinement
+    * aggregates on (group, cell), and the probe join equi-joins on
+    * (group, cell). At 100 TB the shard key makes the index build
+    * embarrassingly parallel across groups and the probe join
+    * co-partitioned by (group, cell); nlist is per-shard (sized from
+    * the mean shard population when defaulted), so the centroid
+    * broadcast is `groups × nlist` skinny rows — still KB-scale.
+    * Determinism matches ivfTopK: hash-ordered seeds with id
+    * tie-breaks, max_by cell assignment with the −c_id tie-break,
+    * r6-rounded cosines into the heap's (cos desc, id asc) order. */
+  def ivfTopKPerGroup(corpus: DataFrame, queries: DataFrame, k: Int,
+      groupCol: String, nlist: Int = 0, nprobe: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = graft.Caching.retain(
+      corpus.select(col(idCol).as("n_id"),
+          toDouble(col(vecCol)).as("n_v"), col(groupCol).as("__g"))
+        .withColumn("n_norm", norm(col("n_v")))
+        .persist())
+    val stats = corpus.agg(count(lit(1)),
+      count_distinct(col(groupCol))).collect()(0)
+    val (n, gcnt) = (stats.getLong(0), stats.getLong(1))
+    val nl = if (nlist > 0) nlist
+      else math.max(4,
+        math.ceil(math.sqrt(n.toDouble / math.max(1L, gcnt))).toInt)
+    val np = if (nprobe > 0) nprobe
+      else math.max(2, math.ceil(nl * 0.4).toInt)
+    // per-group deterministic seed ids: smallest xxhash64(id) per
+    // group through the bounded heap (ord = −hash as double; the
+    // 2⁻¹¹ rounding of a 64-bit hash only creates ties, which the
+    // heap breaks by id — still total and deterministic), vectors
+    // re-attached by id so no heap buffer ever carries a vector
+    val seedTop = graft.ops.TopK.topk(nl)
+    val seedIds = c.groupBy(col("__g"))
+      .agg(seedTop((-abs(xxhash64(col("n_id")))).cast("double"),
+        col("n_id")).as("__top"))
+      .select(col("__g"), explode(transform(col("__top"),
+        s => s.getField("id"))).as("n_id"))
+    val seeds = seedIds.join(c.select(col("n_id"), col("n_v"),
+        col("n_norm")), "n_id")
+      .select(col("__g"), col("n_id").as("c_id"), col("n_v").as("c_v"),
+        col("n_norm").as("c_norm"))
+    def assignCellsG(df: DataFrame, cents: DataFrame,
+        prefix: String): DataFrame = {
+      val cells = df
+        .join(broadcast(cents.withColumnRenamed("__g", "__cg")),
+          col("__g") === col("__cg"))
+        .select(col(s"${prefix}_id"),
+          try_divide(dot(col(s"${prefix}_v"), col("c_v")),
+            col(s"${prefix}_norm") * col("c_norm")).as("__ccos"),
+          col("c_id"))
+        .groupBy(col(s"${prefix}_id"))
+        .agg(max_by(col("c_id"),
+          struct(col("__ccos"), (-col("c_id")).as("__tb"))).as("cell"))
+      df.join(cells, s"${prefix}_id")
+    }
+    val centroids = graft.Caching.retain(assignCellsG(c, seeds, "n")
+      .select(col("__g"), col("cell"),
+        posexplode(col("n_v")).as(Seq("pos", "x")))
+      .groupBy(col("__g"), col("cell"), col("pos"))
+      .agg(avg(col("x")).as("x"))
+      .groupBy(col("__g"), col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("c_v"))
+      .select(col("__g"), col("cell").as("c_id"), col("c_v"),
+        norm(col("c_v")).as("c_norm"))
+      .persist())
+    centroids.count()
+    val assigned = assignCellsG(c, centroids, "n")
+    val probes = queries
+      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_v"),
+        col(groupCol).as("__qg"))
+      .withColumn("q_norm", norm(col("q_v")))
+      .join(broadcast(centroids.withColumnRenamed("__g", "__cg")),
+        col("__qg") === col("__cg"))
+      .withColumn("__ccos", try_divide(dot(col("q_v"), col("c_v")),
+        col("q_norm") * col("c_norm")))
+      .groupBy(col("q_id"), col("__qg"))
+      .agg(first(col("q_v")).as("q_v"), first(col("q_norm")).as("q_norm"),
+        slice(sort_array(collect_list(
+          struct((-col("__ccos")).as("__nc"), col("c_id")))), 1, np)
+          .as("__cells"))
+      .select(col("q_id"), col("__qg"), col("q_v"), col("q_norm"),
+        explode(transform(col("__cells"), s => s.getField("c_id")))
+          .as("cell"))
+    val topk = graft.ops.TopK.topk(k)
+    assigned.join(broadcast(probes),
+        assigned("__g") === probes("__qg")
+          && assigned("cell") === probes("cell")
+          && col("q_id") =!= col("n_id"))
+      .withColumn("cos", graft.Rounding.r6(try_divide(
+        dot(col("q_v"), col("n_v")),
+        col("q_norm") * col("n_norm"))))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** Candidate volume of the IVF probe join, one row per query:
     * (q_id, candidates). Diagnostic companion to [[ivfTopK]] — a
     * plain count aggregate over the probe join, NOT a k=n heap
