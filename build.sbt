@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Throughput collector for a batch engine: measured on the
+  // text-skew probe's chunked pair expansion (32 threads churning
+  // Tungsten pages + partial-agg maps), G1 spent 18-31 s of a 30-50 s
+  // max-task in GC pauses; ParallelGC halves the probe wall
+  // (78 -> 40 s) and reads at-or-better on every spot-checked catalog
+  // query (q356 10.7 -> 8.8 s, q346 8.2 -> 7.5 s). Latency-oriented
+  // G1 buys nothing here: no user-facing pause SLO, only throughput.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(' '))

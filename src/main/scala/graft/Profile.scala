@@ -243,6 +243,7 @@ object Profile {
       val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
       val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val stageSlow = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
@@ -250,6 +251,16 @@ object Profile {
             maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
             stageMax.merge(t.stageId, t.taskInfo.duration,
               (a, b) => math.max(a, b))
+            // records read/written by the stage's SLOWEST task — the
+            // straggler-diagnosis signal (is the slow task slow
+            // because it processed more, or slow at the same load?)
+            if (t.taskInfo.duration >= stageMax.getOrDefault(
+                t.stageId, 0L))
+              stageSlow.put(t.stageId,
+                s"slowtask_sr=${t.taskMetrics.shuffleReadMetrics.recordsRead} " +
+                  s"sw=${t.taskMetrics.shuffleWriteMetrics.recordsWritten} " +
+                  s"spill=${t.taskMetrics.memoryBytesSpilled / (1 << 20)}MB " +
+                  s"gc=${t.taskMetrics.jvmGCTime}ms")
           }
           override def onStageCompleted(
               s: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -259,7 +270,8 @@ object Profile {
               s"tasks=${s.stageInfo.numTasks} " +
                 s"sr=${m.shuffleReadMetrics.recordsRead} " +
                 s"sw=${m.shuffleWriteMetrics.recordsWritten} " +
-                s"spill=${m.memoryBytesSpilled / (1 << 20)}MB")
+                s"spill=${m.memoryBytesSpilled / (1 << 20)}MB " +
+                stageSlow.getOrDefault(s.stageInfo.stageId, ""))
           }
         })
       def probe(label: String, volume: => Long)(consume: => Long): Unit = {
@@ -268,7 +280,7 @@ object Profile {
         // pollute the consume pass's stage attribution
         val vol = volume
         Caching.releaseAll(); spark.catalog.clearCache()
-        maxTask.set(0); stageMax.clear()
+        maxTask.set(0); stageMax.clear(); stageSlow.clear()
         val t0 = System.nanoTime()
         val out = consume
         val sec = (System.nanoTime() - t0) / 1e9

@@ -144,19 +144,43 @@ object Graph {
     //    materialization of every node's neighbor array costs more
     //    than the two repeated agg passes it saves (measured: q356
     //    10.8 s → 30.7 s, q346 7.2 s → 12.4 s when cached).
+    val conf = p.sparkSession.sessionState.conf.numShufflePartitions
+    // Expansion-stage parallelism. Uncached path: the session's
+    // shuffle parallelism (graph relations have ~one stub per node,
+    // so stub-count ≈ n already balances; extra bins were measured
+    // as pure task-launch overhead — q230 2.9 → 7 s, q196 6.8 →
+    // 10.3 s at a static 8× oversample). Cached path: the relation
+    // is already materialized, so the TRUE pair volume is one cheap
+    // agg away — size the exchange to ~1M expanded pairs per task.
+    // Hash-distributing S mega-stubs (each exploding up to
+    // chunk²-fold) over too-few bins leaves the worst bin
+    // S/n + O(√(S/n·ln n)) stubs and a partial-agg map deep in
+    // spill/GC territory: measured at the text-skew probe, 37 s
+    // max-task at tier 1 (81 bins) and heap exhaustion at tier 10
+    // under 32 concurrent multi-million-entry agg maps; at
+    // volume-scaled bins the worst task is ~2 stubs and the maps
+    // stay tens-of-MB. A 100 TB deployment gets the same effect
+    // from conf sized to the data — this knob only ever ADDS bins.
     val groups = if (cacheGroups) {
       val g = graft.Caching.retain(raw.persist())
       g.count() // materialize before the three consumers fork
       g
     } else raw
+    val expParts = if (cacheGroups) {
+      val vol = groups.groupBy(bc: _*)
+        .agg(sum(size(col("us"))).as("S"))
+        .agg(coalesce(sum(col("S").cast("long") * (col("S") - 1) / 2),
+          lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+      math.max(conf, math.min(4096L, vol / 1000000L).toInt)
+    } else conf
     // explicit-count repartition for the SAME reason as the inter
     // branch below: group rows are kB-sized stubs that expand
     // chunk²-fold on explode, and AQE coalesces a stub-sized
     // exchange read to ONE task (measured: the coalesced intra task
     // absorbed every bucket's intra expansion)
     val intra = groups
-      .repartition(p.sparkSession.sessionState.conf.numShufflePartitions,
-        bc :+ col("g"): _*)
+      .repartition(expParts, bc :+ col("g"): _*)
       .select(col("us"), posexplode(col("us")).as(Seq("i", "u")))
       .select(col("u"),
         explode(slice(col("us"), col("i") + lit(2),
@@ -175,8 +199,7 @@ object Graph {
       // bytes (a few KB per stub) and coalesces the exchange to
       // one partition, re-serializing the straggler (measured:
       // 40.7 s max-task with AQE coalescing vs 2-3 s explicit)
-      .repartition(p.sparkSession.sessionState.conf.numShufflePartitions,
-        bc :+ col("g1") :+ col("g2"): _*)
+      .repartition(expParts, bc :+ col("g1") :+ col("g2"): _*)
       .select(explode(col("us1")).as("u"), col("us2"))
       .select(col("u"), explode(col("us2")).as("v"))
     intra.unionByName(inter)

@@ -217,6 +217,81 @@ object Corpus {
         r6(col("cont")).as("containment"))
   }
 
+  /** Df-capped containment screen — the SEMANTIC scale lever for
+    * q230's operating point at corpus scale (text-skew probe,
+    * SURVEY §17): a shingle present in most documents (boilerplate,
+    * licence headers, templates) generates f²-fold candidate pairs
+    * while carrying no dedup signal — at a 70%-df stop-shingle the
+    * probe measures the pair volume itself as the wall (≈1e9 pairs
+    * at the 10× tier, quadratic BY DEFINITION of containment; no
+    * plan shape removes output). Standard practice (Broder-style
+    * shingle dedup, CCNet/RefinedWeb curation) drops
+    * high-document-frequency shingles BEFORE pair generation:
+    * counting only shingles with df <= cap lower-bounds true
+    * containment (every dropped term could only add to the
+    * intersection) and bounds EVERY posting list at cap, so the
+    * candidate volume is <= cap·|postings| — linear in the corpus,
+    * no hot keys by construction (the chunk machinery degenerates
+    * to single slices). Cap = 3 exercises the drop path at fixture
+    * scale (fixture df: median 1, p90 3, max 9); a deployment sets
+    * it to ~50-100. Denominator stays the FULL |S(A)| so the score
+    * is comparable across caps. */
+  val containmentDfCap: QueryDef = QueryDef.sql(
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ')
+             AS toks FROM documents),
+       s AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS g
+             FROM t WHERE len(toks) >= 3),
+       keep AS (SELECT g FROM s GROUP BY g
+                HAVING count(*) BETWEEN 2 AND 3),
+       k AS (SELECT s.doc_id, s.g FROM s JOIN keep USING (g)),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) ns
+              FROM s GROUP BY 1),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS common
+             FROM k a JOIN k b ON a.g = b.g AND a.doc_id <> b.doc_id
+             GROUP BY 1,2),
+       c AS (SELECT doc_a, doc_b, common,
+               CAST(common AS DOUBLE)/sz.ns AS cont
+             FROM p JOIN sz ON p.doc_a = sz.doc_id)
+       SELECT doc_a, doc_b, common,
+         ${graft.Rounding.r6sql("cont")} AS containment_lb
+       FROM c ORDER BY cont DESC, doc_a, doc_b LIMIT 10""") { (s, d) =>
+    val cap = 3
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = t.select(col("doc_id"),
+      explode(graft.text.TextOps.shingles(col("toks"), 3)).as("g"))
+    val sz = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("ns"))
+    // df <= cap also implies df >= 2 for pair purposes, so the keep
+    // set is the [2, cap] band; the join on g is skew-free (every
+    // kept posting list is <= cap rows).
+    val keep = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= cap)
+      .select(col("g"))
+    val kept = sh.join(keep, "g")
+    val pc = graft.ops.Graph.cooccurPairCounts(
+      kept.select(col("doc_id"), col("g").as("shingle")),
+      Seq("shingle"), "doc_id")
+    val p = pc.select(col("u").as("doc_a"), col("v").as("doc_b"),
+        col("w").cast("long").as("common"))
+      .unionByName(pc.select(col("v").as("doc_a"),
+        col("u").as("doc_b"), col("w").cast("long").as("common")))
+    p.join(sz, col("doc_a") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("common").cast("double") / col("ns")).as("cont"))
+      .orderBy(col("cont").desc, col("doc_a"), col("doc_b"))
+      .limit(10)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        r6(col("cont")).as("containment_lb"))
+  }
+
   /** Sorted-neighborhood blocking — the third dedup candidate-
     * generation family next to LSH (q30/q38) and the inverted index
     * (q230): sort the corpus by a blocking key (lang, n_chars,
@@ -1066,6 +1141,7 @@ object Corpus {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "q359_containment_dfcap" -> containmentDfCap,
     "q358_dup_run_tiers" -> dupRunTiers,
     "q354_cms_heavy_hitters" -> cmsHeavyHitters,
     "q348_rag_chunking" -> ragChunking,
