@@ -50,8 +50,13 @@ object Profile {
       def u(salt: Int) =
         pmod(xxhash64(col("id"), lit(salt)), lit(1000000L))
           .cast("double") / lit(1000000.0)
+      val only = sys.env.get("SPARK_GRAFT_GZ_ONLY")
+        .map(_.split(",").map(_.trim).toSeq)
       val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
       val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val gzStageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val gzStageSlow = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val gzStageInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
@@ -59,17 +64,44 @@ object Profile {
             maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
             shufBytes.addAndGet(
               t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            gzStageMax.merge(t.stageId, t.taskInfo.duration,
+              (a, b) => math.max(a, b))
+            if (t.taskInfo.duration >= gzStageMax.getOrDefault(
+                t.stageId, 0L))
+              gzStageSlow.put(t.stageId,
+                s"slowtask_sr=${t.taskMetrics.shuffleReadMetrics.recordsRead} " +
+                  s"sw=${t.taskMetrics.shuffleWriteMetrics.recordsWritten} " +
+                  s"spill=${t.taskMetrics.memoryBytesSpilled / (1 << 20)}MB " +
+                  s"gc=${t.taskMetrics.jvmGCTime}ms")
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = s.stageInfo.taskMetrics
+            gzStageInfo.put(s.stageInfo.stageId,
+              s"tasks=${s.stageInfo.numTasks} " +
+                s"sr=${m.shuffleReadMetrics.recordsRead} " +
+                s"sw=${m.shuffleWriteMetrics.recordsWritten} " +
+                s"spill=${m.memoryBytesSpilled / (1 << 20)}MB " +
+                gzStageSlow.getOrDefault(s.stageInfo.stageId, ""))
           }
         })
       def probe(label: String, volume: => Long)(consume: => Long): Unit = {
+        if (only.exists(fs => !fs.exists(label.contains))) return
         Caching.releaseAll(); spark.catalog.clearCache()
         maxTask.set(0); shufBytes.set(0)
+        gzStageMax.clear(); gzStageSlow.clear(); gzStageInfo.clear()
         val t0 = System.nanoTime()
         val out = consume
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[profile] $label%-28s vol=${volume}%12d out=$out%12d " +
           f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s " +
           f"shuf=${shufBytes.get / (1 << 20)}%6d MB")
+        gzStageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach {
+          case (sid, ms) => println(
+            f"[profile]   stage $sid%4d max_task=${ms / 1e3}%8.3f s " +
+              gzStageInfo.getOrDefault(sid, ""))
+        }
       }
       for (k <- tiers) {
         // shuffle parallelism grows with the tier, as on a real
@@ -161,8 +193,10 @@ object Profile {
           // partial-agg map over ~every u (KB sketch per entry —
           // measured 31 s max-task at 10×); partial agg on v-keyed
           // data collapses nothing anyway (each u is spread thin)
-          val sk2 = ee.join(s1.select(col("u").as("v"), col("sk")), "v")
-            .repartition(col("u"))
+          val sk2 = ee.join(s1.select(col("u").as("v"), col("sk"))
+              .hint("shuffle_hash"), "v")
+            .repartition(spark.sessionState.conf.numShufflePartitions,
+              col("u"))
             .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("sk2"))
           s1.join(sk2, "u")
             .select((hll_sketch_estimate(
@@ -177,14 +211,29 @@ object Profile {
           // saturated sketches × m edge ships); the structural claim
           // is O(h·m) bytes with no single-task tail — each round is
           // one edge join + repartition-by-node + union agg, the
-          // q346 hub-safety shape.
+          // q346 hub-safety shape. Two plan details matter exactly
+          // when sketches are DENSE (measured at this probe's 100×
+          // tier: 379 s wall / 174 s max-task without them):
+          // shuffle_hash on the sketch side (SMJ would SORT the
+          // KB-dense relation every round) and an explicit-count
+          // repartition (AQE sizes the exchange read by the map-side
+          // COMPRESSED bytes and coalesced to 89 ~GB-spill tasks).
+          val np = spark.sessionState.conf.numShufflePartitions
           val s1 = ee.groupBy(col("u")).agg(
             hll_sketch_agg(col("v")).as("sk"))
+          // (A co-partitioned-join variant — both join inputs
+          // explicitly repartitioned at np — was measured WORSE:
+          // 667 s clean vs 359 s for this shape; widening the join
+          // stage splits its output across 512×512 shuffle files
+          // and the downstream agg stage read the same bytes
+          // slower. The 33-task join stage's 45 s max-task is
+          // bytes-uniform, not skew.)
           def prop(prev: DataFrame) =
-            ee.join(prev.select(col("u").as("v"), col("sk")), "v")
-              .repartition(col("u"))
+            ee.join(prev.select(col("u").as("v"), col("sk"))
+                .hint("shuffle_hash"), "v")
+              .repartition(np, col("u"))
               .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("__nb"))
-              .join(prev, "u")
+              .join(prev.hint("shuffle_hash"), "u")
               .select(col("u"),
                 hll_union(col("sk"), col("__nb")).as("sk"))
           val s3 = prop(prop(s1))

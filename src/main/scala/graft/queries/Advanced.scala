@@ -1709,9 +1709,17 @@ object Advanced {
     // and the union: on a skewed graph a hub-v task otherwise builds
     // a partial-agg map over ~every u at a KB sketch per entry — the
     // graph-zipf probe measured it as a 31 s straggler at 10×, and
-    // partial agg collapses nothing on v-keyed data anyway
-    val sk2 = ee.join(s1.select(col("u").as("v"), col("sk")), "v")
-      .repartition(col("u"))
+    // partial agg collapses nothing on v-keyed data anyway.
+    // shuffle_hash on the sketch side + an EXPLICIT repartition
+    // count (r12 probe, dense-sketch regime at 100×): SMJ sorts the
+    // KB-dense sketch relation and AQE sizes the coalesce by the
+    // COMPRESSED map-side bytes, leaving ~GB-spill coarse tasks —
+    // together a 174 s max-task (46% of wall); hash join + explicit
+    // count bound the share at ~10% with uniform tasks.
+    val np346 = s.sessionState.conf.numShufflePartitions
+    val sk2 = ee.join(s1.select(col("u").as("v"), col("sk"))
+        .hint("shuffle_hash"), "v")
+      .repartition(np346, col("u"))
       .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("sk2"))
     val approx = s1.join(sk2, "u")
       .select(col("u").as("src"), col("n_direct"),
@@ -1801,12 +1809,20 @@ object Advanced {
     val s1 = ee.groupBy(col("u"))
       .agg(hll_sketch_agg(col("v")).as("sk1"),
         count(lit(1)).cast("long").as("d1"))
+    // shuffle_hash on every dense-sketch join side + explicit
+    // repartition counts (r12 graph-zipf, dense-sketch regime):
+    // SMJ would SORT the KB-dense sketch relation each round and
+    // AQE coalesces the exchange read by compressed map-side bytes
+    // into ~GB-spill coarse tasks — measured 174 s max-task (46% of
+    // wall) at the probe's 100× tier, ~10% share with these.
+    val np356 = s.sessionState.conf.numShufflePartitions
     def propagate(prev: org.apache.spark.sql.DataFrame,
         skCol: String, outCol: String) =
-      ee.join(prev.select(col("u").as("v"), col(skCol)), "v")
-        .repartition(col("u"))
+      ee.join(prev.select(col("u").as("v"), col(skCol))
+          .hint("shuffle_hash"), "v")
+        .repartition(np356, col("u"))
         .groupBy(col("u")).agg(hll_union_agg(col(skCol)).as("__nb"))
-        .join(prev, "u")
+        .join(prev.hint("shuffle_hash"), "u")
         .withColumn(outCol, hll_union(col(skCol), col("__nb")))
         .drop("__nb")
     val s2 = propagate(s1, "sk1", "sk2")
@@ -1816,10 +1832,11 @@ object Advanced {
     // line without the filter (rounds 1-2 must stay global: a
     // sampled node's neighbors are arbitrary)
     val s3 = ee.filter(col("u") % mod === 0)
-      .join(s2.select(col("u").as("v"), col("sk2")), "v")
-      .repartition(col("u"))
+      .join(s2.select(col("u").as("v"), col("sk2"))
+        .hint("shuffle_hash"), "v")
+      .repartition(np356, col("u"))
       .groupBy(col("u")).agg(hll_union_agg(col("sk2")).as("__nb"))
-      .join(s2, "u")
+      .join(s2.hint("shuffle_hash"), "u")
       .withColumn("sk3", hll_union(col("sk2"), col("__nb")))
     val est = s3.select(col("u").as("src"),
       hll_sketch_estimate(col("sk1")).as("e1"),

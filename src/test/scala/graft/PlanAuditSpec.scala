@@ -740,10 +740,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kh.contains("REPARTITION_BY_NUM"),
       s"q196's chunked pair generation must pin explicit-count " +
         s"repartitions:\n$kh")
+    // r12 dense-sketch hardening: the node repartition carries an
+    // EXPLICIT count (AQE otherwise coalesces the exchange read by
+    // compressed map-side bytes into ~GB-spill coarse tasks at the
+    // zipf probe's 100× tier) and the sketch-attach join is a
+    // shuffled HASH join (SMJ would sort the KB-dense sketch
+    // relation every round — 174 s max-task, 46% of wall, at 100×)
     val hll = executedPlan("q346_khop_reach_hll")
-    assert(hll.contains("REPARTITION_BY_COL"),
-      s"q346's sketch union must repartition by node before the " +
-        s"union aggregate:\n$hll")
+    assert(hll.contains("REPARTITION_BY_NUM"),
+      s"q346's sketch union must pin an explicit-count node " +
+        s"repartition before the union aggregate:\n$hll")
+    assert(hll.contains("ShuffledHashJoin"),
+      s"q346's sketch-attach join must be a shuffled hash join " +
+        s"(SMJ sorts the dense sketch relation):\n$hll")
     // q230 (containment top-k, VERDICT r11 #1): the inverted-index
     // pair generation must ride the chunked machinery too -- a raw
     // g===g self-join puts a hot shingle's f^2 expansion in ONE
