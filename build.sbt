@@ -41,4 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // query (q356 10.7 -> 8.8 s, q346 8.2 -> 7.5 s). Latency-oriented
   // G1 buys nothing here: no user-facing pause SLO, only throughput.
   "-XX:+UseParallelGC",
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(' '))
+// split on runs of whitespace and drop empty tokens: an empty or
+// multi-space env value must not inject "" JVM args (launch failure)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)

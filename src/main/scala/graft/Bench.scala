@@ -20,11 +20,13 @@ package graft
   * is unchanged and still last.
   *
   * Queries run in two lanes (VERDICT r3 #5): the BATCH lane is
-  * min-of-2 cache-cold passes — a plan-quality signal; the STREAMING
-  * lane (q47) is timed ONCE, because what it measures is availableNow
-  * micro-batch machinery (checkpoint dir, offset log, per-batch
-  * planning — ~9 s of fixed overhead at any SF) and a second pass
-  * adds no information while charging 13% of the bench to it. Both
+  * min-of-2 cache-cold passes — a plan-quality signal. The STREAMING
+  * lane was single-pass through r12 (per-stream fixed micro-batch
+  * machinery was ~9 s, so a second pass doubled a fixed cost); after
+  * the r12 fixed-cost work cut that to ~1.7-5 s per stream, the lane
+  * is min-of-2 as well (VERDICT r12 #1) — r12 shipped q153 at 22.2 s
+  * (max-task 17.8 s) when its isolated min-of-2 read 4.6 s, a 4.8×
+  * co-tenancy artifact that single-pass could never catch. Both
   * lanes appear in `queries`; `batch_total`/`streaming_total` split
   * the headline `value` for the plan-quality read.
   *
@@ -102,12 +104,27 @@ object Bench {
     // "was this entry one straggler or a uniformly busy box", not a
     // ledger). duration is in ms.
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    // run-level load indicators (VERDICT r12 #4): total executor task
+    // time and JVM GC time over the whole timed region. On a clean
+    // box, task_ms/wall ≈ the mean active-core count; a co-tenant box
+    // inflates wall without inflating task time, so a LOW ratio plus
+    // normal GC flags "deflate this run" to a judge without a re-run.
+    val taskMsTotal = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           maxTask.accumulateAndGet(t.taskInfo.duration, math.max)
+          taskMsTotal.addAndGet(t.taskInfo.duration)
+        }
       })
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    val gc0 = gcMs
+    val wall0 = System.nanoTime()
     def timedPass(name: String): (Double, Long) = {
       // every pass starts cache-cold: operator persists are released
       // and the catalog cleared BEFORE the timer, else CacheManager's
@@ -121,13 +138,14 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, maxTask.get)
     }
     val res = scala.collection.mutable.LinkedHashMap(names.map { name =>
-      // batch lane: min of two timed passes — one pass is dominated
-      // by first-run effects (codegen compile, page cache, GC) that
-      // vary run to run; the min is the steady-state cost of the
-      // declared plan. Streaming lane: one pass (fixed micro-batch
-      // machinery dominates; min-of-2 would just double the cost).
-      val passes = if (streamingLane(name)) 1 else 2
-      val best = (1 to passes).map(_ => timedPass(name)).minBy(_._1)
+      // min of two timed passes, BOTH lanes — one pass is dominated
+      // by first-run effects (codegen compile, page cache, GC) and
+      // co-tenancy bursts that vary run to run; the min is the
+      // steady-state cost of the declared plan. Streaming joined the
+      // min-of-2 rule in r13 (VERDICT r12 #1): the per-stream fixed
+      // cost is now ~1.7-5 s, so the second pass buys artifact
+      // trustworthiness for ~25 s total.
+      val best = (1 to 2).map(_ => timedPass(name)).minBy(_._1)
       emit(s"""{"query":"$name","sec":${best._1},"max_task_ms":${best._2}}""")
       name -> best
     }: _*)
@@ -135,8 +153,9 @@ object Bench {
     // the 5 slowest batch entries, AFTER every lane has finished —
     // if the original reading was a co-tenancy spike, the re-run
     // lands at the isolated cost and the min reports it; a real
-    // regression reads slow twice. Streaming rows are excluded (a
-    // re-run re-pays the fixed micro-batch machinery by design).
+    // regression reads slow twice. Streaming rows stay out of the
+    // top-5 window (they are now min-of-2 like batch) but DO
+    // participate in the hist3x rule below.
     //
     // VERDICT r11 #6 extension: entries OUTSIDE the top-5 window can
     // still ship a co-tenancy artifact number (r11's q313: 4.8 s in
@@ -156,7 +175,10 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val batch = res.toSeq.filterNot(r => streamingLane(r._1))
     val top5 = batch.sortBy(-_._2._1).take(5).map(_._1)
-    val spiked = batch.filterNot(r => top5.contains(r._1))
+    // hist3x covers BOTH lanes since r13: a streaming entry that
+    // reads >3× its previous full-run value is a burst that survived
+    // min-of-2 and earns a third pass (VERDICT r12 #1)
+    val spiked = res.toSeq.filterNot(r => top5.contains(r._1))
       .filter { case (n, (sec, _)) =>
         sec > 1.0 && prev.get(n).exists(p => sec > 3 * p) }
       .sortBy(-_._2._1).take(12).map(_._1)
@@ -177,14 +199,24 @@ object Bench {
     val onlyField = if (only.isEmpty) ""
       else s""","only":"${only.toSeq.sorted.mkString(",")}""""
     // full-fidelity detail line first (full names, ns precision) —
-    // the human/judge-readable record; max_task_ms for the 5 slowest
-    // entries rides along for skew-vs-noise attribution
+    // the human/judge-readable record; max_task_ms for EVERY entry
+    // (VERDICT r12 #4 — was top-5) rides along for skew-vs-noise
+    // attribution, plus a run-level load hint: total executor task
+    // ms, wall ms of the timed region, their ratio (≈ mean active
+    // cores on a clean box; low ⇒ co-tenant box, deflate the run),
+    // and JVM GC ms over the region.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val mtFull = results.sortBy(-_._2._1).take(5)
+    val mtFull = results
       .map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    emit(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qsFull,"max_task_ms":$mtFull,"sf":"$sfDir","batch_total":$batchTotal,"streaming_total":$streamingTotal$onlyField}""")
+    val wallMs = (System.nanoTime() - wall0) / 1000000L
+    val loadHint =
+      s"""{"task_ms":${taskMsTotal.get},"wall_ms":$wallMs,""" +
+      s""""task_wall_ratio":${"%.2f".formatLocal(java.util.Locale.ROOT,
+        taskMsTotal.get.toDouble / math.max(1L, wallMs))},""" +
+      s""""gc_ms":${gcMs - gc0}}"""
+    emit(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qsFull,"max_task_ms":$mtFull,"load_hint":$loadHint,"sf":"$sfDir","batch_total":$batchTotal,"streaming_total":$streamingTotal$onlyField}""")
     // official contract line LAST and SHORT: the round artifact keeps
     // only the final ~2000 chars of output, and rounds 1-4 proved a
     // full-name full-precision line (~6 KB at 124 queries) overflows
