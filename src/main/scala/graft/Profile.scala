@@ -88,13 +88,17 @@ object Profile {
         })
       def probe(label: String, volume: => Long)(consume: => Long): Unit = {
         if (only.exists(fs => !fs.exists(label.contains))) return
+        // volume runs BEFORE the stage maps are cleared so its job's
+        // stages never pollute the consume pass's top-3 attribution
+        // (the text-skew probe already did this; ADVICE r12 #2)
+        val vol = volume
         Caching.releaseAll(); spark.catalog.clearCache()
         maxTask.set(0); shufBytes.set(0)
         gzStageMax.clear(); gzStageSlow.clear(); gzStageInfo.clear()
         val t0 = System.nanoTime()
         val out = consume
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[profile] $label%-28s vol=${volume}%12d out=$out%12d " +
+        println(f"[profile] $label%-28s vol=${vol}%12d out=$out%12d " +
           f"$sec%8.3f s max_task=${maxTask.get / 1e3}%7.3f s " +
           f"shuf=${shufBytes.get / (1 << 20)}%6d MB")
         gzStageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach {
@@ -186,8 +190,9 @@ object Profile {
             .agg(sum(col("r"))).collect()(0).getLong(0)
         }
         probe(s"zipf ${k}x 2hop hll", edgeCount) {
+          import graft.functions.SketchFunctions._
           val s1 = ee.groupBy(col("u")).agg(
-            hll_sketch_agg(col("v")).as("sk"))
+            hll4Agg(col("v")).as("sk"))
           // repartition by u between join and union: the join output
           // is keyed by v, so a hub-v task would otherwise build a
           // partial-agg map over ~every u (KB sketch per entry —
@@ -197,10 +202,10 @@ object Profile {
               .hint("shuffle_hash"), "v")
             .repartition(spark.sessionState.conf.numShufflePartitions,
               col("u"))
-            .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("sk2"))
+            .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("sk2"))
           s1.join(sk2, "u")
-            .select((hll_sketch_estimate(
-              hll_union(col("sk"), col("sk2"))) - 1L).as("r"))
+            .select((hll4Estimate(
+              hll4Union(col("sk"), col("sk2"))) - 1L).as("r"))
             .agg(sum(col("r"))).collect()(0).getLong(0)
         }
         probe(s"zipf ${k}x 3hop anf", edgeCount) {
@@ -218,9 +223,12 @@ object Profile {
           // KB-dense relation every round) and an explicit-count
           // repartition (AQE sizes the exchange read by the map-side
           // COMPRESSED bytes and coalesced to 89 ~GB-spill tasks).
+          // r13: compact HLL_4 sketches (VERDICT r12 #5) — the probe
+          // now measures the halved-wire encoding q346/q356 ship
+          import graft.functions.SketchFunctions._
           val np = spark.sessionState.conf.numShufflePartitions
           val s1 = ee.groupBy(col("u")).agg(
-            hll_sketch_agg(col("v")).as("sk"))
+            hll4Agg(col("v")).as("sk"))
           // (A co-partitioned-join variant — both join inputs
           // explicitly repartitioned at np — was measured WORSE:
           // 667 s clean vs 359 s for this shape; widening the join
@@ -232,12 +240,12 @@ object Profile {
             ee.join(prev.select(col("u").as("v"), col("sk"))
                 .hint("shuffle_hash"), "v")
               .repartition(np, col("u"))
-              .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("__nb"))
+              .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("__nb"))
               .join(prev.hint("shuffle_hash"), "u")
               .select(col("u"),
-                hll_union(col("sk"), col("__nb")).as("sk"))
+                hll4Union(col("sk"), col("__nb")).as("sk"))
           val s3 = prop(prop(s1))
-          s3.select((hll_sketch_estimate(col("sk")) - 1L).as("r"))
+          s3.select((hll4Estimate(col("sk")) - 1L).as("r"))
             .agg(sum(col("r"))).collect()(0).getLong(0)
         }
         probe(s"zipf ${k}x labelprop(3)", edgeCount) {

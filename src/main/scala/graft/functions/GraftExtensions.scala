@@ -65,5 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.WINNOW,
       "_FUNC_(tokens, n, window) - winnowing document fingerprints",
       exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)))
+    inject(GraftFunctions.HLL4_AGG,
+      "_FUNC_(col) - compact HLL_4 distinct sketch (binary)",
+      exprs => Hll4SketchAgg(exprs(0)))
+    inject(GraftFunctions.HLL4_UNION_AGG,
+      "_FUNC_(sketch) - union of compact HLL_4 sketches (binary)",
+      exprs => Hll4UnionAgg(exprs(0)))
+    inject(GraftFunctions.HLL4_UNION,
+      "_FUNC_(a, b) - pairwise compact HLL_4 union (binary)",
+      exprs => Hll4Union(exprs(0), exprs(1)))
+    inject(GraftFunctions.HLL4_ESTIMATE,
+      "_FUNC_(sketch) - rounded distinct estimate of an HLL_4 sketch",
+      exprs => Hll4Estimate(exprs(0)))
   }
 }

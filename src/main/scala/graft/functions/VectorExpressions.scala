@@ -1110,6 +1110,10 @@ object GraftFunctions {
   val HYPERPLANE_BANDS = "graft_hyperplane_bands"
   val CP_KEYS = "graft_cp_keys"
   val LANG_PREDICT = "graft_lang_predict"
+  val HLL4_AGG = "graft_hll4_agg"
+  val HLL4_UNION_AGG = "graft_hll4_union_agg"
+  val HLL4_UNION = "graft_hll4_union"
+  val HLL4_ESTIMATE = "graft_hll4_estimate"
 
   /** Idempotently register graft's native expressions on a session
     * (temp functions — session-scoped, executor-safe via codegen).
@@ -1149,6 +1153,14 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       LANG_PREDICT, exprs => LangPredict(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HLL4_AGG, exprs => Hll4SketchAgg(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HLL4_UNION_AGG, exprs => Hll4UnionAgg(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HLL4_UNION, exprs => Hll4Union(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      HLL4_ESTIMATE, exprs => Hll4Estimate(exprs(0)), "built-in")
   }
 
   /** Codegen'd dot product (register(spark) must have run). */

@@ -1701,9 +1701,15 @@ object Advanced {
     val ee = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
     // sketch tier — the 100 TB path: one sketch per node, one sketch
-    // ship per edge, one union per node
+    // ship per edge, one union per node. Sketches are graft's compact
+    // HLL_4 encoding (VERDICT r12 #5): same lgK/estimator as the
+    // built-in, but 4-bit packed registers + coupon-sparse below
+    // threshold + compact serialization — the edge join below ships
+    // one sketch PER EDGE, and sketch bytes were the probe-measured
+    // dominant shuffle volume in the dense regime (51.9 GB at 100×).
+    import graft.functions.SketchFunctions.{hll4Agg, hll4Estimate, hll4Union, hll4UnionAgg}
     val s1 = ee.groupBy(col("u")).agg(
-      hll_sketch_agg(col("v")).as("sk"),
+      hll4Agg(col("v")).as("sk"),
       count(lit(1)).cast("long").as("n_direct"))
     // repartition by u between the sketch-attach join (keyed by v)
     // and the union: on a skewed graph a hub-v task otherwise builds
@@ -1716,14 +1722,20 @@ object Advanced {
     // COMPRESSED map-side bytes, leaving ~GB-spill coarse tasks —
     // together a 174 s max-task (46% of wall); hash join + explicit
     // count bound the share at ~10% with uniform tasks.
+    // Deployment note (ADVICE r12 #3): SHJ's build side holds one
+    // partition's share of the sketch relation in memory, so this
+    // count — which tracks spark.sql.shuffle.partitions — must be
+    // sized with data volume at deployment (nodes·sketchBytes /
+    // partitions ≲ executor task memory). On a cluster that knob is
+    // the standard ops dial.
     val np346 = s.sessionState.conf.numShufflePartitions
     val sk2 = ee.join(s1.select(col("u").as("v"), col("sk"))
         .hint("shuffle_hash"), "v")
       .repartition(np346, col("u"))
-      .groupBy(col("u")).agg(hll_union_agg(col("sk")).as("sk2"))
+      .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("sk2"))
     val approx = s1.join(sk2, "u")
       .select(col("u").as("src"), col("n_direct"),
-        (hll_sketch_estimate(hll_union(col("sk"), col("sk2"))) - 1L)
+        (hll4Estimate(hll4Union(col("sk"), col("sk2"))) - 1L)
           .as("n_hll"))
     // exact tier (fixture-scale audit reference): the same chunked
     // wedge expansion q196 ships — hub-safe for the same reason
@@ -1806,8 +1818,14 @@ object Advanced {
     // ---- sketch tier (the scale path): S1 = sketch(N(v)); Sh =
     // S(h-1) ∪ neighbors' S(h-1). Each round is one edge join +
     // repartition-by-node + union agg (the q346 hub-safety shape).
+    // Compact HLL_4 sketches (VERDICT r12 #5): each round ships one
+    // sketch per edge, and ROUND h's sketches are the dense ones —
+    // 4-bit packing + compact serialization halves that dominant
+    // volume vs the built-in HLL_8 updatable image, identical
+    // estimates (see SketchExpressions.scala).
+    import graft.functions.SketchFunctions.{hll4Agg, hll4Estimate, hll4Union, hll4UnionAgg}
     val s1 = ee.groupBy(col("u"))
-      .agg(hll_sketch_agg(col("v")).as("sk1"),
+      .agg(hll4Agg(col("v")).as("sk1"),
         count(lit(1)).cast("long").as("d1"))
     // shuffle_hash on every dense-sketch join side + explicit
     // repartition counts (r12 graph-zipf, dense-sketch regime):
@@ -1815,15 +1833,17 @@ object Advanced {
     // AQE coalesces the exchange read by compressed map-side bytes
     // into ~GB-spill coarse tasks — measured 174 s max-task (46% of
     // wall) at the probe's 100× tier, ~10% share with these.
+    // conf-sizing requirement: see the q346 note (ADVICE r12 #3) —
+    // partitions must scale with nodes·sketchBytes at deployment
     val np356 = s.sessionState.conf.numShufflePartitions
     def propagate(prev: org.apache.spark.sql.DataFrame,
         skCol: String, outCol: String) =
       ee.join(prev.select(col("u").as("v"), col(skCol))
           .hint("shuffle_hash"), "v")
         .repartition(np356, col("u"))
-        .groupBy(col("u")).agg(hll_union_agg(col(skCol)).as("__nb"))
+        .groupBy(col("u")).agg(hll4UnionAgg(col(skCol)).as("__nb"))
         .join(prev.hint("shuffle_hash"), "u")
-        .withColumn(outCol, hll_union(col(skCol), col("__nb")))
+        .withColumn(outCol, hll4Union(col(skCol), col("__nb")))
         .drop("__nb")
     val s2 = propagate(s1, "sk1", "sk2")
     // round 3 ships DENSE sk2 sketches (KB each once reach
@@ -1835,13 +1855,13 @@ object Advanced {
       .join(s2.select(col("u").as("v"), col("sk2"))
         .hint("shuffle_hash"), "v")
       .repartition(np356, col("u"))
-      .groupBy(col("u")).agg(hll_union_agg(col("sk2")).as("__nb"))
+      .groupBy(col("u")).agg(hll4UnionAgg(col("sk2")).as("__nb"))
       .join(s2.hint("shuffle_hash"), "u")
-      .withColumn("sk3", hll_union(col("sk2"), col("__nb")))
+      .withColumn("sk3", hll4Union(col("sk2"), col("__nb")))
     val est = s3.select(col("u").as("src"),
-      hll_sketch_estimate(col("sk1")).as("e1"),
-      (hll_sketch_estimate(col("sk2")) - 1L).as("e2"),
-      (hll_sketch_estimate(col("sk3")) - 1L).as("e3"),
+      hll4Estimate(col("sk1")).as("e1"),
+      (hll4Estimate(col("sk2")) - 1L).as("e2"),
+      (hll4Estimate(col("sk3")) - 1L).as("e3"),
       col("d1"))
     // ---- exact audit tier, SAMPLED sources filtered BEFORE any
     // expansion: the wedge join only ever fans out of the ~1/mod
