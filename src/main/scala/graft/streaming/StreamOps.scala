@@ -459,13 +459,48 @@ object StreamOps {
     * sharing the session keep their parallelism). The conf is set
     * BEFORE start() because the stateful plan reads it at
     * first-micro-batch planning, which races awaitTermination. */
+  /** Fully-qualified class of Spark's spillable state store. The
+    * default HDFSBackedStateStoreProvider keeps every state
+    * partition's map ON HEAP — fine for watermark-bounded fixture
+    * state, but at the 100 TB design point a stream-stream join's
+    * buffered rows (two watermark windows of a hot key's traffic)
+    * want RocksDB's off-heap + disk-spill tier. Results are
+    * provider-independent (StreamingSpec pins this); flip via
+    * `graft.streaming.stateStoreProvider=rocksdb` (session conf) or
+    * `GRAFT_STATE_PROVIDER=rocksdb` (env) when deploying against
+    * backlogs whose per-partition state exceeds executor heap —
+    * the provider trades per-batch commit latency (RocksDB
+    * checkpoint/compaction) for bounded memory. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def resolveProvider(spark: SparkSession): Option[String] =
+    spark.conf.getOption("graft.streaming.stateStoreProvider")
+      .orElse(sys.env.get("GRAFT_STATE_PROVIDER"))
+      .flatMap {
+        case "rocksdb" => Some(RocksDbProvider)
+        case "hdfs" | "default" | "" => None
+        case cls => Some(cls) // any custom StateStoreProvider class
+      }
+
   def drainSized(spark: SparkSession, dir: String)(
       start: => StreamingQuery): StreamingQuery = {
     val key = "spark.sql.shuffle.partitions"
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevP = spark.conf.getOption(pKey)
     spark.conf.set(key, statePartitionsFor(spark, dir).toString)
+    // provider, like partition count, is frozen into the checkpoint
+    // at first-batch planning — set it BEFORE start()
+    resolveProvider(spark).foreach(spark.conf.set(pKey, _))
     try { val q = start; q.awaitTermination(); q }
-    finally spark.conf.set(key, prev)
+    finally {
+      spark.conf.set(key, prev)
+      prevP match {
+        case Some(p) => spark.conf.set(pKey, p)
+        case None => spark.conf.unset(pKey)
+      }
+    }
   }
 }
 
