@@ -77,5 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.HLL4_ESTIMATE,
       "_FUNC_(sketch) - rounded distinct estimate of an HLL_4 sketch",
       exprs => Hll4Estimate(exprs(0)))
+    inject(GraftFunctions.BLOOM_AGG,
+      "_FUNC_(col, items) - bloom filter over col (binary)",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(exprs(0))), exprs(1)))
+    inject(GraftFunctions.BLOOM_MIGHT,
+      "_FUNC_(bloom, value) - bloom probe; false = definitely absent",
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(exprs(1)))))
   }
 }

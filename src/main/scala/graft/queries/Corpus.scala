@@ -1140,7 +1140,127 @@ object Corpus {
     }
   }
 
+  /** Duplicate-span REMOVAL (the consumer-facing form of the q358
+    * suffix machinery; Lee et al. '21 "Deduplicating Training Data
+    * Makes Language Models Better", the ExactSubstr removal step —
+    * reference has no analogue; LLM-pipeline extension): every
+    * 16-token window occurring ≥2 times corpus-wide keeps its FIRST
+    * occurrence (global min (doc_id, pos)) and is CUT everywhere
+    * else. Emits, per affected document, the merged removable spans'
+    * count, removed-token total, and the cleaned text with those
+    * spans excised — q79 only MARKS spans (including the copy you'd
+    * keep); this is the edit a curation pipeline actually applies.
+    *
+    * Scale shape: keep-first is a map-side-partial min over the gram
+    * index (no window over the corpus); the dup-gram relation is
+    * broadcast (bounded by repeated grams — the df-cap discipline of
+    * q359 applies if a boilerplate regime blows it up); island
+    * merging is a per-document window over REMOVABLE positions only;
+    * the cleaned-text rebuild is one anti join equi-keyed by doc_id
+    * (range residual) plus a per-doc sort — all row-local in the
+    * document dimension, nothing pairwise. */
+  val dupSpanRemoval: QueryDef = QueryDef.sql(
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+15], ' ') AS gram
+             FROM t, unnest(generate_series(1, len(toks) - 15)) AS s(i)
+             WHERE len(toks) >= 16),
+       c AS (SELECT gram, count(*) AS cnt,
+               min(doc_id * 1048576 + pos) AS keep_pid
+             FROM g GROUP BY gram),
+       h AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)
+             WHERE cnt >= 2 AND g.doc_id * 1048576 + g.pos <> keep_pid),
+       isl AS (SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(max(pos + 15) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS new_island
+             FROM h),
+       grp AS (SELECT doc_id, pos, sum(new_island) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+               FROM isl),
+       sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 AS e
+              FROM grp GROUP BY doc_id, island),
+       stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+                 FROM sp GROUP BY doc_id),
+       pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i]
+                 AS tok
+               FROM t, unnest(generate_series(1, len(toks))) u(i)),
+       kept AS (SELECT p.doc_id, p.pos, p.tok
+                FROM pos p LEFT JOIN sp ON p.doc_id = sp.doc_id
+                  AND p.pos BETWEEN sp.s AND sp.e
+                WHERE sp.s IS NULL),
+       ct AS (SELECT doc_id,
+                string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+              FROM kept GROUP BY doc_id)
+       SELECT st.doc_id, st.n_spans, st.n_removed,
+         COALESCE(ct.cleaned_text, '') AS cleaned_text
+       FROM stats st LEFT JOIN ct ON st.doc_id = ct.doc_id
+       ORDER BY st.doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    graft.functions.GraftFunctions.register(s)
+    val pid = col("doc_id") * lit(1048576L) + col("pos")
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text"))
+        .as("toks"))
+    // 8-byte positional gram hashes stand in for gram strings, the
+    // q79 discipline (collision odds ~grams²/2^65)
+    val grams = toksDf.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.gramHashes(col("toks"), k))
+        .as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("gh"))
+    // keep-first: one map-side-partial (count, min-pid) per gram
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"), min(pid).as("keep_pid"))
+      .filter(col("cnt") >= 2)
+      .select(col("gh"), col("keep_pid"))
+    val hits = grams.join(broadcast(dup), Seq("gh"))
+      .filter(pid =!= col("keep_pid"))
+      .select(col("doc_id"), col("pos"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = hits
+      .withColumn("new_island",
+        (col("pos") > coalesce(max(col("pos") + (k - 1)).over(wPrev),
+          lit(-1L))).cast("int"))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+    val stats = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    val positions = toksDf
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    // anti join equi-keyed by doc_id, range residual: a position
+    // survives iff no removable span covers it (spans are disjoint
+    // by construction, so at most one could)
+    val kept = positions.alias("p").join(spans.alias("sp"),
+      col("p.doc_id") === col("sp.doc_id")
+        && col("p.pos").between(col("s"), col("e")), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("cleaned_text"))
+    stats.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q360_dup_span_removal" -> dupSpanRemoval,
     "q359_containment_dfcap" -> containmentDfCap,
     "q358_dup_run_tiers" -> dupRunTiers,
     "q354_cms_heavy_hitters" -> cmsHeavyHitters,

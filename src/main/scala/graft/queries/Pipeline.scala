@@ -2497,6 +2497,110 @@ object Pipeline {
     surv.select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
   }
 
+  /** Bloom-guarded incremental dedup (VERDICT r12 #7, the daily-
+    * ingest shape; reference has no analogue): q73 broadcasts the
+    * BATCH through the index — right when the batch is day-sized.
+    * This is the complementary regime: the batch is too heavy to
+    * broadcast, so a Bloom filter built over the HISTORY index
+    * (distributed partial blooms OR-merged; Spark's own
+    * BloomFilterAggregate/MightContain pair, the runtime-filter
+    * machinery used directly) screens every batch row locally.
+    * Bloom guarantees NO false negatives, so rows it rejects are
+    * definitely new and skip the index join entirely; the corpus-
+    * sized confirm semi-join receives only might-contain candidates
+    * (true dups + the fpp tail) — the answer is provably
+    * independent of the filter. Emits the full ingest audit: per
+    * batch doc, 'dup_hist' (fingerprint already indexed),
+    * 'dup_batch' (an earlier doc in the same batch), or 'new'.
+    *
+    * Scale notes: the bloom is sized from the index's own row count
+    * (known metadata at deployment; ~1.2 GB bits per 10⁹ docs at 1%
+    * fpp). Here it rides the plan as a collected binary literal —
+    * on a cluster the same bytes attach as a scalar subquery or
+    * broadcast var. The within-batch first-occurrence window is
+    * batch-sized, never corpus-sized.
+    *
+    * Fixture note: every shipped document text is unique, so a naive
+    * day-split would make the status column degenerate (all 'new' —
+    * the r11 saturated-gate lesson, mirrored). The batch therefore
+    * models AT-LEAST-ONCE REDELIVERY, the very failure incremental
+    * dedup exists for: a 1-in-5 slice of history re-arrives under
+    * fresh ingest ids (→ dup_hist), a 1-in-10 slice re-arrives TWICE
+    * (→ dup_hist with an in-batch twin), and a 1-in-9 slice of the
+    * new day is delivered twice (→ one 'new' + one 'dup_batch').
+    * All three statuses are exercised by construction at every SF. */
+  val bloomIncrementalDedup: QueryDef = QueryDef.sql(
+    """WITH mm AS (SELECT max(doc_id) AS mx, max(doc_id) // 2 AS mid
+                   FROM documents),
+       hist AS (SELECT doc_id, md5(lower(trim(text))) AS fp
+                FROM documents, mm WHERE doc_id < mid),
+       d1 AS (SELECT DISTINCT fp AS fingerprint FROM hist),
+       base AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+                FROM documents, mm WHERE doc_id >= mid),
+       batch AS (
+         SELECT doc_id, fingerprint FROM base
+         UNION ALL SELECT h.doc_id + mx + 1, fp FROM hist h, mm
+           WHERE h.doc_id % 5 = 0
+         UNION ALL SELECT h.doc_id + 2 * (mx + 1), fp FROM hist h, mm
+           WHERE h.doc_id % 10 = 0
+         UNION ALL SELECT b.doc_id + 3 * (mx + 1), fingerprint
+           FROM base b, mm WHERE b.doc_id % 9 = 0)
+       SELECT doc_id, fingerprint,
+         CASE WHEN fingerprint IN (SELECT fingerprint FROM d1)
+                THEN 'dup_hist'
+              WHEN doc_id > min(doc_id) OVER (PARTITION BY fingerprint)
+                THEN 'dup_batch'
+              ELSE 'new' END AS status
+       FROM batch ORDER BY doc_id""") { (s, d) =>
+    import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain}
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bounds = docs.agg(max(col("doc_id")).as("mx"),
+      (max(col("doc_id")) / 2).cast("long").as("mid"))
+    val withMid = docs.crossJoin(broadcast(bounds))
+    val fpCol = md5(lower(trim(col("text"))))
+    val histRows = withMid.filter(col("doc_id") < col("mid"))
+      .select(col("doc_id"), fpCol.as("fingerprint"), col("mx"))
+    val hist = histRows.select(col("fingerprint")).distinct()
+    val base = withMid.filter(col("doc_id") >= col("mid"))
+      .select(col("doc_id"), fpCol.as("fingerprint"), col("mx"))
+    val today = base.select(col("doc_id"), col("fingerprint"))
+      .unionByName(histRows.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + col("mx") + 1).as("doc_id"),
+          col("fingerprint")))
+      .unionByName(histRows.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + (col("mx") + 1) * 2).as("doc_id"),
+          col("fingerprint")))
+      .unionByName(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + (col("mx") + 1) * 3).as("doc_id"),
+          col("fingerprint")))
+    // index row count is persisted metadata at deployment; one
+    // bounded count job here
+    val nHist = math.max(1L, hist.count())
+    val bloomBytes = hist
+      .select(bloomAgg(col("fingerprint"), nHist).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val wFp = Window.partitionBy(col("fingerprint"))
+    val tagged = today
+      .withColumn("first_id", min(col("doc_id")).over(wFp))
+      .withColumn("might",
+        bloomMightContain(lit(bloomBytes), col("fingerprint")))
+    // only the candidate slice ever meets the corpus-sized index
+    val confirmed = tagged.filter(col("might"))
+      .join(hist.withColumn("__h", lit(1)), Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"), col("first_id"),
+        coalesce(col("__h") === 1, lit(false)).as("in_hist"))
+    val definiteNew = tagged.filter(!col("might"))
+      .select(col("doc_id"), col("fingerprint"), col("first_id"),
+        lit(false).as("in_hist"))
+    confirmed.unionByName(definiteNew)
+      .select(col("doc_id"), col("fingerprint"),
+        when(col("in_hist"), "dup_hist")
+          .when(col("doc_id") > col("first_id"), "dup_batch")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram LM quality scoring — per-doc mean ln P(w_i | w_{i-1})
     * under the corpus's own add-α-smoothed bigram model (α = 0.5):
     * the KenLM-shaped upgrade of q68's unigram signal, still with no
@@ -5077,6 +5181,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q71_line_dedup" -> lineDedup,
     "q72_curation_pipeline" -> curationPipeline,
     "q73_incremental_dedup" -> incrementalDedup,
+    "q361_bloom_incremental_dedup" -> bloomIncrementalDedup,
     "q74_bigram_logprob" -> bigramLogprob,
     "q75_compaction_readback" -> compactionReadback,
     "q76_domain_budget" -> domainBudget,
