@@ -33,10 +33,18 @@ object GraftSession {
       // collect_list/collect_set aggregations (dedup bucket grouping)
       // fall back to sort-based aggregation after 128 distinct keys
       // per partition by default — pathological for high-cardinality
-      // small groups (measured 3× slower at sf0.1). Partitions are
-      // sized to fit in executor memory, so a large hash map is fine.
+      // small groups (measured 3× slower at sf0.1). But the threshold
+      // IS ObjectHashAggregate's only spill mechanism, so it must
+      // also CAP the per-task object map: at 4M keys the text-skew
+      // 100× tier (128M near-singleton LSH buckets over 32 map
+      // tasks) built multi-GB maps per task and died in GC overhead
+      // before fallback could trigger. 262,144 keys ≈ tens of MB per
+      // task — far above every fixture-scale group count (sf0.1 LSH
+      // banding: ~10k keys/task), and past it the sort-based path
+      // spills honestly (100× minhash: OOM → completes; a cluster
+      // deployment additionally scales map parallelism with data).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4000000")
+        "262144")
       // cached-relation batches default to 10k ROWS with no byte
       // bound; rows carrying multi-KB array columns (the persisted
       // LSH key relations — L×combos band keys/row) then build

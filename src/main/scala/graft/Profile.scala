@@ -417,9 +417,32 @@ object Profile {
             .agg(count(lit(1)).as("common"))
             .agg(count(lit(1))).collect()(0).getLong(0)
         }
-        probe(s"ts ${k}x containment chunked", shVol) {
+        // the RAW chunked containment is gated to ≤10×: at 100× the
+        // stop-shingle's pair volume is ~1e10 EXACT OUTPUT pairs —
+        // quadratic by the definition of containment, no plan shape
+        // removes it (hours of honest work, not a skew finding). The
+        // 100× row for this family is the df-capped screen below:
+        // the semantic lever a 70%-df boilerplate regime deploys.
+        if (k <= 10) probe(s"ts ${k}x containment chunked", shVol) {
           ops.Graph.cooccurPairCounts(sh, Seq("shingle"), "doc_id",
               cacheGroups = true)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        // q359's deployment shape: candidate volume bounded BY
+        // CONSTRUCTION to cap·|kept postings| — the planted stop
+        // shingle (df 14k·√k) and the 2,000-doc template grams are
+        // screened out by the df band, so this must stay LINEAR in
+        // the tier right through 100× at the default 8 GB heap
+        def dfKept = {
+          val keep = sh.groupBy(col("shingle"))
+            .agg(count(lit(1)).as("__df"))
+            .filter(col("__df") >= 2 && col("__df") <= 8)
+            .select(col("shingle"))
+          sh.join(keep, "shingle")
+        }
+        probe(s"ts ${k}x containment dfcap (q359)",
+            pairVol(dfKept, Seq("shingle"))) {
+          ops.Graph.cooccurPairCounts(dfKept, Seq("shingle"), "doc_id")
             .agg(count(lit(1))).collect()(0).getLong(0)
         }
         spark.conf.set("spark.sql.shuffle.partitions",

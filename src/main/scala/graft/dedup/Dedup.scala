@@ -197,19 +197,28 @@ object Dedup {
       threshold: Double): DataFrame = {
     val exploded = hashed.select(col("__id"), explode(col("__hs")).as("h"))
     val freq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per-doc shingles sorted by (df, h) ascending — rarest first
-    val ranked = exploded
-      .join(freq, "h")
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-        .as("__sorted"), count(lit(1)).as("__n"))
-    // prefix length |S| - ceil(t*|S|) + 1; slice takes column args
+    // per-doc shingles ranked by (df, h) ascending — rarest first.
+    // row_number over a doc-keyed window, NOT collect_list + slice:
+    // the list form builds per-doc shingle ARRAYS inside the partial
+    // ObjectHashAggregate map, whose fallback threshold counts
+    // ENTRIES, not bytes — at the text-skew 100× tier (2M docs × 38
+    // shingles, AQE-coalesced read) the just-under-threshold maps of
+    // wide lists were multi-GB and died in GC overhead. WindowExec
+    // sorts through UnsafeExternalSorter, which spills honestly at
+    // any scale; (df, h) is a total order per doc (h distinct), so
+    // the prefix relation is IDENTICAL.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("df"), col("h"))
+    val sized = hashed.select(col("__id"), size(col("__hs")).as("__n"))
+    // prefix length |S| - ceil(t*|S|) + 1
     val prefixLen = (col("__n")
       - ceil(lit(threshold) * col("__n")) + 1).cast("int")
-    val prefixRel = ranked
-      .select(col("__id"),
-        explode(slice(col("__sorted"), lit(1), prefixLen)).as("p"))
-      .select(col("__id"), col("p.h").as("h"))
+    val prefixRel = exploded
+      .join(freq, "h")
+      .withColumn("__rn", row_number().over(w))
+      .join(sized, "__id")
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__id"), col("h"))
     bucketPairCounts(prefixRel, Seq("h"), "__id")
       .select(col("u").as("a_id"), col("v").as("b_id"))
   }
