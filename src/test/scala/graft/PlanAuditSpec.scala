@@ -762,4 +762,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q230's shingle pair generation must pin explicit-count " +
         s"repartitions (chunked expansion, not a raw self-join):\n$ct")
   }
+
+  test("q361 bloom screen rides the plan; q360 stays join-shaped " +
+      "(no cartesian)") {
+    // q361: the bloom probe must appear as a FILTER in the executed
+    // plan — if a refactor drops it, the corpus-sized confirm join
+    // silently receives the whole batch again (correct answers, dead
+    // at scale).
+    val bl = executedPlan("q361_bloom_incremental_dedup")
+    assert(bl.contains("graft_bloom_might_contain")
+        || bl.contains("might_contain"),
+      s"q361 must screen batch rows through the bloom filter:\n$bl")
+    // q360: every join is keyed (gram hash or doc_id+range residual);
+    // a CartesianProduct would mean the span anti-join lost its
+    // doc_id equi-key and went doc×span corpus-wide
+    val sp = executedPlan("q360_dup_span_removal")
+    assert(!sp.contains("CartesianProduct"),
+      s"q360 must keep every join equi-keyed:\n$sp")
+  }
 }
