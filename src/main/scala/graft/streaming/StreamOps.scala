@@ -500,6 +500,19 @@ object StreamOps {
         case Some(p) => spark.conf.set(pKey, p)
         case None => spark.conf.unset(pKey)
       }
+      // Unload the drained query's state-store providers: an
+      // availableNow drain TERMINATES its query, but the executor
+      // keeps every loaded provider registered, and the 60 s
+      // maintenance tick then snapshots/compacts ALL of them — dead
+      // stores included — forever after. Across a many-stream run
+      // the tick's work grows with every drain, and whichever query
+      // it lands inside absorbs it (measured: q153 bimodal 3.6 s vs
+      // 10-15 s in full-catalog runs; the isolated cost is 4 s).
+      // Sequential drains are this entry point's contract; a
+      // CONCURRENT live stream on the same executor would pay one
+      // checkpoint reload after this — use the streaming runtime's
+      // own lifecycle for that shape, not drainSized.
+      org.apache.spark.sql.graftbridge.StateStoreHygiene.unloadAll()
     }
   }
 }
