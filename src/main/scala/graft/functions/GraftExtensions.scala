@@ -77,18 +77,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.HLL4_ESTIMATE,
       "_FUNC_(sketch) - rounded distinct estimate of an HLL_4 sketch",
       exprs => Hll4Estimate(exprs(0)))
-    inject(GraftFunctions.BLOOM_AGG,
-      "_FUNC_(col, items) - bloom filter over col (binary)",
+    // the bloom pair injects under BloomJoin's names and RAW
+    // (pre-hashed, explicit-bits) semantics — one builder per name
+    // engine-wide, same binding as the programmatic registry path
+    inject(graft.ops.BloomJoin.BLOOM_AGG,
+      "_FUNC_(xxhash64(col), items, bits) - bloom filter (binary)",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(exprs(0))), exprs(1)))
-    inject(GraftFunctions.BLOOM_MIGHT,
-      "_FUNC_(bloom, value) - bloom probe; false = definitely absent",
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)))
+    inject(graft.ops.BloomJoin.MIGHT_CONTAIN,
+      "_FUNC_(bloom, xxhash64(v)) - bloom probe; false = definitely absent",
       exprs =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0),
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(exprs(1)))))
+          exprs(0), exprs(1)))
   }
 }

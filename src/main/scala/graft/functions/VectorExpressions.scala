@@ -1111,8 +1111,6 @@ object GraftFunctions {
   val CP_KEYS = "graft_cp_keys"
   val LANG_PREDICT = "graft_lang_predict"
   val HLL4_AGG = "graft_hll4_agg"
-  val BLOOM_AGG = "graft_bloom_agg"
-  val BLOOM_MIGHT = "graft_bloom_might_contain"
   val HLL4_UNION_AGG = "graft_hll4_union_agg"
   val HLL4_UNION = "graft_hll4_union"
   val HLL4_ESTIMATE = "graft_hll4_estimate"
@@ -1163,23 +1161,15 @@ object GraftFunctions {
       HLL4_UNION, exprs => Hll4Union(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       HLL4_ESTIMATE, exprs => Hll4Estimate(exprs(0)), "built-in")
-    // Spark's runtime-filter bloom machinery, exposed directly: the
-    // agg IS SQL-registered upstream (bloom_filter_agg) but the probe
-    // (BloomFilterMightContain) is not — both sides hash through the
-    // same XxHash64(seed 42) the analyzer's InjectRuntimeFilter uses,
-    // so a filter built by one is probeable by the other.
-    reg.createOrReplaceTempFunction(
-      BLOOM_AGG, exprs =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(
-            new org.apache.spark.sql.catalyst.expressions.XxHash64(
-              Seq(exprs(0))), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      BLOOM_MIGHT, exprs =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0),
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(exprs(1)))), "built-in")
+    // bloom pair: ONE owner — graft.ops.BloomJoin registers the raw
+    // (pre-hashed xxhash64, explicit numBits) forms under its names;
+    // re-registering them here under the same registry keeps every
+    // GraftFunctions-registered session SQL-complete without two
+    // subtly-different builders racing for one name (a first draft of
+    // r13 registered a self-hashing 2-arg variant under the SAME
+    // name — last-registration-wins made the binding call-site-order
+    // dependent).
+    graft.ops.BloomJoin.registerOn(reg)
   }
 
   /** Codegen'd dot product (register(spark) must have run). */
@@ -1232,13 +1222,20 @@ object GraftFunctions {
     call_function(LANG_PREDICT, text, lit(encodeLangProfiles(profiles)))
 
   /** Distributed bloom build over `c` (partial blooms OR-merged);
-    * returns the filter as one binary scalar. */
+    * returns the filter as one binary scalar. Delegates to
+    * [[graft.ops.BloomJoin]]'s registered raw forms (xxhash64 on the
+    * way in, same convention as Spark's injected runtime filter);
+    * ~10 bits/item ⇒ fpp ≈ 1%, capped at Spark's 8 MB filter bound. */
   def bloomAgg(c: Column, estimatedItems: Long): Column =
-    call_function(BLOOM_AGG, c, lit(estimatedItems))
+    call_function(graft.ops.BloomJoin.BLOOM_AGG,
+      org.apache.spark.sql.functions.xxhash64(c),
+      lit(estimatedItems),
+      lit(math.min(67108864L, math.max(64L, estimatedItems * 10))))
 
   /** Probe a [[bloomAgg]]-built filter: true ⇒ maybe present (fpp
     * tail included), false ⇒ DEFINITELY absent. `bloom` must be a
     * constant (lit(bytes)) or scalar subquery. */
   def bloomMightContain(bloom: Column, value: Column): Column =
-    call_function(BLOOM_MIGHT, bloom, value)
+    call_function(graft.ops.BloomJoin.MIGHT_CONTAIN, bloom,
+      org.apache.spark.sql.functions.xxhash64(value))
 }

@@ -33,9 +33,15 @@ object BloomJoin {
   val MIGHT_CONTAIN = "graft_might_contain"
 
   /** Idempotently expose the two internal bloom expressions as
-    * session functions (same registry pattern as GraftFunctions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+    * session functions (same registry pattern as GraftFunctions).
+    * This module OWNS the names: GraftFunctions.register delegates
+    * here, so there is exactly one builder per name engine-wide. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registerOn(spark.sessionState.functionRegistry)
+
+  private[graft] def registerOn(
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : Unit = {
     reg.createOrReplaceTempFunction(BLOOM_AGG,
       exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")
