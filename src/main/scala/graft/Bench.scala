@@ -98,6 +98,43 @@ object Bench {
         .start()
       q.awaitTermination()
     }
+    // WHOLE-RUN PRE-WARM (VERDICT r13 #2): the builder box drops its
+    // page cache between runs and hosts co-tenant JVMs, and r13's
+    // artifact shipped 8 phantom regressions (q268 5.12 s vs 2.23 s
+    // isolated) because min-of-2 AND hist3x all re-timed inside the
+    // same cold run. Two untimed steps before the timed region:
+    //  (1) byte pre-touch of every input file — the sfDir parquet is
+    //      small (~17 MB at sf0.1) but its footers/pages are what
+    //      every first scan stalls on when evicted;
+    //  (2) one untimed noop sweep of the BATCH lane — warms each
+    //      query's codegen/JIT and the jar/classfile pages its plan
+    //      faults in, which at 17 MB of data is where "cache-cold"
+    //      actually lives. Operator persists are still released
+    //      before every TIMED pass, so the cache-cold-data
+    //      discipline of the measurement is unchanged; this warms
+    //      code and OS pages, not Spark caches. The streaming lane
+    //      keeps its dedicated machinery warmup above (per-stream
+    //      fixed cost is the number the lane reports).
+    {
+      val w0 = System.nanoTime()
+      var bytes = 0L
+      val buf = new Array[Byte](1 << 20)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .forEach { p =>
+          val in = java.nio.file.Files.newInputStream(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      names.filterNot(streamingLane).foreach { n =>
+        Caching.releaseAll(); spark.catalog.clearCache(); runNoop(n)
+      }
+      Caching.releaseAll(); spark.catalog.clearCache()
+      emit(s"""{"warm":"pretouch+sweep","mb":${bytes / (1 << 20)},""" +
+        s""""sec":${(System.nanoTime() - w0) / 1e9}}""")
+    }
     // max-task attribution: reset before each pass, read after — the
     // listener bus is async, so a late task-end can slip into the
     // next query's window; best-effort by design (the number answers

@@ -55,6 +55,20 @@ object GraftSession {
       // costing nothing measurable on fixture-width rows.
       .config("spark.sql.inMemoryColumnarStorage.batchSize",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "512"))
+      // BloomFilterAggregate silently min()s both its items and
+      // numBits arguments against these confs (Spark's injected-
+      // runtime-filter defaults: 4M items / 8 MB bits). The graft
+      // bloom builders (q361's index screen) size ~10 bits/item for
+      // ~1% fpp and are expected to hold that at corpus scale — at
+      // the default cap the fpp silently degrades toward 1 beyond
+      // ~6.7M index rows (answers stay correct, the screen stops
+      // screening). 2^34 bits = 2 GiB per filter / 2^31 items keeps
+      // 10 bits/item truthful through ~1.7B rows per filter;
+      // `VectorFunctions.bloomAgg` logs if a request still exceeds it.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "17179869184")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        "2147483648")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     GraftFunctions.register(s)

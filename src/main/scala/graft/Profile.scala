@@ -515,6 +515,46 @@ object Profile {
           grams.join(broadcast(dup), Seq("gh"))
             .agg(count(lit(1))).collect()(0).getLong(0)
         }
+        probe(s"ts ${k}x dup span removal (q360)", nDocs) {
+          // q360's core: keep-first via map-side-partial
+          // min(struct(doc_id,pos)) + the UN-HINTED dup join (AQE
+          // owns broadcast-vs-shuffle; VERDICT r13 #1) + per-doc
+          // island merge. The template cluster makes dup a real
+          // relation here; max-task must stay bounded.
+          import org.apache.spark.sql.expressions.Window
+          val grams = docs
+            .select(col("doc_id"),
+              graft.text.TextOps.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 16)
+            .select(col("doc_id"), posexplode(
+              graft.functions.GraftFunctions.gramHashes(
+                col("toks"), 16)).as(Seq("pos0", "gh")))
+            .select(col("doc_id"),
+              (col("pos0") + 1).cast("long").as("pos"), col("gh"))
+          val dup = grams.groupBy(col("gh"))
+            .agg(count(lit(1)).as("cnt"),
+              min(struct(col("doc_id"), col("pos"))).as("keep"))
+            .filter(col("cnt") >= 2)
+            .select(col("gh"), col("keep"))
+          val hits = grams.join(dup, Seq("gh"))
+            .filter(struct(col("doc_id"), col("pos")) =!= col("keep"))
+            .select(col("doc_id"), col("pos"))
+          val wPrev = Window.partitionBy(col("doc_id"))
+            .orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val wRun = Window.partitionBy(col("doc_id"))
+            .orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          hits
+            .withColumn("new_island",
+              (col("pos") > coalesce(max(col("pos") + 15L).over(wPrev),
+                lit(-1L))).cast("int"))
+            .withColumn("island", sum(col("new_island")).over(wRun))
+            .groupBy(col("doc_id"), col("island"))
+            .agg(min(col("pos")).as("s"),
+              (max(col("pos")) + 15L).as("e"))
+            .agg(count(lit(1))).collect()(0).getLong(0)
+        }
       }
       spark.stop()
       return

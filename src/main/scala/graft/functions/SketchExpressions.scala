@@ -189,9 +189,17 @@ case class Hll4Union(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val u = new Union(SketchUtil.DefaultLgK)
-    u.update(HllSketch.heapify(a.asInstanceOf[Array[Byte]]))
-    u.update(HllSketch.heapify(b.asInstanceOf[Array[Byte]]))
+    val sa = HllSketch.heapify(a.asInstanceOf[Array[Byte]])
+    val sb = HllSketch.heapify(b.asInstanceOf[Array[Byte]])
+    // lgK comes from the inputs (max of the two), not a hardcoded
+    // default: sketches built at a non-default lgK would otherwise
+    // be silently downsampled here while the agg paths keep full
+    // precision (ADVICE r13). A Union at the max input lgK never
+    // discards resolution itself; mixed-lgK inputs still meet at
+    // the coarser one, which is information-theoretically forced.
+    val u = new Union(math.max(sa.getLgConfigK, sb.getLgConfigK))
+    u.update(sa)
+    u.update(sb)
     u.getResult(TgtHllType.HLL_4).toCompactByteArray
   }
 

@@ -1224,13 +1224,29 @@ object GraftFunctions {
   /** Distributed bloom build over `c` (partial blooms OR-merged);
     * returns the filter as one binary scalar. Delegates to
     * [[graft.ops.BloomJoin]]'s registered raw forms (xxhash64 on the
-    * way in, same convention as Spark's injected runtime filter);
-    * ~10 bits/item ⇒ fpp ≈ 1%, capped at Spark's 8 MB filter bound. */
-  def bloomAgg(c: Column, estimatedItems: Long): Column =
+    * way in, same convention as Spark's injected runtime filter).
+    * Sized at ~10 bits/item ⇒ fpp ≈ 1%. BloomFilterAggregate
+    * silently min()s numBits against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (`GraftSession` raises it to 2 GiB ⇒ ~1.7B items at honest
+    * fpp); a request past the session cap still returns CORRECT
+    * answers (no false negatives) but the fpp degrades toward 1 —
+    * that regime is logged here instead of failing silently. */
+  def bloomAgg(c: Column, estimatedItems: Long): Column = {
+    val want = math.max(64L, estimatedItems * 10)
+    val cap = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "67108864").toLong
+    if (want > cap)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloomAgg: ${estimatedItems} items want $want bits but " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$cap " +
+          s"silently caps the filter — fpp degrades above " +
+          s"~${cap / 10} items (screen weakens, answers stay correct)")
     call_function(graft.ops.BloomJoin.BLOOM_AGG,
       org.apache.spark.sql.functions.xxhash64(c),
-      lit(estimatedItems),
-      lit(math.min(67108864L, math.max(64L, estimatedItems * 10))))
+      lit(estimatedItems), lit(want))
+  }
 
   /** Probe a [[bloomAgg]]-built filter: true ⇒ maybe present (fpp
     * tail included), false ⇒ DEFINITELY absent. `bloom` must be a

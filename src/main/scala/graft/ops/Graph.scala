@@ -116,6 +116,22 @@ object Graph {
     *          they would in the oracle's self-join) */
   def cooccurPairCounts(p: DataFrame, bucketCols: Seq[String],
       userCol: String, chunk: Int = 1024,
+      cacheGroups: Boolean = false): DataFrame =
+    cooccurPairs(p, bucketCols, userCol, chunk, cacheGroups)
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+
+  /** The raw chunked pair STREAM behind [[cooccurPairCounts]]:
+    * (u, v) with u < v per shared bucket, possibly repeated across
+    * buckets — no final (u, v) collapse. Callers that verify each
+    * candidate row-locally before deduping (q148's hamming test,
+    * q152's symbol-diff count) use this so the dedup shuffle moves
+    * only the ~1% of candidates that pass, not every bucket
+    * collision. `userCol` may be a STRUCT column carrying a payload
+    * (e.g. (doc_id, phash)) — ordering, chunk slicing, and u < v are
+    * then lexicographic on the struct, so narrow-payload members
+    * ride the machinery without a join-back. */
+  def cooccurPairs(p: DataFrame, bucketCols: Seq[String],
+      userCol: String, chunk: Int = 1024,
       cacheGroups: Boolean = false): DataFrame = {
     val bc = bucketCols.map(col)
     // singleton buckets contribute no pairs — filter them BEFORE the
@@ -203,7 +219,6 @@ object Graph {
       .select(explode(col("us1")).as("u"), col("us2"))
       .select(col("u"), explode(col("us2")).as("v"))
     intra.unionByName(inter)
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
   }
 
   /** k-core decomposition PROFILE under a fixed peeling budget:

@@ -32,7 +32,20 @@ object Packing {
     * Callers with a unique orderCol (ids, distinct values) need
     * nothing. */
   def withGlobalOffsets(df: DataFrame, orderCol: String, lenCol: String,
-      partitions: Int = 0, tieCols: Seq[String] = Nil): DataFrame = {
+      partitions: Int = 0, tieCols: Seq[String] = Nil): DataFrame =
+    withGlobalOffsetsMulti(df, orderCol, Seq(lenCol -> "offset"),
+      partitions, tieCols)
+
+  /** [[withGlobalOffsets]] for SEVERAL length columns at once: ONE
+    * range shuffle, ONE per-partition-totals job, ONE window pass
+    * emitting every requested running sum (`lenCol -> outCol`
+    * pairs). A caller needing k prefix sums over the same order
+    * (q268's rank / cumulative-tokens / cumulative-vocab trio) pays
+    * one input scan instead of k nested ones — the window aggs share
+    * a single Window operator because they share the window spec. */
+  def withGlobalOffsetsMulti(df: DataFrame, orderCol: String,
+      lens: Seq[(String, String)], partitions: Int = 0,
+      tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val nParts = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
@@ -44,23 +57,31 @@ object Packing {
       df.repartitionByRange(nParts, col(orderCol))
         .withColumn("__pid", spark_partition_id())
         .persist())
-    // per-partition totals, prefix-scanned on the driver: a
-    // numPartitions-sized plan constant, not a data-sized one
+    // per-partition totals for EVERY length column in one job,
+    // prefix-scanned on the driver: a numPartitions-sized plan
+    // constant, not a data-sized one
     val totals = ranged
       .groupBy(col("__pid"))
-      .agg(sum(col(lenCol)).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bases = (0 until nParts).scanLeft(0L) {
-      (acc, pid) => acc + totals.getOrElse(pid, 0L)
-    }
-    val baseFor = typedLit(bases.dropRight(1))
+      .agg(sum(col(lens.head._1)).as("__t0"),
+        lens.tail.zipWithIndex.map { case ((c, _), i) =>
+          sum(col(c)).as(s"__t${i + 1}") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> lens.indices.map(i => r.getLong(i + 1)))
+      .toMap
     val w = Window.partitionBy(col("__pid"))
       .orderBy((orderCol +: tieCols).map(col): _*)
-    ranged.withColumn("offset",
-      element_at(baseFor, col("__pid") + 1) +
-        coalesce(sum(col(lenCol))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__pid")
+    val out = lens.zipWithIndex.foldLeft(ranged) {
+      case (acc, ((lenCol, outCol), i)) =>
+        val bases = (0 until nParts).scanLeft(0L) { (b, pid) =>
+          b + totals.get(pid).map(_(i)).getOrElse(0L)
+        }
+        acc.withColumn(outCol,
+          element_at(typedLit(bases.dropRight(1)), col("__pid") + 1) +
+            coalesce(sum(col(lenCol))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+    }
+    out.drop("__pid")
   }
 
   /** Pack documents into `capacity`-token windows: per doc, its

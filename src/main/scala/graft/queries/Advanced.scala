@@ -193,11 +193,10 @@ object Advanced {
       .agg(sum(col("ia")).as("na"), sum(lit(1L) - col("ia")).as("nb"))
     val tot = g.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     // two distributed prefix sums (exclusive) + the row's own count
-    // = the inclusive ECDF numerators
-    val ca = graft.ops.Packing.withGlobalOffsets(g, "value", "na")
-      .withColumnRenamed("offset", "ca_ex")
-    val cb = graft.ops.Packing.withGlobalOffsets(ca, "value", "nb")
-      .withColumnRenamed("offset", "cb_ex")
+    // = the inclusive ECDF numerators — fused into one range shuffle
+    // + one window pass (they share the value order)
+    val cb = graft.ops.Packing.withGlobalOffsetsMulti(g, "value",
+      Seq("na" -> "ca_ex", "nb" -> "cb_ex"))
     val diff = cb.crossJoin(broadcast(tot))
       .select(col("value"), col("ta"), col("tb"),
         abs((col("ca_ex") + col("na")).cast("double") / col("ta").cast("double")

@@ -490,15 +490,13 @@ object Corpus {
       .select(col("doc_id"), col("ntk"), col("one"),
         coalesce(col("nn"), lit(0L)).as("nn"))
     // three distributed prefix sums over the |docs| residue (range
-    // shuffle + driver prefix, never a single-partition window):
-    // rank, cumulative tokens, cumulative new vocabulary
-    import graft.ops.Packing.withGlobalOffsets
-    val cum = withGlobalOffsets(
-      withGlobalOffsets(
-        withGlobalOffsets(joined, "doc_id", "one")
-          .withColumnRenamed("offset", "rk0"),
-        "doc_id", "ntk").withColumnRenamed("offset", "to0"),
-      "doc_id", "nn").withColumnRenamed("offset", "vo0")
+    // shuffle + driver prefix, never a single-partition window) —
+    // FUSED: one range shuffle + one totals job + one window pass
+    // for rank, cumulative tokens, and cumulative new vocabulary
+    // (VERDICT r13 #3: the nested form scanned the input 3×, making
+    // this the catalog's most cold-read-sensitive query)
+    val cum = graft.ops.Packing.withGlobalOffsetsMulti(joined,
+      "doc_id", Seq("one" -> "rk0", "ntk" -> "to0", "nn" -> "vo0"))
       .select((col("rk0") + 1).as("rk"),
         (col("to0") + col("ntk")).cast("long").as("toks_seen"),
         (col("vo0") + col("nn")).cast("long").as("vocab"))
@@ -1151,14 +1149,21 @@ object Corpus {
     * spans excised — q79 only MARKS spans (including the copy you'd
     * keep); this is the edit a curation pipeline actually applies.
     *
-    * Scale shape: keep-first is a map-side-partial min over the gram
-    * index (no window over the corpus); the dup-gram relation is
-    * broadcast (bounded by repeated grams — the df-cap discipline of
-    * q359 applies if a boilerplate regime blows it up); island
-    * merging is a per-document window over REMOVABLE positions only;
-    * the cleaned-text rebuild is one anti join equi-keyed by doc_id
-    * (range residual) plus a per-doc sort — all row-local in the
-    * document dimension, nothing pairwise. */
+    * Scale shape: keep-first is a map-side-partial `min(struct(
+    * doc_id, pos))` over the gram index (no window over the corpus,
+    * no arithmetic pid packing — a ≥1M-token document cannot corrupt
+    * first-occurrence selection); the dup-gram join carries NO
+    * broadcast hint: in exactly the regime this query exists for
+    * (Lee et al. on web corpora, where duplicated substrings are a
+    * large corpus fraction) `dup` is a corpus-scale relation, so AQE
+    * broadcasts while measured-small and flips to a shuffle join —
+    * which reuses `dup`'s gh hash-partitioning from its own groupBy —
+    * once it isn't (the q74 discipline; gated hint-free in
+    * `PlanAuditSpec`, max-task-bounded at the text-skew 100× tier);
+    * island merging is a per-document window over REMOVABLE positions
+    * only; the cleaned-text rebuild is one anti join equi-keyed by
+    * doc_id (range residual) plus a per-doc sort — all row-local in
+    * the document dimension, nothing pairwise. */
   val dupSpanRemoval: QueryDef = QueryDef.sql(
     """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                   FROM documents),
@@ -1166,11 +1171,13 @@ object Corpus {
                array_to_string(toks[i:i+15], ' ') AS gram
              FROM t, unnest(generate_series(1, len(toks) - 15)) AS s(i)
              WHERE len(toks) >= 16),
-       c AS (SELECT gram, count(*) AS cnt,
-               min(doc_id * 1048576 + pos) AS keep_pid
-             FROM g GROUP BY gram),
-       h AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)
-             WHERE cnt >= 2 AND g.doc_id * 1048576 + g.pos <> keep_pid),
+       h AS (SELECT doc_id, pos FROM (
+               SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                   ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+               FROM g)
+             WHERE cnt >= 2 AND rn > 1),
        isl AS (SELECT doc_id, pos,
                CASE WHEN pos > COALESCE(max(pos + 15) OVER (
                  PARTITION BY doc_id ORDER BY pos
@@ -1204,7 +1211,6 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val k = 16
     graft.functions.GraftFunctions.register(s)
-    val pid = col("doc_id") * lit(1048576L) + col("pos")
     val toksDf = Tables.documents(s, d)
       .select(col("doc_id"), graft.text.TextOps.tokens(col("text"))
         .as("toks"))
@@ -1216,13 +1222,18 @@ object Corpus {
         .as(Seq("pos0", "gh")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("gh"))
-    // keep-first: one map-side-partial (count, min-pid) per gram
+    // keep-first: one map-side-partial (count, min (doc_id, pos)
+    // struct — lexicographic, no width-bounded packing) per gram;
+    // NO broadcast hint on the join (dup is corpus-scale in the
+    // web-corpus regime — AQE flips broadcast→shuffle at the
+    // measured size, and the shuffle reuses dup's gh partitioning)
     val dup = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("cnt"), min(pid).as("keep_pid"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
       .filter(col("cnt") >= 2)
-      .select(col("gh"), col("keep_pid"))
-    val hits = grams.join(broadcast(dup), Seq("gh"))
-      .filter(pid =!= col("keep_pid"))
+      .select(col("gh"), col("keep"))
+    val hits = grams.join(dup, Seq("gh"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("keep"))
       .select(col("doc_id"), col("pos"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -977,18 +977,20 @@ object Pipeline {
       if (i == 0) shiftrightunsigned(col("phash"), 56).bitwiseAND(lit(255L))
       else shiftrightunsigned(col("phash"), 56 - 7 * i).bitwiseAND(lit(127L))
     }: _*)
-    hashes
-      .select(col("doc_id"), col("phash"),
-        posexplode(bandVals).as(Seq("band", "bucket")))
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash"))))
-        .as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash")))
+    // chunked bucket expansion (ops.Graph.cooccurPairs, the q230
+    // machinery) with the phash riding as a struct payload: an
+    // identical-image cluster at corpus scale concentrates ONE
+    // (band, bucket) cell, and the previous row-local collect+
+    // flatten built that cell's full k² pair array inside one row
+    // (the r13 #4 entries-vs-bytes blindspot — key count small,
+    // bytes unbounded). Chunk slices bound both the collected array
+    // and each explode.
+    val members = hashes
+      .select(posexplode(bandVals).as(Seq("band", "bucket")),
+        struct(col("doc_id"), col("phash")).as("m"))
+    graft.ops.Graph.cooccurPairs(members, Seq("band", "bucket"), "m")
+      .select(col("u.doc_id").as("a_id"), col("v.doc_id").as("b_id"),
+        bit_count(col("u.phash").bitwiseXOR(col("v.phash")))
           .cast("int").as("hamming"))
       // verify BEFORE the dedup shuffle: the hamming test is a
       // codegen'd row-local filter, so the distinct only moves the
@@ -1056,18 +1058,16 @@ object Pipeline {
       hash(slice(col("fp"), 1, 6)),
       hash(slice(col("fp"), 7, 5)),
       hash(slice(col("fp"), 12, 5)))
-    fps
-      .select(col("doc_id"), col("fp"),
-        posexplode(bandVals).as(Seq("band", "bucket")))
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp"))))
-        .as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        aggregate(zip_with(col("p.a.fp"), col("p.b.fp"),
+    // chunked expansion via ops.Graph.cooccurPairs (q148's r14
+    // conversion, same rationale): the fp array rides as the struct
+    // payload, so the hot-bucket k² stays chunk-bounded and the
+    // symbol-diff verify still runs before the dedup shuffle
+    val members = fps
+      .select(posexplode(bandVals).as(Seq("band", "bucket")),
+        struct(col("doc_id"), col("fp")).as("m"))
+    graft.ops.Graph.cooccurPairs(members, Seq("band", "bucket"), "m")
+      .select(col("u.doc_id").as("a_id"), col("v.doc_id").as("b_id"),
+        aggregate(zip_with(col("u.fp"), col("v.fp"),
             (x, y) => when(x =!= y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("int").as("n_diff"))
       .filter(col("n_diff") <= 2)
@@ -2515,7 +2515,13 @@ object Pipeline {
     *
     * Scale notes: the bloom is sized from the index's own row count
     * (known metadata at deployment; ~1.2 GB bits per 10⁹ docs at 1%
-    * fpp). Here it rides the plan as a collected binary literal —
+    * fpp). BloomFilterAggregate silently min()s the size against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, so
+    * `GraftSession` raises that cap to 2 GiB (~1.7B docs per filter
+    * at honest 10 bits/item) and `bloomAgg` logs if a request still
+    * exceeds it — beyond the cap answers stay correct (no false
+    * negatives) but the screen admits progressively more of the
+    * batch. Here it rides the plan as a collected binary literal —
     * on a cluster the same bytes attach as a scalar subquery or
     * broadcast var. The within-batch first-occurrence window is
     * batch-sized, never corpus-sized.

@@ -512,7 +512,12 @@ object StreamOps {
       // CONCURRENT live stream on the same executor would pay one
       // checkpoint reload after this — use the streaming runtime's
       // own lifecycle for that shape, not drainSized.
-      org.apache.spark.sql.graftbridge.StateStoreHygiene.unloadAll()
+      // Local-mode only (ADVICE r13): unloadAll() acts on THIS JVM,
+      // which in local mode IS the executor. On a cluster the
+      // driver-side call would be a no-op for executor providers
+      // (and a hazard for co-resident live queries), so gate it.
+      if (spark.sparkContext.isLocal)
+        org.apache.spark.sql.graftbridge.StateStoreHygiene.unloadAll()
     }
   }
 }

@@ -11,9 +11,13 @@ import org.apache.spark.sql.execution.streaming.state.StateStore
   * tick's work grows with every drain (graft measured q153 bimodal
   * 3.6 s vs 10-15 s in full-catalog runs from exactly this).
   * graft.streaming.StreamOps.drainSized calls this after each
-  * sequential drain; this object exists ONLY to cross the access
-  * boundary, carries no logic, and is the single foreign-package
-  * file in the library.
+  * sequential drain — GUARDED to local mode, where this JVM is the
+  * executor and holds the providers; on a cluster a driver-side
+  * call would be a no-op for executor-held providers and would
+  * unload providers of any co-resident live query (use the
+  * streaming runtime's own lifecycle there). This object exists
+  * ONLY to cross the access boundary, carries no logic, and is the
+  * single foreign-package file in the library.
   */
 object StateStoreHygiene {
   def unloadAll(): Unit = StateStore.unloadAll()

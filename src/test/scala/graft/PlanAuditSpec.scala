@@ -779,5 +779,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val sp = executedPlan("q360_dup_span_removal")
     assert(!sp.contains("CartesianProduct"),
       s"q360 must keep every join equi-keyed:\n$sp")
+    // ...and carries NO pinned broadcast hint anywhere: the dup-gram
+    // relation is corpus-scale in exactly the ExactSubstr regime the
+    // query exists for (VERDICT r13 #1) — a pinned broadcast(dup)
+    // dies at the 8 GB ceiling and forbids AQE's shuffle flip. Hints
+    // surface as ResolvedHint nodes in the analyzed plan.
+    val spDf = SparkEntry.queries("q360_dup_span_removal")(spark, dir)
+    val spAnalyzed = spDf.queryExecution.analyzed.toString
+    assert(!spAnalyzed.contains("ResolvedHint"),
+      s"q360 must stay hint-free (AQE owns the join strategy):\n" +
+        spAnalyzed.linesIterator.filter(_.contains("Hint"))
+          .mkString("\n"))
   }
 }

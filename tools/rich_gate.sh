@@ -38,6 +38,13 @@ fi
 # check_oracle.py registers, and symlink every other table from the
 # shipped sf0.01 so queries touching embeddings/lineitem/... still run
 for t in documents events; do
+  # cp to a FILE target requires exactly one part; fail loudly if the
+  # fixture writer ever stops coalescing to a single part (ADVICE r13)
+  nparts=$(ls "$RAW/$t.parquet"/part-*.parquet | wc -l)
+  if [ "$nparts" -ne 1 ]; then
+    echo "rich_gate: expected 1 part file in $RAW/$t.parquet, got $nparts" >&2
+    exit 1
+  fi
   cp -f "$RAW/$t.parquet"/part-*.parquet "$FLAT/$t.parquet"
 done
 for t in region nation customer supplier part orders lineitem embeddings; do
