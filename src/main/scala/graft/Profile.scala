@@ -248,6 +248,29 @@ object Profile {
           s3.select((hll4Estimate(col("sk")) - 1L).as("r"))
             .agg(sum(col("r"))).collect()(0).getLong(0)
         }
+        // DELTA/FRONTIER rows (VERDICT r13 #7, ops/Graph.anfSketches):
+        // round h's frontier = "sketches that changed in round h-1",
+        // which only collapses at rounds ≥ saturation+2. This graph
+        // saturates at hop 4 (4hop out ≈ n² already), so hops ≤ 4
+        // measure the OVERHEAD side (delta ships everything plus
+        // change-tracking bytes) and hop 5 measures the payoff side
+        // (round 5's frontier is ~empty — the dense-sketch round a
+        // deep ANF dreads costs ~nothing). deltaFrom=99 = full
+        // propagation through the same checkpointed machinery, so
+        // the pairs are apples-to-apples.
+        def anfOp(hops: Int, deltaFrom: Int): Long = {
+          import graft.functions.SketchFunctions.hll4Estimate
+          ops.Graph.anfSketches(ee, hops, deltaFrom)
+            .select((hll4Estimate(col("sk")) - 1L).as("r"))
+            .agg(sum(col("r"))).collect()(0).getLong(0)
+        }
+        probe(s"zipf ${k}x 3hop anf delta", edgeCount) { anfOp(3, 2) }
+        if (k <= 10) {
+          probe(s"zipf ${k}x 4hop anf", edgeCount) { anfOp(4, 99) }
+          probe(s"zipf ${k}x 4hop anf delta", edgeCount) { anfOp(4, 2) }
+          probe(s"zipf ${k}x 5hop anf", edgeCount) { anfOp(5, 99) }
+          probe(s"zipf ${k}x 5hop anf delta", edgeCount) { anfOp(5, 4) }
+        }
         probe(s"zipf ${k}x labelprop(3)", edgeCount) {
           ops.Graph.labelPropagation(e, 3)
             .agg(count_distinct(col("lbl"))).collect()(0).getLong(0)
@@ -625,11 +648,65 @@ object Profile {
               (col("srcIdx").cast("long") * lit(15000L) + rank)
                 .cast("string")))
         })
-      docBase
+      val baseDocs = docBase
         .select(col("doc_id"),
           concat_ws(" ", toks).as("text"),
           col("lang"),
           concat(lit("src"), col("srcIdx").cast("string")).as("source"))
+      // ---- PLANTED STREAMING-TIER SLICES (VERDICT r13 #6, the q361
+      // designed-truth pattern): the base fixture's texts are all
+      // unique, so q120's stream-vs-index anti-join never drops and
+      // q144's contamination set is empty — both families pass on
+      // DEGENERATE relations. Three planted document slices make
+      // every state transition real (max doc_id becomes 51,699 ⇒
+      // q120's mid boundary is 25,849; every copy source sits below
+      // it, every planted id above):
+      //  - 50000-50499 "dup_hist": exact text copies of base docs
+      //    (id-50000)*40 < 20000 — the stream half re-delivers an
+      //    INDEXED fingerprint, the anti-join must drop it;
+      //  - 50500-50999 "dup_batch": 250 pairs of fresh duplicate
+      //    texts entirely INSIDE the stream half — survive the
+      //    anti-join, exercise the min(doc_id) keep fold;
+      //  - 51000-51499 contamination: first 14 tokens copied from a
+      //    bench doc (id%20==0) + unique filler ⇒ 12 shared 3-grams
+      //    ≥ threshold 10, flagged; 51500-51699 copy only 8 tokens
+      //    ⇒ 6 shared < 10, NOT flagged — the HAVING discriminates.
+      // copy sources sit at id ≡ 1 (mod 40): NON-bench (q144's bench
+      // set is id%20==0), so the dup_hist slice never doubles as an
+      // accidental contamination plant
+      val dupHist = baseDocs.filter(col("doc_id") % 40 === 1
+          && col("doc_id") < 20000)
+        .select(((col("doc_id") - 1) / 40 + 50000L).cast("long")
+          .as("doc_id"),
+          col("text"), lit("xx").as("lang"), lit("srcplant").as("source"))
+      val dupBatch = spark.range(250)
+        .select(col("id"))
+        .withColumn("text", concat_ws(" ", transform(
+          sequence(lit(0L), lit(29L)), j => concat(lit("pb"),
+            col("id").cast("string"), lit("x"), j.cast("string")))))
+        .select(explode(array(
+            (col("id") * 2 + 50500L), (col("id") * 2 + 50501L)))
+            .as("doc_id"),
+          col("text"), lit("xx").as("lang"), lit("srcplant").as("source"))
+      def contamPlant(ids: org.apache.spark.sql.DataFrame,
+          keepToks: Int) = ids
+        .withColumn("bsrc", pmod(col("id") * 20L + 20L, lit(40000L)))
+        .join(baseDocs.select(col("doc_id").as("bsrc"),
+          col("text").as("btext")), "bsrc")
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", slice(split(col("btext"), " "), 1, keepToks)),
+            concat_ws(" ", transform(sequence(lit(0L), lit(29L)),
+              j => concat(lit("pf"), col("id").cast("string"),
+                lit("y"), j.cast("string"))))).as("text"),
+          lit("xx").as("lang"), lit("srcplant").as("source"))
+      val contamHot = contamPlant(
+        spark.range(51000L, 51500L).select(col("id")), 14)
+      val contamCold = contamPlant(
+        spark.range(51500L, 51700L).select(col("id")), 8)
+      baseDocs
+        .unionByName(dupHist).unionByName(dupBatch)
+        .unionByName(contamHot).unionByName(contamCold)
         .withColumn("n_chars", length(col("text")))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -638,7 +715,7 @@ object Profile {
         lit("view"), lit(70L), lit("click"), lit(50L),
         lit("purchase"), lit(35L), lit("share"), lit(25L),
         lit("refund"), lit(15L))
-      spark.range(nEvRaw)
+      val baseEv = spark.range(nEvRaw)
         .select(col("id").as("event_id"),
           pmod(h(5, col("id")), lit(2000L)).as("user_id"),
           element_at(array(lit("view"), lit("click"), lit("purchase"),
@@ -658,9 +735,121 @@ object Profile {
           concat(lit("{\"k\": "),
             pmod(h(11, col("event_id")), lit(100L)).cast("string"),
             lit("}")).as("props"))
+      // ---- PLANTED STREAMING-TIER EVENT SLICES (VERDICT r13 #6):
+      // base events land on random (day, µs) draws, so whether the
+      // interval-join family's branches fire is fixture luck. Five
+      // designed slices in a dedicated user range (base users are
+      // 0..1999) pin every branch at every scale. All horizons are
+      // relative to a planted ANCHOR at day 30 (beyond every base
+      // draw), which is therefore max(ts) — the watermark the
+      // left/full outer joins prove non-matches against (wm =
+      // max − 2 h; a left needs l.ts+5min < wm provable, a right
+      // only r.ts < wm):
+      //  - anchor (user 10999, day 30): itself an unprovable
+      //    singleton — absent from every null branch;
+      //  - matched pairs (users 10000-10199, day 10): two events
+      //    120 s apart ⇒ inner/left/full all emit the pair;
+      //  - provable singletons (users 10200-10399, day 5): no
+      //    partner ever ⇒ left-null in q347, left- AND right-null
+      //    rows in q355;
+      //  - late singletons (users 10400-10499, anchor − ~1 h):
+      //    inside BOTH horizons ⇒ correctly absent everywhere (the
+      //    "match still in flight" branch);
+      //  - asymmetric singletons (users 10500-10549, just below
+      //    anchor − 2 h): r.ts < wm but l.ts+5min > wm ⇒ q355 emits
+      //    ONLY the right-null row, q347 emits nothing — the one
+      //    branch that separates the two horizon rules.
+      val anchorUs = 1704067200000000L + 30L * 86400000000L
+      def plantedEv(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          eid: org.apache.spark.sql.Column,
+          user: org.apache.spark.sql.Column,
+          tsUs: org.apache.spark.sql.Column) = ids
+        .select(eid.as("event_id"), timestamp_micros(tsUs).as("ts"),
+          user.as("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit("{\"k\": 0}").as("props"))
+      val day5 = 1704067200000000L + 5L * 86400000000L
+      val day10 = 1704067200000000L + 10L * 86400000000L
+      val plants = Seq(
+        plantedEv(spark.range(1), lit(1000000L), lit(10999L),
+          lit(anchorUs)),
+        plantedEv(spark.range(200), col("id") + 1000001L,
+          col("id") + 10000L, lit(day10) + col("id") * 600000000L),
+        plantedEv(spark.range(200), col("id") + 1000301L,
+          col("id") + 10000L,
+          lit(day10) + col("id") * 600000000L + 120000000L),
+        plantedEv(spark.range(200), col("id") + 1000601L,
+          col("id") + 10200L, lit(day5) + col("id") * 600000000L),
+        plantedEv(spark.range(100), col("id") + 1000901L,
+          col("id") + 10400L,
+          lit(anchorUs - 3600000000L) - col("id") * 10000000L),
+        plantedEv(spark.range(50), col("id") + 1001101L,
+          col("id") + 10500L,
+          lit(anchorUs - 7350000000L) + col("id") * 2000000L))
+      plants.reduce(_ unionByName _).unionByName(baseEv)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       println(s"[profile] rich fixture written to $out")
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "anf-frontier") {
+      // Per-round frontier diagnostics for ANF delta propagation
+      // (VERDICT r13 #7): round h's delta frontier = nodes whose
+      // HLL_4 sketch BYTES changed in round h-1. Prints, per round,
+      // |frontier| / |nodes| on (a) the fixture co-occurrence graph
+      // (saturates at hop ~2) and (b) the zipf probe graph at 1×
+      // (keeps growing past hop 5) — the two regimes that decide
+      // whether a delta round ships anything. Usage:
+      //   Profile anf-frontier [maxHops]   (default 6)
+      import graft.functions.SketchFunctions.{hll4Agg, hll4Union, hll4UnionAgg}
+      graft.functions.GraftFunctions.register(spark)
+      val maxHops = if (args.length > 1) args(1).toInt else 6
+      def frontierScan(label: String,
+          ee: org.apache.spark.sql.DataFrame): Unit = {
+        val np = spark.sessionState.conf.numShufflePartitions
+        val nNodes = ee.select(col("u")).distinct().count()
+        var cur = ee.groupBy(col("u")).agg(hll4Agg(col("v")).as("sk"))
+          .withColumn("skp", lit(null).cast("binary"))
+          .localCheckpoint(true)
+        (2 to maxHops).foreach { h =>
+          val nb = ee.join(cur.select(col("u").as("v"), col("sk"))
+              .hint("shuffle_hash"), "v")
+            .repartition(np, col("u"))
+            .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("__nb"))
+          cur = cur.select(col("u"), col("sk"))
+            .join(nb.hint("shuffle_hash"), Seq("u"), "left")
+            .select(col("u"),
+              when(col("__nb").isNull, col("sk"))
+                .otherwise(hll4Union(col("sk"), col("__nb"))).as("sk"),
+              col("sk").as("skp"))
+            .localCheckpoint(true)
+          val changed = cur.filter(col("sk") =!= col("skp")).count()
+          println(f"[profile] $label%-22s round $h%2d frontier=" +
+            f"$changed%8d / $nNodes%8d (${100.0 * changed / nNodes}%5.1f%%)")
+        }
+      }
+      val p = Tables.events(spark, sfDir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("user_id"))
+        .distinct()
+      val e = ops.Graph.cooccurEdges(p,
+        Seq("event_type", "h"), "user_id", minSupport = 3)
+      frontierScan("fixture cooccur",
+        e.select(col("u"), col("v"))
+          .unionByName(e.select(col("v").as("u"), col("u").as("v"))))
+      def u(salt: Int) = pmod(xxhash64(col("id"), lit(salt)),
+        lit(1L << 24)).cast("double") / lit((1L << 24).toDouble)
+      val ez = spark.range(100000L).select(
+          (u(3) * u(3) * lit(10000.0)).cast("long").as("a"),
+          (u(4) * u(4) * lit(10000.0)).cast("long").as("bb"))
+        .filter(col("a") =!= col("bb"))
+        .select(least(col("a"), col("bb")).as("u"),
+          greatest(col("a"), col("bb")).as("v"))
+        .distinct()
+      frontierScan("zipf 1x",
+        ez.select(col("u"), col("v"))
+          .unionByName(ez.select(col("v").as("u"), col("u").as("v"))))
       spark.stop()
       return
     }

@@ -1849,7 +1849,17 @@ object Advanced {
     // saturates), so it restricts to the sampled output nodes — the
     // only rows this query emits; the all-nodes form is the same
     // line without the filter (rounds 1-2 must stay global: a
-    // sampled node's neighbors are arbitrary)
+    // sampled node's neighbors are arbitrary).
+    // Why NOT delta/frontier propagation here (VERDICT r13 #7,
+    // measured r14): round h's frontier is "sketches that changed
+    // in round h−1", which only collapses at rounds ≥ saturation+2
+    // — at 3 hops on a graph that saturates at hop 2, round 3's
+    // frontier is still FULL (every sketch grew in round 2), so the
+    // delta machinery ships everything PLUS its change-tracking
+    // overhead (measured: q356 7.9 → 11.5 s isolated; zipf probe
+    // ≤4 hops: +10% shuffle bytes, identical output). Delta lives
+    // where it pays — the saturating-depth iteration
+    // (ops/Graph.anfSketches, q365, and the 5-hop probe rows). */
     val s3 = ee.filter(col("u") % mod === 0)
       .join(s2.select(col("u").as("v"), col("sk2"))
         .hint("shuffle_hash"), "v")
@@ -1894,6 +1904,90 @@ object Advanced {
           .as("ok2"),
         (abs(col("e3") - col("n_reach3")) <= tol(col("n_reach3")))
           .as("ok3"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ANF at SATURATING depth — 5 hops over the co-occurrence graph
+    * through [[graft.ops.Graph.anfSketches]], the reusable
+    * HyperBall loop with frontier-DELTA rounds from round 4 on
+    * (VERDICT r13 #7). This is the regime the delta optimization
+    * exists for: the fixture graph saturates by hop ~2-3, so rounds
+    * past saturation+1 have near-empty frontiers and the delta
+    * rounds ship ~nothing where full propagation would ship every
+    * node's DENSE sketch along every edge (the dominant ANF cost —
+    * probe-measured on the zipf graph's 5-hop rows; at growth
+    * rounds delta is pure overhead, which is why q356's 3-hop form
+    * stays full and `deltaFrom` defaults past the growth phase).
+    * Exact audit tier: sampled sources at 5× q356's modulus (the
+    * audit chains two more expansion hops than q356's, so the
+    * coarser sample keeps its cost comparable), every estimate
+    * asserted in-plan within max(1, 5%) of exact. */
+  val anfSaturating: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT DISTINCT event_type,
+                    date_trunc('hour', ts) AS h, user_id FROM events),
+       m0 AS (SELECT CASE WHEN count(DISTINCT user_id) >= 1000
+                THEN 125 ELSE 25 END AS m FROM p),
+       e AS (SELECT a.user_id AS u, b.user_id AS v
+             FROM p a JOIN p b ON a.event_type = b.event_type
+               AND a.h = b.h AND a.user_id < b.user_id
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+       ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       ees AS (SELECT u, v FROM ee, m0 WHERE u % m0.m = 0),
+       r2 AS (SELECT a.u AS src, b.v AS dst
+              FROM ees a JOIN ee b ON a.v = b.u WHERE a.u <> b.v
+              UNION SELECT u, v FROM ees),
+       r3 AS (SELECT r2.src, ee.v AS dst
+              FROM r2 JOIN ee ON r2.dst = ee.u WHERE ee.v <> r2.src
+              UNION SELECT src, dst FROM r2),
+       r4 AS (SELECT r3.src, ee.v AS dst
+              FROM r3 JOIN ee ON r3.dst = ee.u WHERE ee.v <> r3.src
+              UNION SELECT src, dst FROM r3),
+       r5 AS (SELECT r4.src, ee.v AS dst
+              FROM r4 JOIN ee ON r4.dst = ee.u WHERE ee.v <> r4.src
+              UNION SELECT src, dst FROM r4),
+       d5 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reach5
+              FROM r5 GROUP BY 1)
+       SELECT src AS user_id, n_reach5, TRUE AS ok5
+       FROM d5 ORDER BY 1""") { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    val mod = if (p.select(col("user_id")).distinct().count() >= 1000)
+      125 else 25
+    val e = graft.ops.Graph.cooccurEdges(p,
+      Seq("event_type", "h"), "user_id", minSupport = 3)
+    val ee = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    import graft.functions.SketchFunctions.hll4Estimate
+    // the scale path: GLOBAL 5-round propagation, delta from round 4
+    val est = graft.ops.Graph.anfSketches(ee, 5, deltaFrom = 4)
+      .filter(col("u") % mod === 0)
+      .select(col("u").as("src"),
+        (hll4Estimate(col("sk")) - 1L).as("e5"))
+    // exact audit, sampled sources filtered BEFORE any expansion
+    val eeS = ee.filter(col("u") % mod === 0)
+    val two = eeS.as("a").join(ee.as("b"), col("a.v") === col("b.u")
+        && col("a.u") =!= col("b.v"))
+      .select(col("a.u").as("src"), col("b.v").as("dst"))
+    var reach = eeS.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(two)
+      .distinct()
+    (3 to 5).foreach { _ =>
+      reach = reach.join(ee.select(col("u").as("dst"), col("v")), "dst")
+        .filter(col("v") =!= col("src"))
+        .select(col("src"), col("v").as("dst"))
+        .unionByName(reach)
+        .distinct()
+        .localCheckpoint(true)
+    }
+    val n5 = reach.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_reach5"))
+    est.join(n5, "src")
+      .select(col("src").as("user_id"), col("n_reach5"),
+        (abs(col("e5") - col("n_reach5"))
+          <= greatest(lit(1L),
+            (lit(0.05) * col("n_reach5")).cast("long"))).as("ok5"))
       .orderBy(col("user_id"))
   }
 
@@ -2475,6 +2569,7 @@ object Advanced {
     "q196_khop_reach" -> kHopReach,
     "q346_khop_reach_hll" -> kHopReachHll,
     "q356_anf_reach3" -> anfReach3,
+    "q365_anf_saturating" -> anfSaturating,
     "q198_interval_coverage" -> intervalCoverage,
     "q180_map_breadth" -> mapBreadth,
     "q87_rolling_hour" -> rollingHour,

@@ -540,6 +540,21 @@ object Pipeline {
     * heap fails the driver compare). Family-dependent recall on
     * NON-identical neighbors stays measured in AnnRecallSpec
     * (recall floor + candidate-ratio ceiling). */
+  /** Graph-ANN top-5 over the per-partition NSW index
+    * ([[VectorOps.nswTopK]] — HNSW-lite: greedy-beam navigable-
+    * small-world graphs built in mapPartitions, broadcast query
+    * probes, exact cross-partition merge; VERDICT r13 #8, the shape
+    * modern vector stores run sharded). Approximate by construction
+    * ⇒ NO SQL oracle (rows-only at the driver gate); the correctness
+    * gate is `AnnRecallSpec`: recall@5 vs q32's exact
+    * bruteForceTopK plus run-to-run determinism on fixed input
+    * splits. */
+  val annNsw: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    VectorOps.nswTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val annLsh: QueryDef = QueryDef.sql(
     """SELECT vec_id AS q_id, TRUE AS ok FROM embeddings
        WHERE vec_id < 10 ORDER BY 1""") { (s, d) =>
@@ -1073,6 +1088,103 @@ object Pipeline {
       .filter(col("n_diff") <= 2)
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** PNG decode + perceptual fingerprint per document — the
+    * COMPRESSED-image upgrade of q148's media tier (VERDICT r13 #5:
+    * real corpora are JPEG/PNG, not BMP): each doc's deterministic
+    * pattern is encoded as a REAL PNG (`javax.imageio` writer, zlib
+    * DEFLATE inside) and decoded back through the full ImageIO pixel
+    * path; the output row carries the DECODED dimensions and the
+    * 9×8 dHash computed from decoded pixels. PNG is lossless, so an
+    * integer-SQL oracle recomputes dims and both hash halves exactly
+    * from the generative formula — any decode defect (orientation,
+    * channel order, stride) breaks the hash compare. Row-local
+    * mapPartitions decode, no shuffle until the final sort. */
+  val pngDecodePhash: QueryDef = QueryDef.sql(
+    """WITH p AS (
+         SELECT doc_id,
+                24 + (doc_id // 5) % 13 AS w,
+                24 + (doc_id // 5) % 11 AS h,
+                CASE WHEN doc_id % 5 <= 1 THEN (doc_id // 5) * 7919 + 1
+                     ELSE doc_id * 104729 + 17 END AS seed,
+                (doc_id % 5 = 1) AS inv
+         FROM documents),
+       grid AS (
+         SELECT p.*, y.y, x.x,
+                (y.y * h) // 8 AS sy,
+                (x.x * w) // 9 AS sx1,
+                ((x.x + 1) * w) // 9 AS sx2
+         FROM p, generate_series(0,7) y(y), generate_series(0,7) x(x)),
+       bits AS (
+         SELECT doc_id, y, x,
+           CASE WHEN (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256
+                   ELSE (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256 END)
+               > (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256
+                   ELSE (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256 END)
+           THEN 1 ELSE 0 END AS b
+         FROM grid),
+       hashes AS (
+         SELECT doc_id,
+           sum(CASE WHEN y*8+x < 32
+               THEN b * (1::BIGINT << (31 - (y*8+x))) ELSE 0 END) AS hi,
+           sum(CASE WHEN y*8+x >= 32
+               THEN b * (1::BIGINT << (63 - (y*8+x))) ELSE 0 END) AS lo
+         FROM bits GROUP BY 1)
+       SELECT p.doc_id, CAST(p.w AS BIGINT) AS width,
+              CAST(p.h AS BIGINT) AS height,
+              CAST(hashes.hi AS BIGINT) AS phash_hi,
+              CAST(hashes.lo AS BIGINT) AS phash_lo
+       FROM p JOIN hashes USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val w = (24 + g % 13).toInt
+        val h = (24 + g % 11).toInt
+        val seed = if (id % 5 <= 1) g * 7919 + 1 else id * 104729 + 17
+        val png = Multimodal.encodeImagePattern("png", w, h, seed,
+          id % 5 == 1)
+        val img = Multimodal.decodeImage(png).get
+        val phash = Multimodal.dHashImage(png).get
+        (id, img.getWidth.toLong, img.getHeight.toLong,
+          (phash >>> 32) & 0xFFFFFFFFL, phash & 0xFFFFFFFFL)
+      })
+      .toDF("doc_id", "width", "height", "phash_hi", "phash_lo")
+      .orderBy(col("doc_id"))
+  }
+
+  /** JPEG decode metadata — the LOSSY half of the compressed-image
+    * tier: each doc's pattern rides a real baseline JPEG
+    * (`javax.imageio` writer: color convert + DCT + Huffman) and is
+    * decoded back through the full ImageIO path. Dimensions survive
+    * lossy coding exactly, so the oracle checks them analytically;
+    * the decoded-pixel tolerance goldens live in `MultimodalSpec`
+    * (hash-exact oracles on lossy pixels would be encoder-version
+    * pinning, not correctness). Row-local decode, one final sort. */
+  val jpegDecodeMeta: QueryDef = QueryDef.sql(
+    """SELECT doc_id,
+              CAST(24 + (doc_id // 5) % 13 AS BIGINT) AS width,
+              CAST(24 + (doc_id // 5) % 11 AS BIGINT) AS height,
+              CAST((24 + (doc_id // 5) % 13)
+                 * (24 + (doc_id // 5) % 11) AS BIGINT) AS n_px
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val w = (24 + g % 13).toInt
+        val h = (24 + g % 11).toInt
+        val jpg = Multimodal.encodeImagePattern("jpg", w, h,
+          g * 7919 + 1, invertRow0 = false)
+        val img = Multimodal.decodeImage(jpg).get
+        (id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight)
+      })
+      .toDF("doc_id", "width", "height", "n_px")
+      .orderBy(col("doc_id"))
   }
 
   /** Per-user consecutive-event gap in minutes — the reference's
@@ -5144,6 +5256,9 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q148_phash_neardup" -> phashNearDup,
     "q151_stream_sessionize" -> streamSessionize,
     "q152_audio_fingerprint" -> audioFingerprint,
+    "q362_png_decode_phash" -> pngDecodePhash,
+    "q363_jpeg_decode_meta" -> jpegDecodeMeta,
+    "q364_ann_nsw" -> annNsw,
     "q153_stream_interval_join" -> streamIntervalJoin,
     "q347_stream_interval_left" -> streamIntervalJoinLeft,
     "q355_stream_interval_full" -> streamIntervalJoinFull,

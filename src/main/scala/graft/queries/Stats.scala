@@ -2661,9 +2661,15 @@ object Stats {
   /** Theil T inequality index over per-user spend — the
     * decomposable inequality measure next to q209's Gini and q258's
     * Lorenz table. ratio = x·n/Σx is one IEEE multiply-divide on
-    * exact longs; each ratio·ln(ratio) contribution is r6-pinned
-    * and folded in user_id order (q202 recipe); zero-spend users
-    * contribute 0 and are excluded on both sides. */
+    * exact longs; each ratio·ln(ratio) contribution is pinned to
+    * integer MICROS and summed as longs — exact, order-independent,
+    * and map-side combinable. (r14, VERDICT r13 #4: the previous
+    * in-order double fold collected EVERY user's contribution into
+    * one constant-keyed array — a single-task corpus-sized buffer at
+    * scale, the q156 entries-vs-bytes blindspot. The fixed-point sum
+    * removes the collect entirely; |k| ≤ n·ln n·10⁶ stays far below
+    * 2⁶³ at any plausible user count.) Zero-spend users contribute 0
+    * and are excluded on both sides. */
   val theilIndex: QueryDef = QueryDef.sql(
     s"""WITH u AS (SELECT user_id,
            CAST(sum(CAST(floor(value*1000000+0.5) AS BIGINT))
@@ -2673,11 +2679,11 @@ object Stats {
            CAST(count(*) AS BIGINT) n FROM u),
        c AS (SELECT user_id, (CAST(x AS DOUBLE)*n/sx) AS ratio
              FROM u, t),
-       h AS (SELECT list_sum(list(${graft.Rounding.r6sql(
-         "ratio * ln(ratio)")} ORDER BY user_id)) th
+       h AS (SELECT CAST(sum(CAST(floor(ratio * ln(ratio) * 1000000
+               + 0.5) AS BIGINT)) AS BIGINT) thk
          FROM c WHERE ratio > 0)
-       SELECT t.n AS n_users, ${graft.Rounding.r6sql("th / t.n")}
-         AS theil
+       SELECT t.n AS n_users,
+         ${graft.Rounding.r6sql("(thk / 1000000.0) / t.n")} AS theil
        FROM h, t""") { (s, d) =>
     val u = Tables.events(s, d)
       .groupBy(col("user_id"))
@@ -2690,12 +2696,10 @@ object Stats {
       .select(col("user_id"), ratio.as("ratio"), col("n"))
       .filter(col("ratio") > 0)
       .groupBy(col("n"))
-      .agg(aggregate(transform(array_sort(collect_list(struct(
-          col("user_id"),
-          r6(col("ratio") * log(col("ratio"))).as("contrib")))),
-          _.getField("contrib")), lit(0.0), _ + _).as("th"))
+      .agg(sum(floor(col("ratio") * log(col("ratio"))
+          * 1000000 + lit(0.5)).cast("long")).as("thk"))
       .select(col("n").as("n_users"),
-        r6(col("th") / col("n")).as("theil"))
+        r6((col("thk") / lit(1000000.0)) / col("n")).as("theil"))
   }
 
   /** Value-positional window breadth: first_value / nth_value(2) /

@@ -1241,4 +1241,131 @@ object VectorOps {
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Graph ANN: per-partition navigable-small-world index (an
+    * HNSW-lite — one layer, greedy-beam insert and search; Malkov &
+    * Yashunin '16 without the level hierarchy) built inside
+    * `mapPartitions`, probed by a bounded broadcast query set, with
+    * a cross-partition exact top-k merge — the shape modern vector
+    * stores run sharded, rounding out the ANN tier beyond
+    * LSH/IVF/PQ (VERDICT r13 #8).
+    *
+    * Scale shape: the corpus never moves — each partition builds its
+    * own in-memory graph over ITS rows (O(rows·m) memory, O(rows·ef·
+    * deg) build dot-products) and emits ≤ |queries|·k candidate rows;
+    * the only shuffle is the candidate merge, queries·k·partitions
+    * rows of three scalars. Queries are a bounded driver collect
+    * (the PQ-codebook/q54 class). Graph search is approximate by
+    * construction, so there is NO SQL oracle — the gate is
+    * `AnnRecallSpec`: recall@k versus [[bruteForceTopK]] on the same
+    * fixture, plus the deterministic-output property (fixed input
+    * splits ⇒ fixed insert order ⇒ fixed graph). */
+  def nswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ef: Int = 48,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val qb = spark.sparkContext.broadcast(qs)
+    val cand = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pts = it.toArray
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val n = pts.length
+          val vecs = pts.map(_._2)
+          val norms = vecs.map { v =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            math.sqrt(s)
+          }
+          def cosTo(qv: Array[Double], qn: Double, j: Int): Double = {
+            val v = vecs(j)
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += qv(i) * v(i); i += 1 }
+            val d = qn * norms(j)
+            if (d == 0.0) -1.0 else s / d
+          }
+          val nbrs = Array.fill(n)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          // greedy beam search over the first `limit` inserted nodes
+          def beam(qv: Array[Double], qn: Double, limit: Int,
+              width: Int): Array[Int] = {
+            val visited = new java.util.BitSet(limit)
+            // max-heap by similarity for expansion; bounded min-heap
+            // of the `width` best seen
+            val expand = new scala.collection.mutable.PriorityQueue[
+              (Double, Int)]()(Ordering.by(_._1))
+            val best = new scala.collection.mutable.PriorityQueue[
+              (Double, Int)]()(Ordering.by(t => (-t._1, t._2)))
+            val s0 = cosTo(qv, qn, 0)
+            visited.set(0); expand.enqueue((s0, 0)); best.enqueue((s0, 0))
+            while (expand.nonEmpty) {
+              val (s, u) = expand.dequeue()
+              // the classic NSW stop rule: the best frontier node is
+              // worse than the worst kept result and the beam is full
+              if (best.size >= width && s < best.head._1) {
+                expand.clear()
+              } else {
+                nbrs(u).foreach { w =>
+                  if (w < limit && !visited.get(w)) {
+                    visited.set(w)
+                    val sw = cosTo(qv, qn, w)
+                    if (best.size < width || sw > best.head._1) {
+                      expand.enqueue((sw, w))
+                      best.enqueue((sw, w))
+                      if (best.size > width) best.dequeue()
+                    }
+                  }
+                }
+              }
+            }
+            best.dequeueAll.reverseIterator
+              .map((t: (Double, Int)) => t._2).toArray
+          }
+          var i = 1
+          while (i < n) {
+            val found = beam(vecs(i), norms(i), i, ef).take(m)
+            found.foreach { j =>
+              nbrs(i) += j
+              nbrs(j) += i
+              if (nbrs(j).length > 2 * m) {
+                // trim the over-linked node back to its 2m most
+                // similar neighbors (keeps degree — and per-node
+                // memory — bounded as the graph grows)
+                val kept = nbrs(j).toArray
+                  .map(x => (cosTo(vecs(j), norms(j), x), x))
+                  .sortBy(t => (-t._1, t._2)).take(2 * m).map(_._2)
+                nbrs(j).clear(); nbrs(j) ++= kept
+              }
+            }
+            i += 1
+          }
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            var s = 0.0; var d = 0
+            while (d < qv.length) { s += qv(d) * qv(d); d += 1 }
+            val qn = math.sqrt(s)
+            beam(qv, qn, n, ef).iterator
+              .filter(j => pts(j)._1 != qid)
+              .map(j => (qid, pts(j)._1,
+                math.floor(cosTo(qv, qn, j) * 1e6 + 0.5) / 1e6))
+              .take(k)
+          }
+        }
+      }
+      .toDF("q_id", "n_id", "cos")
+    // cross-partition merge: exact top-k over ≤ queries·k·partitions
+    // candidate rows — one tiny shuffle
+    val topk = graft.ops.TopK.topk(k)
+    cand.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("ord").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
 }

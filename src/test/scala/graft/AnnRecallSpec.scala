@@ -173,6 +173,36 @@ class AnnRecallSpec extends AnyFunSuite {
     Caching.releaseAll()
   }
 
+  test("nswTopK (graph ANN) recall@5 vs bruteForceTopK >= 0.9 on " +
+      "sf0.001, deterministic across runs") {
+    // Honesty note: at fixture scale the per-partition graphs hold a
+    // few dozen points each, so the beam search runs near-exhaustive
+    // — this gate proves the PLUMBING (build, probe, cross-partition
+    // merge, ordering); the approximation/recall trade at corpus
+    // scale is the NSW construction's own (Malkov-Yashunin), which
+    // per-partition sharding leaves untouched.
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(VectorOps.bruteForceTopK(emb, queries, 5))
+    val run1 = VectorOps.nswTopK(emb, queries, 5)
+      .orderBy(col("q_id"), col("rank")).collect()
+    val nsw = run1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & nsw).size.toDouble / exact.size
+    info(f"NSW recall@5 = $recall%.3f (${(exact & nsw).size}/${exact.size})")
+    assert(recall >= 0.9, f"NSW recall@5 $recall%.3f below 0.9 gate")
+    // fixed input splits => fixed insert order => identical output
+    val run2 = VectorOps.nswTopK(emb, queries, 5)
+      .orderBy(col("q_id"), col("rank")).collect()
+    assert(run1.toSeq == run2.toSeq, "NSW output must be deterministic")
+    // per query: ranks dense from 1, cos non-increasing
+    run1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      val cosSeq = sorted.map(_.getDouble(2)).toSeq
+      assert(cosSeq == cosSeq.sorted.reverse)
+    }
+  }
+
   test("lshTopK candidates always score with exact cosine (rank sane)") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)

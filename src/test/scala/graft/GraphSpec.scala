@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Graph
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** PageRank invariants on hand-computable graphs: symmetric cycles
@@ -146,5 +147,36 @@ class GraphSpec extends AnyFunSuite {
       // d leaks rank each round → total strictly below 1
       assert(got.values.sum < 1.0)
     }
+  }
+
+  test("anfSketches: delta rounds are byte-identical to full " +
+      "propagation (HLL union idempotence)") {
+    // a path graph (diameter 5) plus a triangle: frontiers collapse
+    // at different rounds per component, so the delta filter is
+    // actually exercised (some nodes stop changing early)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val e = spark.createDataFrame(edges).toDF("u", "v")
+    val ee = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    for (hops <- Seq(2, 4, 6)) {
+      val full = graft.ops.Graph.anfSketches(ee, hops, deltaFrom = 99)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      val delta = graft.ops.Graph.anfSketches(ee, hops, deltaFrom = 2)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      assert(full.keySet == delta.keySet)
+      full.foreach { case (u, sk) =>
+        assert(delta(u) == sk, s"node $u sketch differs at hops=$hops")
+      }
+    }
+    // and at full depth the path graph's estimates equal exact reach
+    import graft.functions.SketchFunctions.hll4Estimate
+    val est = graft.ops.Graph.anfSketches(ee, 6, deltaFrom = 3)
+      .select(col("u"), (hll4Estimate(col("sk")) - 1).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path component: every node reaches the other 5; triangle: 2
+    (1L to 6L).foreach(u => assert(est(u) == 5L, s"path node $u"))
+    Seq(10L, 11L, 12L).foreach(u => assert(est(u) == 2L, s"tri $u"))
   }
 }

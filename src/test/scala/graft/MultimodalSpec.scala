@@ -204,4 +204,65 @@ class MultimodalSpec extends AnyFunSuite {
     val first = frames.find(f => f._1 == 1L && f._2 == 0).get._3
     assert(new String(first, "UTF-8") == "hello wo")
   }
+
+  test("PNG codec: real ImageIO round-trip is pixel-exact and " +
+      "dHash matches the BMP path bit-for-bit") {
+    val (w, h, seed) = (31, 26, 7919L * 3 + 1)
+    val png = Multimodal.encodeImagePattern("png", w, h, seed,
+      invertRow0 = false)
+    // it is a REAL PNG (magic + IHDR), not a renamed bitmap
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte
+      && png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == w && img.getHeight == h)
+    // golden pixels: every decoded luminance equals the generative
+    // formula (lossless codec ⇒ exact)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = ((seed * 31 + x * 17 + y * 29 + x.toLong * y * 13)
+        % 256).toInt
+      assert((img.getRGB(x, y) & 0xFF) == want,
+        s"pixel ($x,$y): got ${img.getRGB(x, y) & 0xFF}, want $want")
+    }
+    // dHash through the compressed path == dHash through the BMP
+    // path on the same pattern — the property the q362 oracle rides
+    val bmp = Multimodal.encodeBmpPattern(w, h, seed, invertRow0 = false)
+    assert(Multimodal.dHashImage(png).get == Multimodal.dHashBmp(bmp))
+    // and the inverted-row-0 near-dup plant stays within the q148
+    // hamming budget through the compressed codec too
+    val pngInv = Multimodal.encodeImagePattern("png", w, h, seed,
+      invertRow0 = true)
+    val d = java.lang.Long.bitCount(
+      Multimodal.dHashImage(png).get ^ Multimodal.dHashImage(pngInv).get)
+    assert(d > 0 && d <= 8, s"row-0 inversion flipped $d bits")
+  }
+
+  test("JPEG codec: real lossy round-trip keeps dims exact and " +
+      "pixels within tolerance on a smooth gradient") {
+    val (w, h) = (32, 24)
+    // smooth horizontal gradient: the well-conditioned JPEG case
+    // (the q148 pattern is high-frequency noise — DCT ringing there
+    // would test the encoder's quality setting, not our plumbing)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val l = x * 255 / (w - 1)
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpg = baos.toByteArray
+    assert(jpg(0) == 0xFF.toByte && jpg(1) == 0xD8.toByte, "JFIF SOI")
+    val back = Multimodal.decodeImage(jpg).get
+    assert(back.getWidth == w && back.getHeight == h)
+    var errSum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      errSum += math.abs((back.getRGB(x, y) & 0xFF)
+        - (img.getRGB(x, y) & 0xFF))
+    val meanErr = errSum.toDouble / (w * h)
+    assert(meanErr < 8.0, s"mean abs pixel error $meanErr")
+    // realDecode routes JPEG through the ImageIO branch (not fake):
+    // dims come from the actual pixel decode
+    val mf = Multimodal.realDecode(42L, jpg)
+    assert(mf.width == w && mf.height == h)
+  }
 }

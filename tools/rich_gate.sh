@@ -27,7 +27,18 @@ SRC_SF="/root/testdata/sf0.01"
 TIER_MAIN="q56_contamination_check \
 q76_domain_budget q89_mixture_weights q136_semantic_contamination \
 q222_source_overlap q230_containment_topk q343_vocab_coverage_tiers \
-q351_theta_audience_overlap q352_curriculum_phases q359_containment_dfcap"
+q351_theta_audience_overlap q352_curriculum_phases q359_containment_dfcap \
+q120_stream_static_dedup q144_stream_contamination q183_stream_dropdup \
+q153_stream_interval_join q347_stream_interval_left \
+q355_stream_interval_full"
+# The six streaming entries are the r14 designed-truth additions
+# (VERDICT r13 #6): the fixture plants dup_hist/dup_batch document
+# slices, contaminated/sub-threshold docs, and five interval-join
+# event slices (matched pair, provable singleton, late singleton,
+# asymmetric-horizon singleton, anchor) in dedicated id/user ranges,
+# so every state transition of the stream dedup and interval-join
+# families fires at every scale. check_rich_fixture.py asserts the
+# realized branch counts are non-degenerate.
 TIER_QUAD="q30_dedup_minhash q39_ngram_jaccard q156_prefix_filter_jaccard"
 
 mkdir -p "$FLAT"
