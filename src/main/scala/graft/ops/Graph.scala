@@ -285,9 +285,12 @@ object Graph {
     *
     * @param ee symmetric edge list (u, v) — both directions present
     * @param hops rounds to run (≥1)
-    * @param deltaFrom first round (2-based) to run frontier-delta */
+    * @param deltaFrom first round (2-based) to run frontier-delta
+    * @param checkpointRounds false ONLY for plan inspection
+    *        (`PlanAuditSpec` reads the composed round plan, which
+    *        checkpointing would otherwise execute away) */
   def anfSketches(ee: DataFrame, hops: Int, deltaFrom: Int = 4,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, checkpointRounds: Boolean = true): DataFrame = {
     val spark = ee.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.SketchFunctions.{hll4Agg, hll4Union, hll4UnionAgg}
@@ -311,7 +314,7 @@ object Graph {
           when(col("__nb").isNull, col("sk"))
             .otherwise(hll4Union(col("sk"), col("__nb"))).as("sk"),
           col("sk").as("skp"))
-        .localCheckpoint(true)
+      if (checkpointRounds) cur = cur.localCheckpoint(true)
       h += 1
     }
     cur.select(col("u"), col("sk"))

@@ -791,4 +791,48 @@ class PlanAuditSpec extends AnyFunSuite {
         spAnalyzed.linesIterator.filter(_.contains("Hint"))
           .mkString("\n"))
   }
+
+  test("r14 additions: q364's corpus never shuffles (index built " +
+      "in place), q365's sketch rounds keep the hub-safety shape") {
+    // q364 NSW: the corpus must be consumed by the per-partition
+    // index build (MapPartitions over the scan) — the only exchange
+    // is the queries·k·partitions candidate merge. A corpus-side
+    // Exchange before the index build would mean the "corpus never
+    // moves" claim silently broke.
+    val nsw = executedPlan("q364_ann_nsw")
+    assert(nsw.contains("MapPartitions"),
+      s"q364 must build its index via mapPartitions:\n$nsw")
+    assert(!nsw.contains("CartesianProduct")
+        && !nsw.contains("BroadcastNestedLoopJoin"),
+      s"q364 must not join the corpus pairwise:\n$nsw")
+    // below the index build sits only the corpus scan: in the FINAL
+    // plan (AQE's toString appends the Initial Plan afterwards), the
+    // subtree under MapPartitions must carry no Exchange
+    val nswFinal = nsw.split("== Initial Plan ==")(0)
+    val nswBelow = nswFinal.substring(
+      nswFinal.lastIndexOf("MapPartitions"))
+    assert(!nswBelow.contains("Exchange"),
+      s"q364's corpus must reach the index build unshuffled:\n$nsw")
+    // q365 saturating ANF: every sketch round must keep the q346
+    // hub-safety recipe — shuffled hash join on the dense-sketch
+    // side + explicit-count repartition before the union aggregate.
+    // The rounds execute inside localCheckpoint materializations
+    // (invisible in the final plan), so inspect the COMPOSED round
+    // plan via the operator's checkpointRounds=false knob.
+    val ee = spark.range(64).selectExpr("id as u", "(id + 1) % 64 as v")
+    val round = graft.ops.Graph.anfSketches(ee, 3, deltaFrom = 99,
+      checkpointRounds = false)
+    round.collect()
+    val anfPlan = round.queryExecution.executedPlan.toString
+    assert(anfPlan.contains("ShuffledHashJoin"),
+      s"anfSketches rounds must use shuffled hash joins on the " +
+        s"dense-sketch side:\n$anfPlan")
+    assert(anfPlan.contains("REPARTITION_BY_NUM"),
+      s"anfSketches rounds must pin explicit-count repartitions:\n" +
+        anfPlan)
+    // ...and the catalog query's final plan stays join-keyed
+    val anf = executedPlan("q365_anf_saturating")
+    assert(!anf.contains("CartesianProduct"),
+      s"q365 must keep every join equi-keyed:\n$anf")
+  }
 }
