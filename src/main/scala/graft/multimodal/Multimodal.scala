@@ -370,6 +370,65 @@ object Multimodal {
       bits
     }
 
+  /** Encode a real ANIMATED GIF (multi-frame container) via
+    * `javax.imageio`'s sequence writer — the video-modality upgrade
+    * of [[sampleFrames]]'s byte-slicing: frames are an actual
+    * time-indexed container a decoder must walk. Frame f's pixel
+    * (x, y) carries L = (seed·31 + x·17 + y·29 + x·y·13 + f·41)
+    * mod 128 on all three channels — ≤128 distinct grays, so the
+    * GIF palette holds every value exactly and the LZW coding is
+    * lossless: decoded pixels are analytically recomputable by an
+    * integer-SQL oracle, per frame. */
+  def encodeGifAnimation(width: Int, height: Int, seed: Long,
+      nFrames: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val l = ((seed * 31 + x * 17 + y * 29 + x.toLong * y * 13
+            + f * 41L) % 128).toInt
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    out.close()
+    baos.toByteArray
+  }
+
+  /** Decode EVERY frame of a GIF container through the real ImageIO
+    * reader (container walk + per-frame LZW decode). Empty for
+    * undecodable payloads. */
+  def gifFrames(payload: Array[Byte])
+      : Seq[java.awt.image.BufferedImage] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    try {
+      reader.setInput(in)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read)
+    } finally { reader.dispose(); in.close() }
+  }
+
   private def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0

@@ -1187,6 +1187,62 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Animated-GIF frame statistics — the VIDEO-modality upgrade of
+    * the byte-slicing frame sampler: each doc renders a real
+    * multi-frame GIF container (`javax.imageio` sequence writer,
+    * LZW-coded palette frames) with 2-4 frames, and the decode path
+    * WALKS THE CONTAINER (reader.getNumImages + per-frame read) —
+    * per frame, the decoded luminance sum and pixel count. The
+    * pattern uses ≤128 grays, so the GIF palette is exact and the
+    * frames round-trip losslessly: the oracle recomputes every
+    * frame's pixel sum analytically in integer SQL, making a decode
+    * defect anywhere (container walk, palette, LZW, frame order)
+    * a hash mismatch. Row-local mapPartitions decode. */
+  val gifFrameStats: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT doc_id,
+                24 + (doc_id // 5) % 13 AS w,
+                24 + (doc_id // 5) % 11 AS h,
+                (doc_id // 5) * 7919 + 1 AS seed,
+                2 + doc_id % 3 AS nf
+         FROM documents),
+       fr AS (SELECT p.*, CAST(u.f AS BIGINT) AS f
+              FROM p, unnest(generate_series(0, nf - 1)) u(f)),
+       px AS (SELECT doc_id, f, w, h,
+               sum((seed*31 + x.x*17 + y.y*29 + x.x*y.y*13 + f*41)
+                   % 128) AS lum
+              FROM fr,
+                unnest(generate_series(0, w - 1)) x(x),
+                unnest(generate_series(0, h - 1)) y(y)
+              GROUP BY 1, 2, 3, 4)
+       SELECT doc_id, f AS frame_idx, CAST(lum AS BIGINT) AS lum_sum,
+              CAST(w * h AS BIGINT) AS n_px
+       FROM px ORDER BY 1, 2""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val g = id / 5
+        val w = (24 + g % 13).toInt
+        val h = (24 + g % 11).toInt
+        val nf = (2 + id % 3).toInt
+        val gif = Multimodal.encodeGifAnimation(w, h, g * 7919 + 1, nf)
+        Multimodal.gifFrames(gif).zipWithIndex.map { case (img, f) =>
+          var lum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              lum += img.getRGB(x, y) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          (id, f.toLong, lum, img.getWidth.toLong * img.getHeight)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "lum_sum", "n_px")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Per-user consecutive-event gap in minutes — the reference's
     * trip_minutes expression (unix_timestamp subtraction / 60,
     * yellow_taxi_etl.py:70-74 via Features.minutesBetween) under an
@@ -5259,6 +5315,7 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q362_png_decode_phash" -> pngDecodePhash,
     "q363_jpeg_decode_meta" -> jpegDecodeMeta,
     "q364_ann_nsw" -> annNsw,
+    "q366_gif_frame_stats" -> gifFrameStats,
     "q153_stream_interval_join" -> streamIntervalJoin,
     "q347_stream_interval_left" -> streamIntervalJoinLeft,
     "q355_stream_interval_full" -> streamIntervalJoinFull,

@@ -236,6 +236,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d > 0 && d <= 8, s"row-0 inversion flipped $d bits")
   }
 
+  test("GIF animation codec: multi-frame container round-trips " +
+      "pixel-exactly, frames in order") {
+    val (w, h, seed, nf) = (30, 26, 7919L * 5 + 1, 4)
+    val gif = Multimodal.encodeGifAnimation(w, h, seed, nf)
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val frames = Multimodal.gifFrames(gif)
+    assert(frames.length == nf, s"expected $nf frames, got ${frames.length}")
+    for (f <- 0 until nf) {
+      val img = frames(f)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = ((seed * 31 + x * 17 + y * 29 + x.toLong * y * 13
+          + f * 41L) % 128).toInt
+        assert((img.getRGB(x, y) & 0xFF) == want,
+          s"frame $f pixel ($x,$y)")
+      }
+    }
+  }
+
   test("JPEG codec: real lossy round-trip keeps dims exact and " +
       "pixels within tolerance on a smooth gradient") {
     val (w, h) = (32, 24)
