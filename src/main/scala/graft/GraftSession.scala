@@ -62,11 +62,17 @@ object GraftSession {
       // ~1% fpp and are expected to hold that at corpus scale — at
       // the default cap the fpp silently degrades toward 1 beyond
       // ~6.7M index rows (answers stay correct, the screen stops
-      // screening). 2^34 bits = 2 GiB per filter / 2^31 items keeps
-      // 10 bits/item truthful through ~1.7B rows per filter;
+      // screening). The cap is NOT 2^34 (2 GiB of bits): a filter
+      // near that serializes to >= 2^31 bytes and a JVM byte array
+      // tops out just under Int.MaxValue, so the aggregate would
+      // CRASH on serialization at the advertised limit instead of
+      // degrading. 16e9 bits = 2.0e9 bytes serialized (~147 MB of
+      // headroom below the array ceiling, covering the stream
+      // header and ByteArrayOutputStream growth slack) keeps
+      // 10 bits/item truthful through ~1.6B rows per filter;
       // `VectorFunctions.bloomAgg` logs if a request still exceeds it.
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        "17179869184")
+        "16000000000")
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
         "2147483648")
       .config("spark.ui.enabled", "false"))

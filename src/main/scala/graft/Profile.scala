@@ -1023,6 +1023,113 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "media-scale") {
+      // Candidate-volume probe for the two media near-dup banding
+      // schemes (SURVEY §19.3 → q367) at synthetic tiers of n =
+      // 20,000·k images under q367's fixture mapping (incl. its
+      // exact-dup plant, so stage-1 collapse does real work: 3-of-5
+      // mass folds). The honest structural statement: on
+      // hash-uniform survivors BOTH schemes are Θ(n²) at fixed
+      // parameters — what differs is the constant. Per band a pair
+      // collides with prob Σ C(w,≤r)/2^w, so unordered candidates
+      // are ≈ n²/2·(8/2⁷+1/2⁸) ≈ n²/30 for the 9-narrow-band
+      // radius-0 scheme vs n²·4·137/2¹⁶/2 ≈ n²/239 for 4×16-bit
+      // MIH radius-2: the 512× bucket-space gain is re-multiplied
+      // by the 137-probe expansion to a net ≈8× constant. The real
+      // scale levers are (a) stage-1 exact collapse (removes the
+      // duplicate-mass bucket concentration entirely) and (b) the
+      // published MIH rule — substring width ≈ log₂ n, i.e. FEWER,
+      // WIDER bands as the corpus grows — which keeps the constant
+      // at the probe-budget floor; this probe puts measured walls
+      // next to both constants.
+      // Usage: Profile media-scale [tier ...]   (default 1 10)
+      import org.apache.spark.sql.DataFrame
+      import spark.implicits._
+      def hashesAt(k: Int): DataFrame =
+        spark.range(20000L * k).select(col("id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 5
+            val w = (24 + g % 13).toInt
+            val h = (24 + g % 11).toInt
+            val m = id % 5
+            val seed = if (m == 4) id * 104729 + 17 else g * 7919 + 1
+            (id, graft.multimodal.Multimodal.dHashBmp(
+              graft.multimodal.Multimodal
+                .encodeBmpPattern(w, h, seed, m == 1)))
+          }).toDF("doc_id", "phash")
+      val tiers = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1, 10)
+      for (k <- tiers) {
+        val reps = graft.Caching.retain(hashesAt(k)
+          .groupBy(col("phash"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+          .persist())
+        val nReps = reps.count()
+        println(s"[profile] media ${k}x docs=${20000L * k} " +
+          s"survivors=$nReps")
+        // (a) q148's 9-narrow-band scheme over the SAME survivors
+        val bandVals9 = array((0 until 9).map { i =>
+          if (i == 0)
+            shiftrightunsigned(col("phash"), 56).bitwiseAND(lit(255L))
+          else shiftrightunsigned(col("phash"), 56 - 7 * i)
+            .bitwiseAND(lit(127L))
+        }: _*)
+        val m9 = reps.select(
+          posexplode(bandVals9).as(Seq("band", "bucket")),
+          struct(col("rep"), col("phash")).as("m"))
+        val vol9 = m9.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("s"))
+          .agg(coalesce(sum(col("s") * (col("s") - 1)) / 2, lit(0))
+            .cast("long")).collect()(0).getLong(0)
+        // (b) MIH volume: Σ over (band, key) cells of probe×exact
+        val masks: Seq[Long] = (0 to 2).flatMap(r =>
+          (0 until 16).combinations(r)
+            .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
+        val bandVals4 = array((0 until 4).map(i =>
+          shiftrightunsigned(col("phash"), 48 - 16 * i)
+            .bitwiseAND(lit(0xFFFFL))): _*)
+        val keyed4 = reps.select(
+          posexplode(bandVals4).as(Seq("band", "key")))
+        val exactCnt = keyed4.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("e"))
+        val probeCnt = keyed4
+          .select(col("band"),
+            col("key").bitwiseXOR(explode(typedLit(masks))).as("key"))
+          .groupBy(col("band"), col("key")).agg(count(lit(1)).as("p"))
+        val volM = probeCnt.join(exactCnt, Seq("band", "key"))
+          .agg(coalesce(sum(col("p") * col("e")), lit(0)).cast("long"))
+          .collect()(0).getLong(0)
+        val ratio = vol9.toDouble / math.max(1L, volM)
+        println(f"[profile] media ${k}x vol: 9-band=$vol9 " +
+          f"mih=$volM ratio=$ratio%.1f")
+        // timed pair generation — skip a tier whose candidate volume
+        // is an analytic wall rather than a runnable measurement
+        if (vol9 <= 2000000000L)
+          timed(f"media ${k}x 9-band pairs") {
+            val out = ops.Graph.cooccurPairs(m9,
+                Seq("band", "bucket"), "m")
+              .select(col("u.rep").as("a_id"), col("v.rep").as("b_id"),
+                bit_count(col("u.phash").bitwiseXOR(col("v.phash")))
+                  .cast("int").as("hamming"))
+              .filter(col("hamming") <= 8).distinct().count()
+            println(s"  out=$out")
+          }
+        else println(s"[profile] media ${k}x 9-band pairs SKIPPED " +
+          s"(vol=$vol9 is the quadratic wall, not a measurement)")
+        if (volM <= 2000000000L)
+          timed(f"media ${k}x mih pairs") {
+            val out = graft.dedup.Dedup.hammingNearDupPairs(reps,
+              "rep", "phash", threshold = 8, bands = 4).count()
+            println(s"  out=$out")
+          }
+        else println(s"[profile] media ${k}x mih pairs SKIPPED " +
+          s"(vol=$volM)")
+        Caching.releaseAll()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q184-scale") {
       // triangle-counting scale probe: replicate events k-fold with a
       // disjoint user-id offset per replica (k x nodes/edges/wedges,

@@ -494,6 +494,79 @@ object Dedup {
       .toDF("id", "cluster_id", "cluster_size")
   }
 
+  /** Multi-index Hamming near-dup pairs over 64-bit codes (Norouzi,
+    * Punjani & Fleet, "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012) — the scale-path banding for perceptual
+    * hashes: `bands` disjoint (64/bands)-bit substrings; by
+    * pigeonhole a pair within `threshold` differing bits is within
+    * radius ⌊threshold/bands⌋ in SOME band, so probing each band
+    * key's full radius-r neighborhood (a constant XOR-mask array,
+    * row-local explode) preserves RECALL 1 while the per-band bucket
+    * space is 2^(64/bands). Honest constants (hash-uniform inputs,
+    * threshold 8): ANY fixed-parameter exact-recall scheme is Θ(n²)
+    * in candidates; per band a pair collides with prob Σ C(w,≤r)/2^w,
+    * so q148's 9-narrow-band radius-0 scheme generates ≈ n²/30
+    * unordered candidates where 4×16-bit radius-2 MIH generates
+    * ≈ n²·4·137/2¹⁶/2 ≈ n²/239 — the 512× bucket-space gain
+    * re-multiplied by the 137-probe expansion nets ≈ 8×
+    * (`Profile media-scale` measures both). The real scale levers
+    * are (a) exact collapse FIRST (the caller contract below — it
+    * removes duplicate-mass bucket concentration entirely) and
+    * (b) the paper's design rule: substring width ≈ log₂ n, i.e.
+    * fewer, wider bands as the corpus grows, which keeps the
+    * constant at the probe-budget floor. The candidate join is a
+    * plain equi-join on (band, key): streaming, spillable,
+    * AQE-splittable — never a per-bucket collect.
+    *
+    * Caller contract: `df` should already be EXACT-COLLAPSED (one
+    * row per distinct code — group identical codes first, the q29
+    * discipline; identical-image mass otherwise concentrates
+    * buckets). `payloadCols` ride both join sides as a_/b_ columns
+    * so downstream needs no join-back. Output: (a_id, b_id, hamming
+    * ≤ threshold, a_*, b_*) with a_id < b_id, distinct. */
+  def hammingNearDupPairs(df: DataFrame, idCol: String,
+      hashCol: String, threshold: Int = 8, bands: Int = 4,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val radius = threshold / bands
+    require(radius <= 3,
+      s"radius $radius explodes the probe set; raise bands")
+    val masks: Seq[Long] = (0 to radius).flatMap(r =>
+      (0 until width).combinations(r)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
+    val widthMask = if (width == 64) -1L else (1L << width) - 1L
+    val bandVals = array((0 until bands).map(i =>
+      shiftrightunsigned(col(hashCol), 64 - width * (i + 1))
+        .bitwiseAND(lit(widthMask))): _*)
+    val keyed = df.select(
+      (col(idCol) +: col(hashCol) +: payloadCols.map(col)) :+
+        posexplode(bandVals).as(Seq("band", "key")): _*)
+    def side(p: String) = keyed.select(
+      (col(idCol).as(p + idCol) +: col(hashCol).as(p + hashCol) +:
+        payloadCols.map(c => col(c).as(p + c))) ++
+        Seq(col("band"), col("key")): _*)
+    val probes = side("a_").select(
+      (col("a_" + idCol) +: col("a_" + hashCol) +:
+        payloadCols.map(c => col("a_" + c))) ++ Seq(col("band"),
+        explode(typedLit(masks)).as("mask"), col("key")): _*)
+      .withColumn("key", col("key").bitwiseXOR(col("mask")))
+      .drop("mask")
+    probes.join(side("b_"), Seq("band", "key"))
+      .filter(col("a_" + idCol) < col("b_" + idCol))
+      .select((col("a_" + idCol).as("a_id") +:
+        col("b_" + idCol).as("b_id") +:
+        bit_count(col("a_" + hashCol).bitwiseXOR(col("b_" + hashCol)))
+          .cast("int").as("hamming") +:
+        payloadCols.flatMap(c => Seq(col("a_" + c), col("b_" + c)))): _*)
+      // verify BEFORE the dedup shuffle: the hamming test is a
+      // codegen'd row-local filter, so the distinct moves only true
+      // near-dup pairs, not every probe collision
+      .filter(col("hamming") <= threshold)
+      .distinct()
+  }
+
   /** Keep-first dedup by arbitrary key: survivor = lowest id per key
     * (row_number window — one shuffle on the key).
     *

@@ -1228,13 +1228,22 @@ object GraftFunctions {
     * Sized at ~10 bits/item ⇒ fpp ≈ 1%. BloomFilterAggregate
     * silently min()s numBits against
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
-    * (`GraftSession` raises it to 2 GiB ⇒ ~1.7B items at honest
-    * fpp); a request past the session cap still returns CORRECT
-    * answers (no false negatives) but the fpp degrades toward 1 —
-    * that regime is logged here instead of failing silently. */
-  def bloomAgg(c: Column, estimatedItems: Long): Column = {
+    * (`GraftSession` raises it to 2e9 bytes' worth ⇒ ~1.6B items at
+    * honest fpp); a request past the session cap still returns
+    * CORRECT answers (no false negatives) but the fpp degrades
+    * toward 1 — that regime is logged here instead of failing
+    * silently. Pass the DataFrame's own `sparkSession` so the cap
+    * is read from the session that will EXECUTE the plan; the
+    * `SparkSession.active` default makes the warning best-effort
+    * only (construction-time active session can differ from the
+    * executing one — `BloomFilterAggregate` itself re-reads SQLConf
+    * at eval, so only the WARNING, never the answer, can be
+    * mis-calibrated). */
+  def bloomAgg(c: Column, estimatedItems: Long,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Column = {
     val want = math.max(64L, estimatedItems * 10)
-    val cap = org.apache.spark.sql.SparkSession.active.conf
+    val cap = session.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
         "67108864").toLong
     if (want > cap)

@@ -337,12 +337,16 @@ object Multimodal {
 
   /** Real compressed-image decode via `javax.imageio` (JPEG, PNG,
     * GIF, BMP — the JDK's built-in readers): full pixel decode, not
-    * a header sniff. None for undecodable payloads. */
+    * a header sniff. None for undecodable payloads. ImageIO readers
+    * throw RuntimeExceptions (not just IOException) on malformed
+    * bytes — ArrayIndexOutOfBounds, NegativeArraySize,
+    * IllegalArgument — so the catch is NonFatal: a corrupt payload
+    * in a 100 TB corpus must fall through, never kill the job. */
   def decodeImage(payload: Array[Byte])
       : Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** [[dHashBmp]] over ANY ImageIO-decodable payload: identical
     * 9×8 nearest-neighbor sampling math (sx = x·w/9, sy = y·h/8,
@@ -414,7 +418,11 @@ object Multimodal {
 
   /** Decode EVERY frame of a GIF container through the real ImageIO
     * reader (container walk + per-frame LZW decode). Empty for
-    * undecodable payloads. */
+    * undecodable payloads; a container truncated MID-SEQUENCE
+    * yields the frames decoded before the corruption (partial
+    * prefix) rather than throwing — `getNumImages(true)` and
+    * `reader.read(i)` raise on corrupt bytes, and the NonFatal
+    * guard honors the documented contract. */
   def gifFrames(payload: Array[Byte])
       : Seq[java.awt.image.BufferedImage] = {
     val in = javax.imageio.ImageIO.createImageInputStream(
@@ -424,8 +432,13 @@ object Multimodal {
     val reader = readers.next()
     try {
       reader.setInput(in)
-      val n = reader.getNumImages(true)
-      (0 until n).map(reader.read)
+      val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+      try {
+        val n = reader.getNumImages(true)
+        var i = 0
+        while (i < n) { frames += reader.read(i); i += 1 }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      frames.result()
     } finally { reader.dispose(); in.close() }
   }
 

@@ -1015,6 +1015,238 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Two-stage media near-dup at corpus scale — the production shape
+    * SURVEY §19.3 recorded when it proved q148's narrow banding
+    * (9 bands × 7-8 bits = ≤256 buckets/band) saturates beyond
+    * ~10⁴-10⁵ images and goes quadratic BY CONSTRUCTION:
+    *
+    * Stage 1 — exact collapse: identical images share a phash, so a
+    * hash-groupBy folds every exact-duplicate cluster to one
+    * representative BEFORE any banding (the q29 discipline applied
+    * to media). At web-corpus scale this is where most of the mass
+    * goes — an image shared by 10⁶ pages is ONE stage-2 row instead
+    * of a 10¹² pair bucket, and the cluster size rides along as the
+    * dedup-accounting output.
+    *
+    * Stage 2 — multi-index Hamming search over the survivors
+    * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
+    * Multi-Index Hashing", CVPR 2012): 4 disjoint 16-bit bands; by
+    * pigeonhole a pair within hamming ≤ 8 differs by ≤ ⌊8/4⌋ = 2
+    * bits in SOME band, so probing each band key's full radius-2
+    * neighborhood (1 + 16 + C(16,2) = 137 deterministic XOR masks)
+    * preserves RECALL 1 — the brute-force oracle stays valid — while
+    * each band has 2¹⁶ buckets instead of ≤ 2⁸. The honest
+    * arithmetic (see [[Dedup.hammingNearDupPairs]], measured by
+    * `Profile media-scale`): candidate volume drops from ≈ n²/30 to
+    * ≈ n²/239 — the 512× bucket-space gain re-multiplied by the
+    * 137-probe expansion nets ≈ 8× at fixed parameters, and the
+    * durable scale levers are stage-1 collapse plus the paper's
+    * width ≈ log₂ n band rule (fewer, wider bands as the corpus
+    * grows; q148 is the narrow-band radius-0 degenerate case). The
+    * candidate join is a plain equi-join on (band, key) — streaming,
+    * spillable, AQE-splittable — never a per-bucket collect, and the
+    * phash rides both sides so verification needs no join-back.
+    *
+    * Fixture plants real exact-dup mass: per 5-doc group, ids
+    * {5g, 5g+2, 5g+3} encode the SAME image (stage-1 cluster of 3),
+    * 5g+1 is the row-0-inverted near-dup (≤ 8 flipped bits of the
+    * cluster hash), 5g+4 is unique. Output: near-dup pairs BETWEEN
+    * cluster representatives with both cluster sizes — the complete
+    * dedup ledger (exact mass + near mass) in one result. */
+  val mediaNearDupScale: QueryDef = QueryDef.sql(
+    """WITH p AS (
+         SELECT doc_id,
+                24 + (doc_id // 5) % 13 AS w,
+                24 + (doc_id // 5) % 11 AS h,
+                CASE WHEN doc_id % 5 = 4 THEN doc_id * 104729 + 17
+                     ELSE (doc_id // 5) * 7919 + 1 END AS seed,
+                (doc_id % 5 = 1) AS inv
+         FROM documents),
+       grid AS (
+         SELECT p.*, y.y, x.x,
+                (y.y * h) // 8 AS sy,
+                (x.x * w) // 9 AS sx1,
+                ((x.x + 1) * w) // 9 AS sx2
+         FROM p, generate_series(0,7) y(y), generate_series(0,7) x(x)),
+       bits AS (
+         SELECT doc_id, y, x,
+           CASE WHEN (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256
+                   ELSE (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256 END)
+               > (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256
+                   ELSE (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256 END)
+           THEN 1 ELSE 0 END AS b
+         FROM grid),
+       hashes AS (
+         SELECT doc_id,
+           sum(CASE WHEN y*8+x < 32
+               THEN b * (1::BIGINT << (31 - (y*8+x))) ELSE 0 END) AS hi,
+           sum(CASE WHEN y*8+x >= 32
+               THEN b * (1::BIGINT << (63 - (y*8+x))) ELSE 0 END) AS lo
+         FROM bits GROUP BY 1),
+       reps AS (
+         SELECT hi, lo, min(doc_id) AS rep, count(*) AS sz
+         FROM hashes GROUP BY 1, 2)
+       SELECT a.rep AS a_id, b.rep AS b_id,
+              CAST(bit_count(xor(a.hi, b.hi))
+                   + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming,
+              a.sz AS a_sz, b.sz AS b_sz
+       FROM reps a JOIN reps b ON a.rep < b.rep
+       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
+       ORDER BY 1, 2""") { (s, d) =>
+    import s.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val w = (24 + g % 13).toInt
+        val h = (24 + g % 11).toInt
+        val m = id % 5
+        val seed = if (m == 4) id * 104729 + 17 else g * 7919 + 1
+        val bmp = Multimodal.encodeBmpPattern(w, h, seed, m == 1)
+        (id, Multimodal.dHashBmp(bmp))
+      }).toDF("doc_id", "phash")
+    // stage 1: exact collapse — one map-side-combinable shuffle on
+    // the 8-byte hash; every identical-image cluster leaves as a
+    // single (rep, sz) row
+    val reps = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+    // stage 2: multi-index Hamming probes over the survivors, with
+    // the cluster size riding both sides (no join-back) —
+    // Dedup.hammingNearDupPairs, 4 disjoint 16-bit bands, radius-2
+    // probe masks
+    Dedup.hammingNearDupPairs(reps, "rep", "phash",
+        threshold = 8, bands = 4, payloadCols = Seq("sz"))
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        col("a_sz"), col("b_sz"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Cross-modal dedup ledger — multi-SIGNAL entity resolution over
+    * the corpus: two documents belong to the same duplicate entity
+    * when they share normalized text (exact text dup) OR their
+    * images are perceptually near (phash hamming ≤ 8, the q367
+    * fixture mapping), and the relation is closed TRANSITIVELY — a
+    * page with doc A's text and doc B's image merges A and B. This
+    * is the composition every multimodal training-data pipeline
+    * runs before keep-one-per-entity sampling: per-signal match
+    * generation, edge union, connected components.
+    *
+    * Scale shape: each signal's exact tier is a window-min star
+    * edge set (ONE shuffle on the signal key, no pair expansion —
+    * star edges preserve exactly the clique's connectivity); the
+    * image near tier is [[Dedup.hammingNearDupPairs]] (multi-index
+    * probes over the exact-collapsed survivors, §q367); components
+    * run through [[Dedup.nearDupComponents]] (iterative min-label
+    * with the single-task union-find endgame). Singletons surface
+    * with cluster_id = own id via one left join against the corpus
+    * spine; sizes are a window count — no step is quadratic in
+    * anything but true duplicate mass. */
+  val crossmodalDedup: QueryDef = QueryDef.sql(
+    """WITH RECURSIVE
+       p AS (
+         SELECT doc_id,
+                24 + (doc_id // 5) % 13 AS w,
+                24 + (doc_id // 5) % 11 AS h,
+                CASE WHEN doc_id % 5 = 4 THEN doc_id * 104729 + 17
+                     ELSE (doc_id // 5) * 7919 + 1 END AS seed,
+                (doc_id % 5 = 1) AS inv
+         FROM documents),
+       grid AS (
+         SELECT p.*, y.y, x.x,
+                (y.y * h) // 8 AS sy,
+                (x.x * w) // 9 AS sx1,
+                ((x.x + 1) * w) // 9 AS sx2
+         FROM p, generate_series(0,7) y(y), generate_series(0,7) x(x)),
+       bits AS (
+         SELECT doc_id, y, x,
+           CASE WHEN (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256
+                   ELSE (seed*31 + sx2*17 + sy*29 + sx2*sy*13) % 256 END)
+               > (CASE WHEN inv AND sy = 0
+                   THEN 255 - (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256
+                   ELSE (seed*31 + sx1*17 + sy*29 + sx1*sy*13) % 256 END)
+           THEN 1 ELSE 0 END AS b
+         FROM grid),
+       hashes AS (
+         SELECT doc_id,
+           sum(CASE WHEN y*8+x < 32
+               THEN b * (1::BIGINT << (31 - (y*8+x))) ELSE 0 END) AS hi,
+           sum(CASE WHEN y*8+x >= 32
+               THEN b * (1::BIGINT << (63 - (y*8+x))) ELSE 0 END) AS lo
+         FROM bits GROUP BY 1),
+       img AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY hi, lo) AS rep
+               FROM hashes),
+       eimg AS (SELECT doc_id AS u, rep AS v FROM img
+                WHERE doc_id <> rep),
+       reps AS (SELECT hi, lo, min(doc_id) AS rep
+                FROM hashes GROUP BY 1, 2),
+       epair AS (SELECT a.rep AS u, b.rep AS v
+                 FROM reps a JOIN reps b ON a.rep < b.rep
+                 WHERE bit_count(xor(a.hi, b.hi))
+                       + bit_count(xor(a.lo, b.lo)) <= 8),
+       tx AS (SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY lower(trim(text)))
+                  AS rep
+              FROM documents),
+       etext AS (SELECT doc_id AS u, rep AS v FROM tx
+                 WHERE doc_id <> rep),
+       e AS (SELECT u, v FROM eimg
+             UNION ALL SELECT u, v FROM epair
+             UNION ALL SELECT u, v FROM etext),
+       sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       lbl(u, l) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT s2.v, lbl.l FROM lbl JOIN sym s2 ON s2.u = lbl.u),
+       m AS (SELECT u AS doc_id, min(l) AS cluster_id
+             FROM lbl GROUP BY u)
+       SELECT doc_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM m ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val w = (24 + g % 13).toInt
+        val h = (24 + g % 11).toInt
+        val m = id % 5
+        val seed = if (m == 4) id * 104729 + 17 else g * 7919 + 1
+        (id, Multimodal.dHashBmp(
+          Multimodal.encodeBmpPattern(w, h, seed, m == 1)))
+      }).toDF("doc_id", "phash")
+    // exact tiers as window-min star edges: one shuffle per signal,
+    // connectivity identical to the full clique's
+    val wImg = Window.partitionBy(col("phash"))
+    val imgStar = hashes
+      .withColumn("rep", min(col("doc_id")).over(wImg))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
+    val wTxt = Window.partitionBy(lower(trim(col("text"))))
+    val textStar = docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(wTxt))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
+    // image near tier over the exact-collapsed survivors (q367)
+    val reps = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"))
+    val nearPairs = Dedup.hammingNearDupPairs(reps, "rep", "phash",
+      threshold = 8, bands = 4).select(col("a_id"), col("b_id"))
+    val comp = Dedup.nearDupComponents(
+      imgStar.unionByName(textStar).unionByName(nearPairs))
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Audio-fingerprint near-dup — the WAV twin of q148's perceptual
     * image dedup: each doc renders to a real PCM-16 payload whose
     * square wave carries a 16-window amplitude envelope
@@ -1225,6 +1457,75 @@ object Pipeline {
         val h = (24 + g % 11).toInt
         val nf = (2 + id % 3).toInt
         val gif = Multimodal.encodeGifAnimation(w, h, g * 7919 + 1, nf)
+        Multimodal.gifFrames(gif).zipWithIndex.map { case (img, f) =>
+          var lum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              lum += img.getRGB(x, y) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          (id, f.toLong, lum, img.getWidth.toLong * img.getHeight)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "lum_sum", "n_px")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Amortized GIF container decode — q366's operator in the
+    * DEPLOYED regime (the q54-vs-q130 discipline applied to media):
+    * q366 times encode+decode end-to-end because its payloads are
+    * synthesized in-plan, but a real pipeline's media payloads are
+    * INPUTS — the cost that matters at 100 TB is the container-walk
+    * decode over stored bytes. The animated-GIF payload table is
+    * staged ONCE per fixture generation ([[FixtureMemo]] keyed on
+    * the documents table's content signature, concurrency-safe
+    * across Verify/Bench JVMs) and the timed region is exactly:
+    * parquet scan of binary payloads → ImageIO sequence walk →
+    * per-frame luminance reduce. Same analytic oracle as q366 (the
+    * payload bytes are deterministic, so staging changes WHERE the
+    * encode cost lands, never the answer). */
+  val gifDecodeAmortized: QueryDef = QueryDef.sql(
+    """WITH p AS (SELECT doc_id,
+                24 + (doc_id // 5) % 13 AS w,
+                24 + (doc_id // 5) % 11 AS h,
+                (doc_id // 5) * 7919 + 1 AS seed,
+                2 + doc_id % 3 AS nf
+         FROM documents),
+       fr AS (SELECT p.*, CAST(u.f AS BIGINT) AS f
+              FROM p, unnest(generate_series(0, nf - 1)) u(f)),
+       px AS (SELECT doc_id, f, w, h,
+               sum((seed*31 + x.x*17 + y.y*29 + x.x*y.y*13 + f*41)
+                   % 128) AS lum
+              FROM fr,
+                unnest(generate_series(0, w - 1)) x(x),
+                unnest(generate_series(0, h - 1)) y(y)
+              GROUP BY 1, 2, 3, 4)
+       SELECT doc_id, f AS frame_idx, CAST(lum AS BIGINT) AS lum_sum,
+              CAST(w * h AS BIGINT) AS n_px
+       FROM px ORDER BY 1, 2""") { (s, d) =>
+    import s.implicits._
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_gifstage_" +
+      Integer.toHexString(d.hashCode)
+    graft.sources.FixtureMemo.once(stage,
+        graft.sources.FixtureMemo.tableSig(d, "documents")) {
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id / 5
+          val w = (24 + g % 13).toInt
+          val h = (24 + g % 11).toInt
+          val nf = (2 + id % 3).toInt
+          (id, Multimodal.encodeGifAnimation(w, h, g * 7919 + 1, nf))
+        }).toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(s"$stage/gifs.parquet")
+    }
+    s.read.parquet(s"$stage/gifs.parquet")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, gif) =>
         Multimodal.gifFrames(gif).zipWithIndex.map { case (img, f) =>
           var lum = 0L
           var y = 0
@@ -2685,8 +2986,10 @@ object Pipeline {
     * (known metadata at deployment; ~1.2 GB bits per 10⁹ docs at 1%
     * fpp). BloomFilterAggregate silently min()s the size against
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, so
-    * `GraftSession` raises that cap to 2 GiB (~1.7B docs per filter
-    * at honest 10 bits/item) and `bloomAgg` logs if a request still
+    * `GraftSession` raises that cap to 16e9 bits (~1.6B docs per
+    * filter at honest 10 bits/item; NOT higher — the serialized
+    * filter must stay under the JVM's Int.MaxValue byte-array
+    * ceiling) and `bloomAgg` logs if a request still
     * exceeds it — beyond the cap answers stay correct (no false
     * negatives) but the screen admits progressively more of the
     * batch. Here it rides the plan as a collected binary literal —
@@ -2752,7 +3055,7 @@ object Pipeline {
     // bounded count job here
     val nHist = math.max(1L, hist.count())
     val bloomBytes = hist
-      .select(bloomAgg(col("fingerprint"), nHist).as("bf"))
+      .select(bloomAgg(col("fingerprint"), nHist, hist.sparkSession).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val wFp = Window.partitionBy(col("fingerprint"))
     val tagged = today
@@ -5310,12 +5613,15 @@ c$i AS (SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
     "q120_stream_static_dedup" -> streamStaticDedup,
     "q144_stream_contamination" -> streamContamination,
     "q148_phash_neardup" -> phashNearDup,
+    "q367_media_neardup_scale" -> mediaNearDupScale,
+    "q368_crossmodal_dedup" -> crossmodalDedup,
     "q151_stream_sessionize" -> streamSessionize,
     "q152_audio_fingerprint" -> audioFingerprint,
     "q362_png_decode_phash" -> pngDecodePhash,
     "q363_jpeg_decode_meta" -> jpegDecodeMeta,
     "q364_ann_nsw" -> annNsw,
     "q366_gif_frame_stats" -> gifFrameStats,
+    "q369_gif_decode_amortized" -> gifDecodeAmortized,
     "q153_stream_interval_join" -> streamIntervalJoin,
     "q347_stream_interval_left" -> streamIntervalJoinLeft,
     "q355_stream_interval_full" -> streamIntervalJoinFull,

@@ -152,6 +152,100 @@ class MultimodalSpec extends AnyFunSuite {
       "every planted near-dup pair must be recovered")
   }
 
+  test("q367 two-stage MIH pairs equal brute-force rep-level " +
+      "hamming<=8 pairs (recall 1 by 4-band radius-2 pigeonhole)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q367_media_neardup_scale")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute force: same hashes → exact collapse → all rep pairs
+    val hs = Tables.documents(spark, dir).select(col("doc_id"))
+      .as[Long].collect().sorted.map { id =>
+        val g = id / 5
+        val seed = if (id % 5 == 4) id * 104729 + 17 else g * 7919 + 1
+        id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
+          (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
+      }
+    val reps = hs.groupBy(_._2).map { case (h, members) =>
+      (h, members.map(_._1).min, members.length.toLong)
+    }.toArray.sortBy(_._2)
+    // the fixture's exact-dup plant must actually collapse: clusters
+    // of >= 3 exist (ids {5g, 5g+2, 5g+3} share an image)
+    assert(reps.exists(_._3 >= 3), "stage-1 collapse found no cluster")
+    val expected = (for {
+      i <- reps.indices.iterator; j <- (i + 1) until reps.length
+      h = java.lang.Long.bitCount(reps(i)._1 ^ reps(j)._1) if h <= 8
+    } yield (reps(i)._2, reps(j)._2, h, reps(i)._3, reps(j)._3)).toSet
+    assert(got == expected,
+      s"MIH probe join must recover exactly the rep-level hamming<=8 " +
+        s"pair set (got ${got.size}, expected ${expected.size})")
+    // every planted near-dup (cluster rep 5g vs inverted 5g+1) whose
+    // hashes actually differ must surface as a rep pair
+    val byId = hs.toMap
+    val planted = hs.map(_._1).filter(id => id % 5 == 0 &&
+      byId.contains(id + 1) && byId(id) != byId(id + 1))
+    assert(planted.forall(id =>
+      got.exists(p => p._1 == id && p._2 == id + 1)),
+      "every planted near-dup cluster pair must be recovered")
+  }
+
+  test("q368 cross-modal ledger equals local union-find over " +
+      "text-exact + image-exact + image-near edges (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q368_crossmodal_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local reference: same hashes, same signals, textbook union-find
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val ids = rows.map(_._1)
+    val hash = rows.map { case (id, _) =>
+      val g = id / 5
+      val seed = if (id % 5 == 4) id * 104729 + 17 else g * 7919 + 1
+      id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
+        (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
+    }.toMap
+    val parent = scala.collection.mutable.HashMap(
+      ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    // mirror lower(trim(text)) exactly: SQL trim strips SPACES only
+    // (not \n\t like String.trim), lower is locale-independent
+    def norm(s: String): String = s.replaceAll("^ +| +$", "")
+      .toLowerCase(java.util.Locale.ROOT)
+    rows.groupBy(r => norm(r._2)).values
+      .foreach(g => g.sliding(2).foreach {
+        case Array(a, b) => union(a._1, b._1); case _ => })
+    ids.groupBy(hash).values
+      .foreach(g => g.sliding(2).foreach {
+        case Array(a, b) => union(a, b); case _ => })
+    val reps = ids.groupBy(hash).map { case (h, g) => (h, g.min) }.toSeq
+    for {
+      i <- reps.indices; j <- (i + 1) until reps.length
+      if java.lang.Long.bitCount(reps(i)._1 ^ reps(j)._1) <= 8
+    } union(reps(i)._2, reps(j)._2)
+    val cid = ids.map(i => i -> find(i)).toMap
+    val csz = cid.values.groupBy(identity).map {
+      case (c, g) => c -> g.size.toLong }
+    val expected = ids.map(i => (i, cid(i), csz(cid(i))))
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected.toSeq,
+      "cross-modal components must equal local union-find " +
+        got.toSeq.diff(expected.toSeq).take(5).toString)
+    // the fixture's planted image clusters must be visible as
+    // multi-doc entities
+    assert(got.count(_._3 >= 3) > 0, "no cluster of >= 3 surfaced")
+  }
+
   test("encodeWavEnvelope: every RMS window recovers its amplitude " +
       "exactly through the real decode path") {
     val amps = Array.tabulate(16)(w => ((w * 3 + 1) << 9).toShort)
@@ -283,5 +377,44 @@ class MultimodalSpec extends AnyFunSuite {
     // dims come from the actual pixel decode
     val mf = Multimodal.realDecode(42L, jpg)
     assert(mf.width == w && mf.height == h)
+  }
+
+  test("corrupt payloads: decodeImage is None and gifFrames is " +
+      "empty/partial — never a thrown RuntimeException") {
+    // ImageIO readers raise RuntimeExceptions (AIOOBE, NegativeArray,
+    // IllegalArgument), not just IOException, on malformed bytes; a
+    // corrupt payload in a large corpus must fall through, not kill
+    // the job (ADVICE r14 #1/#2).
+    val png = Multimodal.encodeImagePattern("png", 24, 20, 99L, false)
+    // valid magic + mangled body: the reader is selected, then fails
+    // mid-decode — the path that used to escape the IOException-only
+    // catch
+    for (cut <- Seq(12, 20, png.length / 2)) {
+      val truncated = png.take(cut)
+      assert(Multimodal.decodeImage(truncated).isEmpty,
+        s"truncated PNG at $cut bytes must decode to None")
+    }
+    val garbled = png.clone()
+    for (i <- 16 until math.min(64, garbled.length))
+      garbled(i) = (garbled(i) ^ 0x5A).toByte
+    Multimodal.decodeImage(garbled) // must not throw (None or junk ok)
+
+    val gif = Multimodal.encodeGifAnimation(16, 12, 31L, 3)
+    val whole = Multimodal.gifFrames(gif)
+    assert(whole.length == 3)
+    // truncate mid-sequence: contract says empty-or-partial prefix,
+    // never a throw
+    for (cut <- Seq(10, gif.length / 3, gif.length / 2,
+        gif.length - 5)) {
+      val part = Multimodal.gifFrames(gif.take(cut))
+      assert(part.length <= 3,
+        s"truncated GIF at $cut bytes: ${part.length} frames")
+    }
+    // non-image bytes: no reader matches → empty, and realDecode
+    // falls through to the deterministic fake rather than crashing
+    val junk = Array.tabulate[Byte](256)(i => (i * 37).toByte)
+    assert(Multimodal.gifFrames(junk).isEmpty)
+    assert(Multimodal.decodeImage(junk).isEmpty)
+    Multimodal.realDecode(7L, junk)
   }
 }

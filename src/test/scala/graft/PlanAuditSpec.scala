@@ -182,6 +182,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q367 two-stage MIH: equi-join on (band, key), exact collapse " +
+      "before banding, no all-pairs shape") {
+    val plan = executedPlan("q367_media_neardup_scale")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q367 plans BNLJ")
+    assert(!plan.contains("CartesianProduct"), "q367 plans a cross product")
+    // stage-1 collapse is a real aggregate on the hash (partial_min/
+    // partial_count ⇒ map-side combine before the one hash shuffle)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "stage-1 exact collapse lost its map-side combine")
+    // the candidate join keys on (band, key) — an equi-join, so the
+    // physical op is hash- or sort-merge-based, never nested-loop
+    assert(plan.contains("band"), "candidate join lost its band key")
+  }
+
   test("curation tier joins broadcast their small sides (q56/q57/q60)") {
     // benchmark gram set, vocabulary df table, MG candidate set — all
     // bounded-small relations that must broadcast, never shuffle the

@@ -93,4 +93,33 @@ class SketchSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("subquery"),
       "correlated subquery should be rewritten to aggregate+join")
   }
+
+  test("bloom cap: session maxNumBits stays under the JVM " +
+      "byte-array serialization ceiling (ADVICE r14 #3)") {
+    val bits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    // a filter at the cap serializes to ~bits/8 bytes (+ header);
+    // past Int.MaxValue the aggregate CRASHES on serialization
+    // instead of degrading — keep >= 128 MB of slack for the stream
+    // header and ByteArrayOutputStream doubling
+    assert(bits / 8 + (128L << 20) < Int.MaxValue.toLong,
+      s"maxNumBits=$bits serializes past the JVM array ceiling")
+    // and the cap still clears the honest-fpp design point claimed
+    // in q361's scale note (~1.6B items at 10 bits/item)
+    assert(bits >= 16000000000L)
+    // bloomAgg with the executing DataFrame's own session (ADVICE
+    // r14 #4): filter builds and probes correctly
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id").cast("string").as("s"))
+    val bf = df.select(graft.functions.GraftFunctions
+        .bloomAgg(col("s"), 1000L, df.sparkSession).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probe = spark.range(2000)
+      .select(col("id").cast("string").as("s"))
+      .withColumn("hit", graft.functions.GraftFunctions
+        .bloomMightContain(lit(bf), col("s")))
+    val hits = probe.filter(col("hit")).count()
+    assert(hits >= 1000, "no false negatives")
+    assert(hits < 1200, s"fpp blown: $hits/2000 probed positive")
+  }
 }
