@@ -1042,30 +1042,69 @@ object Profile {
       // WIDER bands as the corpus grows — which keeps the constant
       // at the probe-budget floor; this probe puts measured walls
       // next to both constants.
-      // Usage: Profile media-scale [tier ...]   (default 1 10)
+      // Two generators, two regimes — both measured because they
+      // DISAGREE in an instructive way:
+      //  - "codec": the real BMP→dHash path under q367's fixture
+      //    mapping. Its hash space is LOW-ENTROPY (143 (w,h) shapes
+      //    × a mod-128 pattern): survivors saturate (measured 20k
+      //    docs → 7,375 distinct hashes, 200k → 12,822), so narrow
+      //    bands never reach their wall and MIH's fixed 548-row/item
+      //    probe emission makes it SLOWER — the fixture regime,
+      //    where stage-1 collapse is doing nearly all the work.
+      //  - "synthetic": splitmix64 hashes with the same exact-dup/
+      //    near-dup plants, survivors ≈ 0.6·n growing linearly — the
+      //    corpus regime the banding constants are about.
+      // Usage: Profile media-scale [tier ...]   (default 1 10,
+      // synthetic also runs 30 to expose the narrow-band wall)
       import org.apache.spark.sql.DataFrame
       import spark.implicits._
-      def hashesAt(k: Int): DataFrame =
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def hashesAt(k: Int, codec: Boolean): DataFrame =
         spark.range(20000L * k).select(col("id")).as[Long]
           .mapPartitions(_.map { id =>
             val g = id / 5
-            val w = (24 + g % 13).toInt
-            val h = (24 + g % 11).toInt
             val m = id % 5
-            val seed = if (m == 4) id * 104729 + 17 else g * 7919 + 1
-            (id, graft.multimodal.Multimodal.dHashBmp(
-              graft.multimodal.Multimodal
-                .encodeBmpPattern(w, h, seed, m == 1)))
+            val h =
+              if (codec) {
+                val w = (24 + g % 13).toInt
+                val ht = (24 + g % 11).toInt
+                val seed = if (m == 4) id * 104729 + 17 else g * 7919 + 1
+                graft.multimodal.Multimodal.dHashBmp(
+                  graft.multimodal.Multimodal
+                    .encodeBmpPattern(w, ht, seed, m == 1))
+              } else {
+                val base = mix(g)
+                if (m == 4) mix(Long.MaxValue - id)
+                else if (m == 1)
+                  // ≤ 3 flipped bits (positions may coincide)
+                  base ^ (1L << (g % 64).toInt) ^
+                    (1L << ((g * 11 + 7) % 64).toInt) ^
+                    (1L << ((g * 29 + 13) % 64).toInt)
+                else base
+              }
+            (id, h)
           }).toDF("doc_id", "phash")
       val tiers = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(1, 10)
-      for (k <- tiers) {
-        val reps = graft.Caching.retain(hashesAt(k)
+      for {
+        codec <- Seq(true, false)
+        // synthetic survivors scale with n — add the tier where the
+        // narrow-band scheme's volume becomes the wall
+        k <- if (codec) tiers else tiers ++ Seq(30 * tiers.max / 10)
+          .filter(_ > tiers.max)
+      } {
+        val gen = if (codec) "codec" else "synth"
+        val reps = graft.Caching.retain(hashesAt(k, codec)
           .groupBy(col("phash"))
           .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
           .persist())
         val nReps = reps.count()
-        println(s"[profile] media ${k}x docs=${20000L * k} " +
+        println(s"[profile] media $gen ${k}x docs=${20000L * k} " +
           s"survivors=$nReps")
         // (a) q148's 9-narrow-band scheme over the SAME survivors
         val bandVals9 = array((0 until 9).map { i =>
@@ -1093,19 +1132,21 @@ object Profile {
         val exactCnt = keyed4.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("e"))
         val probeCnt = keyed4
+          .select(col("band"), col("key"),
+            explode(typedLit(masks)).as("mask"))
           .select(col("band"),
-            col("key").bitwiseXOR(explode(typedLit(masks))).as("key"))
+            col("key").bitwiseXOR(col("mask")).as("key"))
           .groupBy(col("band"), col("key")).agg(count(lit(1)).as("p"))
         val volM = probeCnt.join(exactCnt, Seq("band", "key"))
           .agg(coalesce(sum(col("p") * col("e")), lit(0)).cast("long"))
           .collect()(0).getLong(0)
         val ratio = vol9.toDouble / math.max(1L, volM)
-        println(f"[profile] media ${k}x vol: 9-band=$vol9 " +
+        println(f"[profile] media $gen ${k}x vol: 9-band=$vol9 " +
           f"mih=$volM ratio=$ratio%.1f")
         // timed pair generation — skip a tier whose candidate volume
         // is an analytic wall rather than a runnable measurement
         if (vol9 <= 2000000000L)
-          timed(f"media ${k}x 9-band pairs") {
+          timed(f"media $gen ${k}x 9-band pairs") {
             val out = ops.Graph.cooccurPairs(m9,
                 Seq("band", "bucket"), "m")
               .select(col("u.rep").as("a_id"), col("v.rep").as("b_id"),
@@ -1114,15 +1155,15 @@ object Profile {
               .filter(col("hamming") <= 8).distinct().count()
             println(s"  out=$out")
           }
-        else println(s"[profile] media ${k}x 9-band pairs SKIPPED " +
+        else println(s"[profile] media $gen ${k}x 9-band pairs SKIPPED " +
           s"(vol=$vol9 is the quadratic wall, not a measurement)")
         if (volM <= 2000000000L)
-          timed(f"media ${k}x mih pairs") {
+          timed(f"media $gen ${k}x mih pairs") {
             val out = graft.dedup.Dedup.hammingNearDupPairs(reps,
               "rep", "phash", threshold = 8, bands = 4).count()
             println(s"  out=$out")
           }
-        else println(s"[profile] media ${k}x mih pairs SKIPPED " +
+        else println(s"[profile] media $gen ${k}x mih pairs SKIPPED " +
           s"(vol=$volM)")
         Caching.releaseAll()
       }

@@ -553,7 +553,18 @@ object Dedup {
         explode(typedLit(masks)).as("mask"), col("key")): _*)
       .withColumn("key", col("key").bitwiseXOR(col("mask")))
       .drop("mask")
-    probes.join(side("b_"), Seq("band", "key"))
+    // the probe side is a generator output: Catalyst's sizeInBytes
+    // estimate for Generate is ~the child's, i.e. ~|masks|× too low,
+    // so an unhinted plan statically picks the PROBE side as a
+    // broadcast build and OOMs once n·bands·|masks| is real (measured:
+    // `Profile media-scale` synth 10× died in
+    // notEnoughMemoryToBuildAndBroadcastTable; AQE cannot demote a
+    // statically-planned broadcast because no shuffle stage precedes
+    // it). The hint pins a shuffled hash join BUILT ON THE EXACT
+    // side — the relation whose stats are sound and which is always
+    // the |masks|×-smaller side; both sides then shuffle on
+    // (band, key), the partitioning every scale tier can carry.
+    probes.join(side("b_").hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("a_" + idCol) < col("b_" + idCol))
       .select((col("a_" + idCol).as("a_id") +:
         col("b_" + idCol).as("b_id") +:

@@ -933,7 +933,10 @@ object Pipeline {
     * oracle is valid. The scale shape is the same as q30/q38: bucket
     * groupBy + in-bucket pair explosion, never an all-pairs join;
     * the 8-byte hash rides along the shuffle so verification needs
-    * no join-back. The fixture plants a near-dup per 5-doc group
+    * no join-back. The ≤2⁸-buckets-per-band ceiling saturates beyond
+    * ~10⁵ SURVIVING hashes (`Profile media-scale` measures the
+    * wall); q367 is the corpus-scale companion — exact collapse
+    * first, then wide-band multi-index probes. The fixture plants a near-dup per 5-doc group
     * (same image with pixel row 0 inverted → ≤ 8 flipped bits);
     * the oracle recomputes the hashes analytically from the same
     * integer pattern the BMP encoder writes, so a wrong header

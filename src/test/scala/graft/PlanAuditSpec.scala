@@ -194,6 +194,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the candidate join keys on (band, key) — an equi-join, so the
     // physical op is hash- or sort-merge-based, never nested-loop
     assert(plan.contains("band"), "candidate join lost its band key")
+    // the probe side is a generator output whose sizeInBytes estimate
+    // is ~137× too low — an unhinted plan statically broadcasts it
+    // and OOMs at scale (measured in Profile media-scale synth 10×).
+    // The helper pins a shuffled hash join built on the sound-stats
+    // exact side; a regression to broadcast fails here.
+    assert(plan.contains("ShuffledHashJoin"),
+      "MIH candidate join lost its shuffle_hash pin")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "MIH probe side must never be broadcast")
   }
 
   test("curation tier joins broadcast their small sides (q56/q57/q60)") {
