@@ -524,22 +524,46 @@ object Dedup {
     * buckets). `payloadCols` ride both join sides as a_/b_ columns
     * so downstream needs no join-back. Output: (a_id, b_id, hamming
     * ≤ threshold, a_*, b_*) with a_id < b_id, distinct. */
-  def hammingNearDupPairs(df: DataFrame, idCol: String,
-      hashCol: String, threshold: Int = 8, bands: Int = 4,
-      payloadCols: Seq[String] = Nil): DataFrame = {
+  /** Radius-r XOR-mask neighborhood of a (64/bands)-bit band value:
+    * all Σ C(width,≤radius) masks, a pure constant. */
+  private def mihMasks(bands: Int, threshold: Int): Seq[Long] = {
     require(bands > 0 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
     val width = 64 / bands
     val radius = threshold / bands
     require(radius <= 3,
       s"radius $radius explodes the probe set; raise bands")
-    val masks: Seq[Long] = (0 to radius).flatMap(r =>
+    (0 to radius).flatMap(r =>
       (0 until width).combinations(r)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
+  }
+
+  /** The `bands` disjoint substring values of a 64-bit code, as an
+    * array column (band i = bits [64-width·(i+1), 64-width·i)). */
+  private def mihBandVals(hashCol: String, bands: Int): Column = {
+    val width = 64 / bands
     val widthMask = if (width == 64) -1L else (1L << width) - 1L
-    val bandVals = array((0 until bands).map(i =>
+    array((0 until bands).map(i =>
       shiftrightunsigned(col(hashCol), 64 - width * (i + 1))
         .bitwiseAND(lit(widthMask))): _*)
+  }
+
+  /** Explode `df` into its MIH index rows: one (band, key) per band,
+    * all other columns carried. This is the PERSISTED-INDEX form —
+    * write it bucketed+sorted by (band, key) once at index-build
+    * time and every later [[hammingProbeJoin]] reads it with zero
+    * exchange (the q207 bucketing discipline applied to a media
+    * index). */
+  def mihKeys(df: DataFrame, hashCol: String,
+      bands: Int = 4): DataFrame =
+    df.select(df.columns.map(col) :+
+      posexplode(mihBandVals(hashCol, bands)).as(Seq("band", "key")): _*)
+
+  def hammingNearDupPairs(df: DataFrame, idCol: String,
+      hashCol: String, threshold: Int = 8, bands: Int = 4,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    val masks = mihMasks(bands, threshold)
+    val bandVals = mihBandVals(hashCol, bands)
     val keyed = df.select(
       (col(idCol) +: col(hashCol) +: payloadCols.map(col)) :+
         posexplode(bandVals).as(Seq("band", "key")): _*)
@@ -574,6 +598,48 @@ object Dedup {
       // verify BEFORE the dedup shuffle: the hamming test is a
       // codegen'd row-local filter, so the distinct moves only true
       // near-dup pairs, not every probe collision
+      .filter(col("hamming") <= threshold)
+      .distinct()
+  }
+
+  /** Cross-relation MIH probe join — the INCREMENTAL form of
+    * [[hammingNearDupPairs]]: probe rows come from `probe` (the
+    * daily batch, radius-r mask expansion), exact rows from
+    * `keyedIndex` — a relation ALREADY in [[mihKeys]] form, i.e. the
+    * persisted media index. Join semantics: every (probe id, index
+    * id) pair within `threshold` Hamming bits, recall 1 by the same
+    * pigeonhole as the self-join form.
+    *
+    * Scale shape: only the batch side pays a shuffle per run — the
+    * probe expansion is batch·bands·|masks| rows, small because the
+    * batch is small; the index side should be a bucketed+sorted
+    * (band, key) table so its scan satisfies the join's
+    * distribution with ZERO exchange (bucketBy at index-build time,
+    * the q207 amortization). The `merge` hint pins sort-merge: the
+    * index side streams its sorted buckets without building hash
+    * maps (an SHJ build of a corpus-sized index partition would
+    * OOM), and — the [[hammingNearDupPairs]] lesson — the hint also
+    * forbids the statically-misestimated broadcast of the
+    * generator-expanded probe side. Output: (a_id = probe id,
+    * b_id = index id, hamming), distinct. */
+  def hammingProbeJoin(probe: DataFrame, probeId: String,
+      hashCol: String, keyedIndex: DataFrame, indexId: String,
+      threshold: Int = 8, bands: Int = 4): DataFrame = {
+    val masks = mihMasks(bands, threshold)
+    val bandVals = mihBandVals(hashCol, bands)
+    val probes = probe.select(col(probeId).as("a_id"),
+        col(hashCol).as("a_hash"),
+        posexplode(bandVals).as(Seq("band", "key")))
+      .select(col("a_id"), col("a_hash"), col("band"),
+        explode(typedLit(masks)).as("mask"), col("key"))
+      .withColumn("key", col("key").bitwiseXOR(col("mask")))
+      .drop("mask")
+    val exacts = keyedIndex.select(col(indexId).as("b_id"),
+      col(hashCol).as("b_hash"), col("band"), col("key"))
+    probes.join(exacts.hint("merge"), Seq("band", "key"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash")))
+          .cast("int").as("hamming"))
       .filter(col("hamming") <= threshold)
       .distinct()
   }

@@ -246,6 +246,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.count(_._3 >= 3) > 0, "no cluster of >= 3 surfaced")
   }
 
+  test("q370 incremental media dedup: all four statuses realized " +
+      "and equal to local brute force (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q370_media_dedup_incremental")(
+        spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .as[Long].collect().sorted
+    val hash = ids.map { id =>
+      val eff = if (id % 40 == 24) id - 20 else id
+      val g = eff / 5
+      val seed = if (id % 5 == 4) eff * 104729 + 17 else g * 7919 + 1
+      id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
+        (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
+    }.toMap
+    val batch = ids.filter(_ % 4 == 0)
+    val index = ids.filter(_ % 4 != 0).groupBy(hash)
+      .map { case (h, g) => (h, g.min) }
+    val firstOf = batch.groupBy(hash).map { case (h, g) => (h, g.min) }
+    val expected = batch.map { id =>
+      val h = hash(id)
+      index.get(h) match {
+        case Some(i) => (id, "dup_exact", i, 0)
+        case None =>
+          val near = index.toSeq.flatMap { case (ih, iid) =>
+            val d = java.lang.Long.bitCount(h ^ ih)
+            if (d >= 1 && d <= 8) Some((d, iid)) else None
+          }
+          if (near.nonEmpty) {
+            val (d, iid) = near.min
+            (id, "dup_near", iid, d)
+          } else if (firstOf(h) != id) (id, "dup_batch", firstOf(h), -1)
+          else (id, "new", -1L, -1)
+      }
+    }
+    assert(got.toSeq == expected.toSeq,
+      "q370 must equal local brute-force classification; diff: " +
+        got.toSeq.diff(expected.toSeq).take(5).toString)
+    val byStatus = expected.groupBy(_._2).view.mapValues(_.length).toMap
+    for (st <- Seq("dup_exact", "dup_near", "dup_batch", "new"))
+      assert(byStatus.getOrElse(st, 0) > 0,
+        s"designed-truth branch '$st' not realized: $byStatus")
+  }
+
   test("encodeWavEnvelope: every RMS window recovers its amplitude " +
       "exactly through the real decode path") {
     val amps = Array.tabulate(16)(w => ((w * 3 + 1) << 9).toShort)

@@ -205,6 +205,50 @@ class PlanAuditSpec extends AnyFunSuite {
       "MIH probe side must never be broadcast")
   }
 
+  test("q370 probe join: bucketed index scan, sort-merge stream, " +
+      "no broadcast of the generator side") {
+    val plan = executedPlan("q370_media_dedup_incremental")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q370 plans BNLJ")
+    assert(!plan.contains("CartesianProduct"), "q370 plans a cross product")
+    // the near tier streams the index's sorted buckets (no
+    // corpus-sized hash-map build) — merge join pinned
+    assert(plan.contains("SortMergeJoin"),
+      "q370 near tier lost its merge pin")
+    // the index side is the bucketed table: its scan carries bucket
+    // metadata, the zero-exchange claim's physical witness
+    assert(plan.contains("Bucketed: true"),
+      "q370 index scan is not bucket-aware")
+    // exactly ONE physical (band, key) exchange — the batch probe
+    // side; the index side must come out of its buckets unshuffled.
+    // Count by TREE traversal of the final adaptive plan: every
+    // string form of an AQE plan (toString AND SimpleMode) prints
+    // the same exchange again in its Initial Plan section.
+    val df = SparkEntry.queries("q370_media_dedup_incremental")(
+      spark, dir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def countBand(p: SparkPlan): Int = {
+      val self = p match {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countBand).sum
+    }
+    val nBand = countBand(df.queryExecution.executedPlan)
+    assert(nBand == 1,
+      s"q370 must shuffle only the probe side on (band, key); " +
+        s"found $nBand band exchanges")
+  }
+
   test("curation tier joins broadcast their small sides (q56/q57/q60)") {
     // benchmark gram set, vocabulary df table, MG candidate set — all
     // bounded-small relations that must broadcast, never shuffle the
