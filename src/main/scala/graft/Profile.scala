@@ -1070,14 +1070,8 @@ object Profile {
             val g = id / 5
             val m = id % 5
             val h =
-              if (codec) {
-                val w = (24 + g % 13).toInt
-                val ht = (24 + g % 11).toInt
-                val seed = if (m == 4) id * 104729 + 17 else g * 7919 + 1
-                graft.multimodal.Multimodal.dHashBmp(
-                  graft.multimodal.Multimodal
-                    .encodeBmpPattern(w, ht, seed, m == 1))
-              } else {
+              if (codec) graft.multimodal.Multimodal.fixturePhash(id)
+              else {
                 val base = mix(g)
                 if (m == 4) mix(Long.MaxValue - id)
                 else if (m == 1)
@@ -1137,12 +1131,17 @@ object Profile {
           .select(col("band"),
             col("key").bitwiseXOR(col("mask")).as("key"))
           .groupBy(col("band"), col("key")).agg(count(lit(1)).as("p"))
-        val volM = probeCnt.join(exactCnt, Seq("band", "key"))
+        val volMRaw = probeCnt.join(exactCnt, Seq("band", "key"))
           .agg(coalesce(sum(col("p") * col("e")), lit(0)).cast("long"))
           .collect()(0).getLong(0)
+        // comparable to vol9's unordered-no-self convention: the raw
+        // probe x exact product counts every cross pair in BOTH
+        // directions (mask symmetry) plus each item's 4 mask-0 self
+        // matches - remove the self term, then halve
+        val volM = (volMRaw - 4L * nReps) / 2
         val ratio = vol9.toDouble / math.max(1L, volM)
         println(f"[profile] media $gen ${k}x vol: 9-band=$vol9 " +
-          f"mih=$volM ratio=$ratio%.1f")
+          f"mih=$volM (raw=$volMRaw) ratio=$ratio%.1f")
         // timed pair generation — skip a tier whose candidate volume
         // is an analytic wall rather than a runnable measurement
         if (vol9 <= 2000000000L)

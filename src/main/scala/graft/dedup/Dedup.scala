@@ -494,36 +494,6 @@ object Dedup {
       .toDF("id", "cluster_id", "cluster_size")
   }
 
-  /** Multi-index Hamming near-dup pairs over 64-bit codes (Norouzi,
-    * Punjani & Fleet, "Fast Search in Hamming Space with Multi-Index
-    * Hashing", CVPR 2012) — the scale-path banding for perceptual
-    * hashes: `bands` disjoint (64/bands)-bit substrings; by
-    * pigeonhole a pair within `threshold` differing bits is within
-    * radius ⌊threshold/bands⌋ in SOME band, so probing each band
-    * key's full radius-r neighborhood (a constant XOR-mask array,
-    * row-local explode) preserves RECALL 1 while the per-band bucket
-    * space is 2^(64/bands). Honest constants (hash-uniform inputs,
-    * threshold 8): ANY fixed-parameter exact-recall scheme is Θ(n²)
-    * in candidates; per band a pair collides with prob Σ C(w,≤r)/2^w,
-    * so q148's 9-narrow-band radius-0 scheme generates ≈ n²/30
-    * unordered candidates where 4×16-bit radius-2 MIH generates
-    * ≈ n²·4·137/2¹⁶/2 ≈ n²/239 — the 512× bucket-space gain
-    * re-multiplied by the 137-probe expansion nets ≈ 8×
-    * (`Profile media-scale` measures both). The real scale levers
-    * are (a) exact collapse FIRST (the caller contract below — it
-    * removes duplicate-mass bucket concentration entirely) and
-    * (b) the paper's design rule: substring width ≈ log₂ n, i.e.
-    * fewer, wider bands as the corpus grows, which keeps the
-    * constant at the probe-budget floor. The candidate join is a
-    * plain equi-join on (band, key): streaming, spillable,
-    * AQE-splittable — never a per-bucket collect.
-    *
-    * Caller contract: `df` should already be EXACT-COLLAPSED (one
-    * row per distinct code — group identical codes first, the q29
-    * discipline; identical-image mass otherwise concentrates
-    * buckets). `payloadCols` ride both join sides as a_/b_ columns
-    * so downstream needs no join-back. Output: (a_id, b_id, hamming
-    * ≤ threshold, a_*, b_*) with a_id < b_id, distinct. */
   /** Radius-r XOR-mask neighborhood of a (64/bands)-bit band value:
     * all Σ C(width,≤radius) masks, a pure constant. */
   private def mihMasks(bands: Int, threshold: Int): Seq[Long] = {
@@ -559,6 +529,36 @@ object Dedup {
     df.select(df.columns.map(col) :+
       posexplode(mihBandVals(hashCol, bands)).as(Seq("band", "key")): _*)
 
+  /** Multi-index Hamming near-dup pairs over 64-bit codes (Norouzi,
+    * Punjani & Fleet, "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012) — the scale-path banding for perceptual
+    * hashes: `bands` disjoint (64/bands)-bit substrings; by
+    * pigeonhole a pair within `threshold` differing bits is within
+    * radius ⌊threshold/bands⌋ in SOME band, so probing each band
+    * key's full radius-r neighborhood (a constant XOR-mask array,
+    * row-local explode) preserves RECALL 1 while the per-band bucket
+    * space is 2^(64/bands). Honest constants (hash-uniform inputs,
+    * threshold 8): ANY fixed-parameter exact-recall scheme is Θ(n²)
+    * in candidates; per band a pair collides with prob Σ C(w,≤r)/2^w,
+    * so q148's 9-narrow-band radius-0 scheme generates ≈ n²/30
+    * unordered candidates where 4×16-bit radius-2 MIH generates
+    * ≈ n²·4·137/2¹⁶/2 ≈ n²/239 — the 512× bucket-space gain
+    * re-multiplied by the 137-probe expansion nets ≈ 8×
+    * (`Profile media-scale` measures both). The real scale levers
+    * are (a) exact collapse FIRST (the caller contract below — it
+    * removes duplicate-mass bucket concentration entirely) and
+    * (b) the paper's design rule: substring width ≈ log₂ n, i.e.
+    * fewer, wider bands as the corpus grows, which keeps the
+    * constant at the probe-budget floor. The candidate join is a
+    * plain equi-join on (band, key): streaming, spillable,
+    * AQE-splittable — never a per-bucket collect.
+    *
+    * Caller contract: `df` should already be EXACT-COLLAPSED (one
+    * row per distinct code — group identical codes first, the q29
+    * discipline; identical-image mass otherwise concentrates
+    * buckets). `payloadCols` ride both join sides as a_/b_ columns
+    * so downstream needs no join-back. Output: (a_id, b_id, hamming
+    * ≤ threshold, a_*, b_*) with a_id < b_id, distinct. */
   def hammingNearDupPairs(df: DataFrame, idCol: String,
       hashCol: String, threshold: Int = 8, bands: Int = 4,
       payloadCols: Seq[String] = Nil): DataFrame = {

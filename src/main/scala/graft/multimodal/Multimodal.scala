@@ -374,6 +374,24 @@ object Multimodal {
       bits
     }
 
+  /** The media-scale fixture mapping shared by q367/q368/q370, the
+    * `media-scale` probe's codec generator, and their specs — ONE
+    * definition so a mapping tweak cannot silently desynchronize a
+    * query from its oracle (q370's eff fold already forked it once):
+    * per 5-doc group g, ids {5g, 5g+2, 5g+3} render the SAME image
+    * (exact-dup cluster), 5g+1 the row-0-inverted near-dup, 5g+4 a
+    * unique image. With `effFold` (q370), id 40j+24 renders
+    * 40j+4's image — the within-batch dup plant. The SQL oracles
+    * restate this mapping analytically; change BOTH or neither. */
+  def fixturePhash(id: Long, effFold: Boolean = false): Long = {
+    val eff = if (effFold && id % 40 == 24) id - 20 else id
+    val g = eff / 5
+    val m = id % 5
+    val seed = if (m == 4) eff * 104729 + 17 else g * 7919 + 1
+    dHashBmp(encodeBmpPattern((24 + g % 13).toInt, (24 + g % 11).toInt,
+      seed, m == 1))
+  }
+
   /** Encode a real ANIMATED GIF (multi-frame container) via
     * `javax.imageio`'s sequence writer — the video-modality upgrade
     * of [[sampleFrames]]'s byte-slicing: frames are an actual
@@ -425,21 +443,27 @@ object Multimodal {
     * guard honors the documented contract. */
   def gifFrames(payload: Array[Byte])
       : Seq[java.awt.image.BufferedImage] = {
+    // the stream must close on EVERY path: with ImageIO's default
+    // use-cache it is temp-file-backed (open fd + on-disk file), and
+    // the no-reader path is exactly the one a corpus of non-image
+    // payloads hits millions of times
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    val readers = javax.imageio.ImageIO.getImageReaders(in)
-    if (!readers.hasNext) return Seq.empty
-    val reader = readers.next()
     try {
-      reader.setInput(in)
-      val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
       try {
-        val n = reader.getNumImages(true)
-        var i = 0
-        while (i < n) { frames += reader.read(i); i += 1 }
-      } catch { case scala.util.control.NonFatal(_) => () }
-      frames.result()
-    } finally { reader.dispose(); in.close() }
+        reader.setInput(in)
+        val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+        try {
+          val n = reader.getNumImages(true)
+          var i = 0
+          while (i < n) { frames += reader.read(i); i += 1 }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        frames.result()
+      } finally reader.dispose()
+    } finally in.close()
   }
 
   private def byteHistogram(payload: Array[Byte]): Array[Float] = {

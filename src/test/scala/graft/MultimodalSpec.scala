@@ -161,12 +161,8 @@ class MultimodalSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSet
     // brute force: same hashes → exact collapse → all rep pairs
     val hs = Tables.documents(spark, dir).select(col("doc_id"))
-      .as[Long].collect().sorted.map { id =>
-        val g = id / 5
-        val seed = if (id % 5 == 4) id * 104729 + 17 else g * 7919 + 1
-        id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
-          (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
-      }
+      .as[Long].collect().sorted
+      .map(id => id -> Multimodal.fixturePhash(id))
     val reps = hs.groupBy(_._2).map { case (h, members) =>
       (h, members.map(_._1).min, members.length.toLong)
     }.toArray.sortBy(_._2)
@@ -200,12 +196,8 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val ids = rows.map(_._1)
-    val hash = rows.map { case (id, _) =>
-      val g = id / 5
-      val seed = if (id % 5 == 4) id * 104729 + 17 else g * 7919 + 1
-      id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
-        (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
-    }.toMap
+    val hash = rows
+      .map { case (id, _) => id -> Multimodal.fixturePhash(id) }.toMap
     val parent = scala.collection.mutable.HashMap(
       ids.map(i => i -> i): _*)
     def find(x: Long): Long = {
@@ -256,13 +248,9 @@ class MultimodalSpec extends AnyFunSuite {
         if (r.isNullAt(3)) -1 else r.getInt(3)))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
       .as[Long].collect().sorted
-    val hash = ids.map { id =>
-      val eff = if (id % 40 == 24) id - 20 else id
-      val g = eff / 5
-      val seed = if (id % 5 == 4) eff * 104729 + 17 else g * 7919 + 1
-      id -> Multimodal.dHashBmp(Multimodal.encodeBmpPattern(
-        (24 + g % 13).toInt, (24 + g % 11).toInt, seed, id % 5 == 1))
-    }.toMap
+    val hash = ids
+      .map(id => id -> Multimodal.fixturePhash(id, effFold = true))
+      .toMap
     val batch = ids.filter(_ % 4 == 0)
     val index = ids.filter(_ % 4 != 0).groupBy(hash)
       .map { case (h, g) => (h, g.min) }
