@@ -1609,6 +1609,30 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "explain") {
+      // dump .explain("formatted") for catalog queries to files —
+      // the optimization-round before/after plan evidence
+      // (plans/rNN/<query>_{before,after}.txt). Usage:
+      //   Profile explain <outDir> <suffix> <query> [query ...]
+      val outDir = args(1)
+      val suffix = args(2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(3).foreach { name =>
+        Caching.releaseAll()
+        spark.catalog.clearCache()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[profile] explained $name -> $outDir/${name}_$suffix.txt")
+      }
+      Caching.releaseAll()
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
       // (same measurement discipline as Bench, without the full

@@ -25,6 +25,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to a DISK-backed cache: every
+  // createImageInputStream/createImageOutputStream (so every decode
+  // and every encode) creates, writes and deletes a temp file. For
+  // in-memory byte-array payloads that cache buys nothing — it exists
+  // for non-seekable network streams — and at corpus volume the
+  // per-row temp-file churn dominates the codec work (guide §1.2:
+  // per-task work). Memory-cached streams are exact drop-ins; decoded
+  // bytes are identical.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded-media feature row. For images width/height are pixel
     * dimensions; for audio width=sample rate (Hz), height=channels
     * (the two load-bearing shape numbers of a PCM stream). */
@@ -317,6 +327,11 @@ object Multimodal {
       seed: Long, invertRow0: Boolean): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // fill through the raster's backing int[] in one pass — setRGB
+    // routes every call through the color model; the direct buffer
+    // write is the same pixels at a fraction of the cost
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
       var x = 0
@@ -324,7 +339,7 @@ object Multimodal {
         var l = ((seed * 31 + x * 17 + y * 29 + x.toLong * y * 13)
           % 256).toInt
         if (invertRow0 && y == 0) l = 255 - l
-        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        px(y * width + x) = (l << 16) | (l << 8) | l
         x += 1
       }
       y += 1
@@ -354,7 +369,12 @@ object Multimodal {
     * bit-identical to the BMP path's — the property that lets the
     * compressed-image tier reuse q148's analytic oracle unchanged. */
   def dHashImage(payload: Array[Byte]): Option[Long] =
-    decodeImage(payload).map { img =>
+    decodeImage(payload).map(dHashDecoded)
+
+  /** [[dHashImage]] over an ALREADY-decoded image — callers that
+    * need both the dimensions and the hash decode once and reuse
+    * the BufferedImage instead of paying the pixel decode twice. */
+  def dHashDecoded(img: java.awt.image.BufferedImage): Long = {
       val (w, h) = (img.getWidth, img.getHeight)
       var bits = 0L
       var y = 0
@@ -401,6 +421,17 @@ object Multimodal {
     * GIF palette holds every value exactly and the LZW coding is
     * lossless: decoded pixels are analytically recomputable by an
     * integer-SQL oracle, per frame. */
+  /** 128-entry grayscale palette (index i → RGB (i,i,i)) for the
+    * ≤128-gray GIF pattern frames — handing the writer an INDEXED
+    * image with this palette skips its per-frame RGB→palette
+    * quantization scan (the dominant encode cost; the pattern's
+    * pixel VALUES are unchanged, so decode is byte-for-byte the
+    * same luminances). */
+  private lazy val gray128Palette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(128)(_.toByte)
+    new java.awt.image.IndexColorModel(7, 128, g, g, g)
+  }
+
   def encodeGifAnimation(width: Int, height: Int, seed: Long,
       nFrames: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
@@ -411,15 +442,20 @@ object Multimodal {
     writer.prepareWriteSequence(null)
     var f = 0
     while (f < nFrames) {
+      // indexed frame over the fixed 128-gray palette, filled through
+      // the raster's backing byte[] — the writer maps palette entries
+      // straight to the GIF color table instead of quantizing an RGB
+      // image per frame, and decoded getRGB(x,y)&0xFF is the same L
       val img = new java.awt.image.BufferedImage(width, height,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray128Palette)
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val l = ((seed * 31 + x * 17 + y * 29 + x.toLong * y * 13
-            + f * 41L) % 128).toInt
-          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+          px(y * width + x) = ((seed * 31 + x * 17 + y * 29
+            + x.toLong * y * 13 + f * 41L) % 128).toByte
           x += 1
         }
         y += 1

@@ -1365,7 +1365,16 @@ object Pipeline {
               CAST(hashes.lo AS BIGINT) AS phash_lo
        FROM p JOIN hashes USING (doc_id) ORDER BY doc_id""") { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // codec work is CPU-bound and the doc-id scan is one split at
+    // fixture file sizes — spread it across the session's parallelism
+    // before the per-row encode/decode (guide §2.5 input skew), and
+    // persist the decoded rows so the final sort's range-boundary
+    // sample pass doesn't execute the whole codec subtree a second
+    // time (RangePartitioner samples the child by running it).
+    // Decode ONCE per row: dims and dHash from the same BufferedImage.
+    val decoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val g = id / 5
         val w = (24 + g % 13).toInt
@@ -1374,12 +1383,12 @@ object Pipeline {
         val png = Multimodal.encodeImagePattern("png", w, h, seed,
           id % 5 == 1)
         val img = Multimodal.decodeImage(png).get
-        val phash = Multimodal.dHashImage(png).get
+        val phash = Multimodal.dHashDecoded(img)
         (id, img.getWidth.toLong, img.getHeight.toLong,
           (phash >>> 32) & 0xFFFFFFFFL, phash & 0xFFFFFFFFL)
       })
       .toDF("doc_id", "width", "height", "phash_hi", "phash_lo")
-      .orderBy(col("doc_id"))
+    graft.Caching.retain(decoded.persist()).orderBy(col("doc_id"))
   }
 
   /** JPEG decode metadata — the LOSSY half of the compressed-image
@@ -1398,7 +1407,12 @@ object Pipeline {
                  * (24 + (doc_id // 5) % 11) AS BIGINT) AS n_px
        FROM documents ORDER BY doc_id""") { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // same shape fixes as q362: spread the one-split scan before the
+    // CPU-bound codec stage, persist before the sort so the range-
+    // sample pass reads the cache instead of re-encoding every JPEG
+    val decoded = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
       .mapPartitions(_.map { id =>
         val g = id / 5
         val w = (24 + g % 13).toInt
@@ -1410,7 +1424,7 @@ object Pipeline {
           img.getWidth.toLong * img.getHeight)
       })
       .toDF("doc_id", "width", "height", "n_px")
-      .orderBy(col("doc_id"))
+    graft.Caching.retain(decoded.persist()).orderBy(col("doc_id"))
   }
 
   /** Animated-GIF frame statistics — the VIDEO-modality upgrade of
@@ -1444,7 +1458,12 @@ object Pipeline {
               CAST(w * h AS BIGINT) AS n_px
        FROM px ORDER BY 1, 2""") { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // spread the one-split doc-id scan before the CPU-bound
+    // encode+decode, persist the per-frame rows so the final sort's
+    // range-boundary sample doesn't re-run the whole codec pipeline
+    val frames = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
       .mapPartitions(_.flatMap { id =>
         val g = id / 5
         val w = (24 + g % 13).toInt
@@ -1466,6 +1485,7 @@ object Pipeline {
         }
       })
       .toDF("doc_id", "frame_idx", "lum_sum", "n_px")
+    graft.Caching.retain(frames.persist())
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -1506,7 +1526,9 @@ object Pipeline {
       Integer.toHexString(d.hashCode)
     graft.sources.FixtureMemo.once(stage,
         graft.sources.FixtureMemo.tableSig(d, "documents")) {
-      Tables.documents(s, d).select(col("doc_id")).as[Long]
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[Long]
         .mapPartitions(_.map { id =>
           val g = id / 5
           val w = (24 + g % 13).toInt
@@ -1516,8 +1538,12 @@ object Pipeline {
         }).toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(s"$stage/gifs.parquet")
     }
-    s.read.parquet(s"$stage/gifs.parquet")
+    // spread the staged-payload scan (one file ≈ one split) before
+    // the CPU-bound container walk; persist before the sort so the
+    // range-sample pass reads decoded rows, not a second decode
+    val frames = s.read.parquet(s"$stage/gifs.parquet")
       .select(col("doc_id"), col("payload"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, gif) =>
         Multimodal.gifFrames(gif).zipWithIndex.map { case (img, f) =>
@@ -1535,6 +1561,7 @@ object Pipeline {
         }
       })
       .toDF("doc_id", "frame_idx", "lum_sum", "n_px")
+    graft.Caching.retain(frames.persist())
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 

@@ -948,7 +948,14 @@ object Warehouse {
         col("o_orderpriority"), lit("</p></o>")),
       org.apache.spark.sql.types.StructType.fromDDL(
         "k BIGINT, p STRING"))
-    o.select(col("o_orderkey"), col("o_orderstatus"),
+    // the three parsers are row-local but CPU-heavy (from_xml runs a
+    // real XML parser per row) and the orders scan is one split at
+    // fixture file sizes: spread the parse across the session's
+    // parallelism, and persist so the final sort's range-boundary
+    // sample pass doesn't run every parser a second time
+    val parsed = o
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         (jparsed.getField("o_orderkey") === col("o_orderkey")
           && jparsed.getField("o_orderstatus") === col("o_orderstatus"))
@@ -959,7 +966,7 @@ object Warehouse {
         (xparsed.getField("k") === col("o_orderkey")
           && xparsed.getField("p") === col("o_orderpriority"))
           .as("xml_ok"))
-      .orderBy(col("o_orderkey"))
+    graft.Caching.retain(parsed.persist()).orderBy(col("o_orderkey"))
   }
 
   val defs: Map[String, QueryDef] = Map(
