@@ -1696,7 +1696,11 @@ object Advanced {
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
     // not checkpointed/persisted — same ReusedExchange reasoning as
-    // q196 (a LogicalRDD barrier measured 2.7× slower there)
+    // q196 (a LogicalRDD barrier measured 2.7× slower there; an r15
+    // persist() experiment read 9.5 s vs 6.3 s un-persisted in the
+    // same JVM — AQE's runtime exchange reuse already dedups the
+    // replicated pipeline, and the cache scan only adds a
+    // materialization barrier)
     val ee = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
     // sketch tier — the 100 TB path: one sketch per node, one sketch
@@ -1957,8 +1961,18 @@ object Advanced {
       125 else 25
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
-    val ee = e.select(col("u"), col("v"))
-      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // PERSISTED, unlike q196/q346 (whose consumers share one lazy
+    // plan via ReusedExchange): this query's consumers are EAGER —
+    // anfSketches runs hops−1 localCheckpoint round jobs and the
+    // exact-audit loop three more, each a separate job that would
+    // otherwise re-derive the whole co-occurrence pair expansion
+    // (~8 evaluations measured; exchange reuse never spans jobs).
+    // One materialization, every round reads the cached edges
+    // (guide §5: reused AND expensive to recompute).
+    val ee = graft.Caching.retain(
+      e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .persist())
     import graft.functions.SketchFunctions.hll4Estimate
     // the scale path: GLOBAL 5-round propagation, delta from round 4
     val est = graft.ops.Graph.anfSketches(ee, 5, deltaFrom = 4)

@@ -1088,24 +1088,41 @@ object Corpus {
         }
         out
       }
+      // Per-round plan shape (r15 optimization — measured 9.2 s →
+      // see OPTIMIZATION_r15.md): positions are DENSE 1..k per doc
+      // at every round (round t keeps exactly the prefix that fits a
+      // 2^t window), so the offset self-join on
+      // (doc_id, pos + win) IS lead(lbl, win) over the per-doc
+      // position order — one window shuffle instead of a two-sided
+      // join. Label compaction to min (doc,pos) id is a second
+      // window over (la, lb) — the group of a new label is exactly
+      // its (la, lb) equivalence class, so the same window also
+      // attaches the group SIZE `c`, and each round's stats pass
+      // becomes a plain aggregate over the checkpointed round
+      // instead of a groupBy-plus-join job. (The unused doc-length
+      // column the old rounds carried through every shuffle is
+      // dropped — guide §2.3, shuffle fewer bytes.)
+      import org.apache.spark.sql.expressions.Window
       val pid = col("doc_id") * lit(1048576L) + col("pos")
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val p0 = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.text.TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        .select(col("doc_id"),
           posexplode(col("toks")).as(Seq("pos0", "tok")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("n"), col("tok"))
+          col("tok"))
+      val wTok = Window.partitionBy(col("tok"))
       var cur = ckpt(p0
-        .join(p0.groupBy(col("tok")).agg(min(pid).as("lbl")), "tok")
-        .select(col("doc_id"), col("pos"), col("n"), col("lbl")))
+        .select(col("doc_id"), col("pos"),
+          min(pid).over(wTok).as("lbl"),
+          count(lit(1)).over(wTok).as("c")))
       val rows = scala.collection.mutable.ArrayBuffer[
         (Long, Long, Long, Long)]()
       var win = 1L
       var more = true
       while (more) {
         val st = cur
-          .join(cur.groupBy(col("lbl")).agg(count(lit(1)).as("c")), "lbl")
           .agg(count(lit(1)).as("np"),
             coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))
               .as("ndp"),
@@ -1115,17 +1132,14 @@ object Corpus {
           rows += ((win, st.getLong(0), st.getLong(1), st.getLong(2)))
         more = win < 128 && st.getLong(0) > 0
         if (more) {
-          val b = cur.select(col("doc_id").as("b_doc"),
-            col("pos").as("b_pos"), col("lbl").as("lb"))
-          val joined = cur.join(b,
-              col("doc_id") === col("b_doc")
-                && col("b_pos") === col("pos") + lit(win))
-            .select(col("doc_id"), col("pos"), col("n"),
-              col("lbl").as("la"), col("lb"))
-          cur = ckpt(joined
-            .join(joined.groupBy(col("la"), col("lb"))
-              .agg(min(pid).as("lbl")), Seq("la", "lb"))
-            .select(col("doc_id"), col("pos"), col("n"), col("lbl")))
+          val wl = Window.partitionBy(col("la"), col("lb"))
+          cur = ckpt(cur
+            .select(col("doc_id"), col("pos"), col("lbl").as("la"),
+              lead(col("lbl"), win.toInt).over(wDoc).as("lb"))
+            .filter(col("lb").isNotNull)
+            .select(col("doc_id"), col("pos"),
+              min(pid).over(wl).as("lbl"),
+              count(lit(1)).over(wl).as("c")))
           win *= 2
         }
       }
