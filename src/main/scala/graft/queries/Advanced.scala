@@ -552,6 +552,11 @@ object Advanced {
        FROM lineitem
        ORDER BY column_name""") { (s, d) =>
     val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    // NOT Spread: an r15 attempt to parallelize the one-split scan
+    // (the Expand+partial-distinct stage is a 1.8 s single task)
+    // changed avg()'s partial-sum ORDER and moved avg_v by 1e-6 —
+    // the float-sum-reorder hazard; the straggler is the price of
+    // the bit-stable declared result here
     val li = Tables.lineitem(s, d)
     val agg = li.agg(count(lit(1)).as("n"),
       cols.flatMap(c => Seq(

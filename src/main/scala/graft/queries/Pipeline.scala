@@ -1372,8 +1372,8 @@ object Pipeline {
     // sample pass doesn't execute the whole codec subtree a second
     // time (RangePartitioner samples the child by running it).
     // Decode ONCE per row: dims and dHash from the same BufferedImage.
-    val decoded = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val decoded = graft.ops.Spread(
+        Tables.documents(s, d).select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map { id =>
         val g = id / 5
@@ -1410,8 +1410,8 @@ object Pipeline {
     // same shape fixes as q362: spread the one-split scan before the
     // CPU-bound codec stage, persist before the sort so the range-
     // sample pass reads the cache instead of re-encoding every JPEG
-    val decoded = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val decoded = graft.ops.Spread(
+        Tables.documents(s, d).select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map { id =>
         val g = id / 5
@@ -1461,8 +1461,8 @@ object Pipeline {
     // spread the one-split doc-id scan before the CPU-bound
     // encode+decode, persist the per-frame rows so the final sort's
     // range-boundary sample doesn't re-run the whole codec pipeline
-    val frames = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val frames = graft.ops.Spread(
+        Tables.documents(s, d).select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.flatMap { id =>
         val g = id / 5
@@ -1526,8 +1526,8 @@ object Pipeline {
       Integer.toHexString(d.hashCode)
     graft.sources.FixtureMemo.once(stage,
         graft.sources.FixtureMemo.tableSig(d, "documents")) {
-      Tables.documents(s, d).select(col("doc_id"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
+      graft.ops.Spread(
+          Tables.documents(s, d).select(col("doc_id")))
         .as[Long]
         .mapPartitions(_.map { id =>
           val g = id / 5
@@ -1541,9 +1541,9 @@ object Pipeline {
     // spread the staged-payload scan (one file ≈ one split) before
     // the CPU-bound container walk; persist before the sort so the
     // range-sample pass reads decoded rows, not a second decode
-    val frames = s.read.parquet(s"$stage/gifs.parquet")
-      .select(col("doc_id"), col("payload"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val frames = graft.ops.Spread(
+        s.read.parquet(s"$stage/gifs.parquet")
+          .select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, gif) =>
         Multimodal.gifFrames(gif).zipWithIndex.map { case (img, f) =>

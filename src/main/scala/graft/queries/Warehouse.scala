@@ -953,8 +953,8 @@ object Warehouse {
     // fixture file sizes: spread the parse across the session's
     // parallelism, and persist so the final sort's range-boundary
     // sample pass doesn't run every parser a second time
-    val parsed = o
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val parsed = graft.ops.Spread(o.select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_custkey")))
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         (jparsed.getField("o_orderkey") === col("o_orderkey")
