@@ -797,12 +797,17 @@ object TpchShapes {
       .select(col("c_mktsegment"), col("o_custkey"), col("l_partkey"),
         col("o_orderkey"))
       .distinct()
-    val f = op.groupBy(col("o_custkey").as("fc"), col("l_partkey").as("fp"))
-      .agg(min(col("o_orderkey")).cast("long").as("fk"))
-    op.join(f, col("fc") === col("o_custkey")
-        && col("fp") === col("l_partkey"))
-      .select(col("c_mktsegment"),
-        when(col("o_orderkey") > col("fk"), 1L).otherwise(0L).as("re"))
+    // first-order-per-(customer,part) as a window MIN over the same
+    // partition instead of a groupBy + join-back (r15): one shuffle
+    // of op replaces two shuffles + a join, and op is consumed once
+    // (the old shape planned the 3-table distinct twice). Counts are
+    // integer — no float-order hazard.
+    val wcp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"), col("l_partkey"))
+    op.select(col("c_mktsegment"),
+        when(col("o_orderkey") >
+            min(col("o_orderkey")).over(wcp).cast("long"), 1L)
+          .otherwise(0L).as("re"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         sum(col("re")).cast("long").as("n_reorders"),

@@ -450,7 +450,15 @@ object StreamOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val sess = spark.sessionState.conf.numShufflePartitions
-    math.max(8, math.min(sess, (bytes / (32L << 20)).toInt))
+    // floor 4 (was 8, r15): every state partition pays per-batch
+    // store open/commit I/O across FOUR store instances in a
+    // stream-stream join, and the stream-cost probe reads the
+    // simple-agg stream at 1.7 s with 8 partitions vs 1.3 s with 4
+    // at identical results — the floor only exists so a near-empty
+    // replay still exercises multi-partition state, which 4 does.
+    // Real backlogs size by the bytes/32MB term and the session cap
+    // exactly as before.
+    math.max(4, math.min(sess, (bytes / (32L << 20)).toInt))
   }
 
   /** Start an availableNow stream with [[statePartitionsFor]]-sized
