@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -142,8 +143,12 @@ case class Hll4UnionAgg(
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
+    // wrap, not heapify: this is the per-EDGE-row hot path of every
+    // ANF round, and heapify copies the image into a fresh heap
+    // sketch before the union reads it once — a read-only wrap over
+    // the row's byte[] feeds the same registers with zero copy
     if (v != null)
-      buffer.update(HllSketch.heapify(v.asInstanceOf[Array[Byte]]))
+      buffer.update(HllSketch.wrap(Memory.wrap(v.asInstanceOf[Array[Byte]])))
     buffer
   }
 
@@ -189,8 +194,10 @@ case class Hll4Union(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = HllSketch.heapify(a.asInstanceOf[Array[Byte]])
-    val sb = HllSketch.heapify(b.asInstanceOf[Array[Byte]])
+    // read-only wrap (see Hll4UnionAgg.update) — both inputs are
+    // consumed exactly once by the union
+    val sa = HllSketch.wrap(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val sb = HllSketch.wrap(Memory.wrap(b.asInstanceOf[Array[Byte]]))
     // lgK comes from the inputs (max of the two), not a hardcoded
     // default: sketches built at a non-default lgK would otherwise
     // be silently downsampled here while the agg paths keep full
@@ -222,7 +229,8 @@ case class Hll4Estimate(child: Expression)
         child.dataType.simpleString)
 
   override def nullSafeEval(a: Any): Any =
-    Math.round(HllSketch.heapify(a.asInstanceOf[Array[Byte]]).getEstimate)
+    Math.round(HllSketch.wrap(
+      Memory.wrap(a.asInstanceOf[Array[Byte]])).getEstimate)
 
   override protected def withNewChildInternal(
       newChild: Expression): Hll4Estimate = copy(child = newChild)
