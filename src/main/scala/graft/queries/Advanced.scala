@@ -1209,14 +1209,20 @@ object Advanced {
               try_cast(substr(event_type, 1, 2) AS INTEGER) AS bad_parse,
               try_cast(CAST(user_id AS VARCHAR) AS INTEGER) AS good_parse
        FROM events ORDER BY event_id""") { (s, d) =>
-    Tables.events(s, d)
+    // row-local try_* math over a one-split scan, then a global sort
+    // whose range sample re-executes the projection: spread + persist
+    // (the media-tier pattern; every output column is per-row
+    // deterministic, so no ordering hazard)
+    val m = graft.ops.Spread(Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("user_id"),
+          col("event_type")))
       .select(col("event_id"),
         r6(try_divide(col("value"), (col("user_id") % 3).cast("double")))
           .as("safe_div"),
         (col("user_id") % 3 === 0).as("div_was_zero"),
         expr("try_cast(substr(event_type, 1, 2) AS INT)").as("bad_parse"),
         expr("try_cast(CAST(user_id AS STRING) AS INT)").as("good_parse"))
-      .orderBy(col("event_id"))
+    graft.Caching.retain(m.persist()).orderBy(col("event_id"))
   }
 
   /** Nested-type round trip: shred per-user rows into a sorted
