@@ -1614,6 +1614,16 @@ object Profile {
       // the optimization-round before/after plan evidence
       // (plans/rNN/<query>_{before,after}.txt). Usage:
       //   Profile explain <outDir> <suffix> <query> [query ...]
+      if (args.length < 4) {
+        println("[profile] usage: explain <outDir> <suffix> <query>...")
+        spark.stop(); return
+      }
+      args.drop(3).filterNot(SparkEntry.queries.contains) match {
+        case bad if bad.nonEmpty =>
+          println(s"[profile] unknown queries: ${bad.mkString(", ")}")
+          spark.stop(); return
+        case _ =>
+      }
       val outDir = args(1)
       val suffix = args(2)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

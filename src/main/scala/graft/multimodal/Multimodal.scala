@@ -412,15 +412,6 @@ object Multimodal {
       seed, m == 1))
   }
 
-  /** Encode a real ANIMATED GIF (multi-frame container) via
-    * `javax.imageio`'s sequence writer — the video-modality upgrade
-    * of [[sampleFrames]]'s byte-slicing: frames are an actual
-    * time-indexed container a decoder must walk. Frame f's pixel
-    * (x, y) carries L = (seed·31 + x·17 + y·29 + x·y·13 + f·41)
-    * mod 128 on all three channels — ≤128 distinct grays, so the
-    * GIF palette holds every value exactly and the LZW coding is
-    * lossless: decoded pixels are analytically recomputable by an
-    * integer-SQL oracle, per frame. */
   /** 128-entry grayscale palette (index i → RGB (i,i,i)) for the
     * ≤128-gray GIF pattern frames — handing the writer an INDEXED
     * image with this palette skips its per-frame RGB→palette
@@ -432,6 +423,15 @@ object Multimodal {
     new java.awt.image.IndexColorModel(7, 128, g, g, g)
   }
 
+  /** Encode a real ANIMATED GIF (multi-frame container) via
+    * `javax.imageio`'s sequence writer — the video-modality upgrade
+    * of [[sampleFrames]]'s byte-slicing: frames are an actual
+    * time-indexed container a decoder must walk. Frame f's pixel
+    * (x, y) carries L = (seed·31 + x·17 + y·29 + x·y·13 + f·41)
+    * mod 128 on all three channels — ≤128 distinct grays, so the
+    * GIF palette holds every value exactly and the LZW coding is
+    * lossless: decoded pixels are analytically recomputable by an
+    * integer-SQL oracle, per frame. */
   def encodeGifAnimation(width: Int, height: Int, seed: Long,
       nFrames: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
@@ -479,9 +479,11 @@ object Multimodal {
     * guard honors the documented contract. */
   def gifFrames(payload: Array[Byte])
       : Seq[java.awt.image.BufferedImage] = {
-    // the stream must close on EVERY path: with ImageIO's default
-    // use-cache it is temp-file-backed (open fd + on-disk file), and
-    // the no-reader path is exactly the one a corpus of non-image
+    // the stream must close on EVERY path regardless of cache mode:
+    // under ImageIO's default use-cache it is temp-file-backed (open
+    // fd + on-disk file) — this object disables that, but the close
+    // contract must not depend on a JVM-global toggle — and the
+    // no-reader path is exactly the one a corpus of non-image
     // payloads hits millions of times
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))

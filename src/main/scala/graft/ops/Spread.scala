@@ -25,4 +25,18 @@ object Spread {
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (size >= BigInt(maxSplit) * target) df else df.repartition(target)
   }
+
+  /** Persist-before-global-sort: a final `orderBy`'s
+    * RangePartitioner SAMPLES its child by executing it, so a
+    * map-only subtree above the last exchange runs twice — the whole
+    * CPU-heavy stage, not just the sort key. Persisting the rows
+    * (ownership handed to the caller's harness via
+    * [[graft.Caching.retain]], the standing release contract) makes
+    * the sample pass read the cache. Pair with [[apply]] upstream of
+    * the heavy stage; safe ONLY when every output column is per-row
+    * deterministic (a float aggregate would change with partial-sum
+    * order — the q100 lesson). */
+  def persistSorted(df: DataFrame,
+      sortCols: org.apache.spark.sql.Column*): DataFrame =
+    graft.Caching.retain(df.persist()).orderBy(sortCols: _*)
 }

@@ -1222,7 +1222,7 @@ object Advanced {
         (col("user_id") % 3 === 0).as("div_was_zero"),
         expr("try_cast(substr(event_type, 1, 2) AS INT)").as("bad_parse"),
         expr("try_cast(CAST(user_id AS STRING) AS INT)").as("good_parse"))
-    graft.Caching.retain(m.persist()).orderBy(col("event_id"))
+    graft.ops.Spread.persistSorted(m, col("event_id"))
   }
 
   /** Nested-type round trip: shred per-user rows into a sorted

@@ -1388,7 +1388,7 @@ object Pipeline {
           (phash >>> 32) & 0xFFFFFFFFL, phash & 0xFFFFFFFFL)
       })
       .toDF("doc_id", "width", "height", "phash_hi", "phash_lo")
-    graft.Caching.retain(decoded.persist()).orderBy(col("doc_id"))
+    graft.ops.Spread.persistSorted(decoded, col("doc_id"))
   }
 
   /** JPEG decode metadata — the LOSSY half of the compressed-image
@@ -1424,7 +1424,7 @@ object Pipeline {
           img.getWidth.toLong * img.getHeight)
       })
       .toDF("doc_id", "width", "height", "n_px")
-    graft.Caching.retain(decoded.persist()).orderBy(col("doc_id"))
+    graft.ops.Spread.persistSorted(decoded, col("doc_id"))
   }
 
   /** Animated-GIF frame statistics — the VIDEO-modality upgrade of
@@ -1485,8 +1485,8 @@ object Pipeline {
         }
       })
       .toDF("doc_id", "frame_idx", "lum_sum", "n_px")
-    graft.Caching.retain(frames.persist())
-      .orderBy(col("doc_id"), col("frame_idx"))
+    graft.ops.Spread.persistSorted(frames,
+      col("doc_id"), col("frame_idx"))
   }
 
   /** Amortized GIF container decode — q366's operator in the
@@ -1561,8 +1561,8 @@ object Pipeline {
         }
       })
       .toDF("doc_id", "frame_idx", "lum_sum", "n_px")
-    graft.Caching.retain(frames.persist())
-      .orderBy(col("doc_id"), col("frame_idx"))
+    graft.ops.Spread.persistSorted(frames,
+      col("doc_id"), col("frame_idx"))
   }
 
   /** Incremental media dedup against a PERSISTED index — q361's

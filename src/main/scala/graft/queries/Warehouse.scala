@@ -966,7 +966,7 @@ object Warehouse {
         (xparsed.getField("k") === col("o_orderkey")
           && xparsed.getField("p") === col("o_orderpriority"))
           .as("xml_ok"))
-    graft.Caching.retain(parsed.persist()).orderBy(col("o_orderkey"))
+    graft.ops.Spread.persistSorted(parsed, col("o_orderkey"))
   }
 
   val defs: Map[String, QueryDef] = Map(

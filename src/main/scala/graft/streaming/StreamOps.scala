@@ -440,7 +440,7 @@ object StreamOps {
     * replay of a fixture-sized input, 32 state stores are pure fixed
     * cost: measured 3.0 s → 1.7 s per stream at sf0.1 going 32 → 8.
     * Sized like a deployment would size it — one partition per
-    * ~32 MB of replayed input, floored at 8, capped at the session's
+    * ~32 MB of replayed input, floored at 4, capped at the session's
     * shuffle parallelism (a 100 TB backlog hits the cap and the
     * deployment raises the session setting; the knob only ever
     * SHRINKS state-store count below the batch default, never
