@@ -210,12 +210,21 @@ object Bench {
     // slower box can't turn the defense into a third full lane.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "/root/repo/.bench_history.json")
-    val prev: Map[String, Double] = try {
+    val prevAll: Map[String, Double] = try {
       val src = scala.io.Source.fromFile(histPath)
       val txt = try src.mkString finally src.close()
       """"([^"]+)":([-0-9.Ee+]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // hist3x compares SAME-core-count runs only (VERDICT r15 #5): the
+    // driver also benches at a lower core count, and a history file
+    // written by that run would make every fixed-cost-bound query
+    // look "3× slower" here. "__cpus" is written alongside the map
+    // below; a history missing it (legacy) or from a different core
+    // count disables the rule for one run rather than mis-firing it.
+    val prev: Map[String, Double] =
+      if (prevAll.get("__cpus").contains(cpus.toDouble)) prevAll
+      else Map.empty
     val batch = res.toSeq.filterNot(r => streamingLane(r._1))
     val top5 = batch.sortBy(-_._2._1).take(5).map(_._1)
     // hist3x covers BOTH lanes since r13: a streaming entry that
@@ -324,7 +333,8 @@ object Bench {
     // catalog-wide baseline)
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter(histPath)
-      try w.write(results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+      try w.write((s""""__cpus":$cpus""" +: results.map {
+          case (k, v) => "\"" + k + "\":" + v._1 })
         .mkString("{", ",", "}"))
       finally w.close()
     } catch { case _: Throwable => () }

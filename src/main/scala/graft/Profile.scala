@@ -1643,6 +1643,200 @@ object Profile {
       return
     }
 
+    if (args.nonEmpty && args(0) == "anf-vol") {
+      // Volume facts for the ANF tier at the configured sfDir: edge
+      // rows, node count, sketch byte sizes — sizes the union-CPU
+      // opportunity before touching SketchExpressions.
+      import graft.functions.SketchFunctions._
+      graft.functions.GraftFunctions.register(spark)
+      val p = Tables.events(spark, sfDir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("user_id")).distinct()
+      val e = ops.Graph.cooccurEdges(p, Seq("event_type", "h"),
+        "user_id", minSupport = 3)
+      val ee = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      println(s"[profile] anf-vol edges_directed=${ee.count()} " +
+        s"nodes=${ee.select(col("u")).distinct().count()}")
+      val s1 = ee.groupBy(col("u"))
+        .agg(hll4Agg(col("v")).as("sk"), count(lit(1)).as("d"))
+      val r = s1.select(length(col("sk")).as("len"), col("d"))
+        .agg(avg("len"), max("len"), avg("d"), max("d")).collect()(0)
+      println(s"[profile] anf-vol sk1len_avg=${r.get(0)} max=${r.get(1)} " +
+        s"deg_avg=${r.get(2)} deg_max=${r.get(3)}")
+      // round-2 sketch sizes (dense regime)
+      val s2 = ee.join(s1.select(col("u").as("v"), col("sk")), "v")
+        .repartition(col("u"))
+        .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("sk2"))
+      val r2 = s2.select(length(col("sk2")).as("len"))
+        .agg(avg("len"), max("len")).collect()(0)
+      println(s"[profile] anf-vol sk2len_avg=${r2.get(0)} max=${r2.get(1)}")
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "hll-cost") {
+      // Per-operation cost of the HLL_4 union hot path (VERDICT r15
+      // #1 groundwork): one ANF round = per-edge Union.update(wrapped
+      // compact HLL_4) + per-node getResult/toCompactByteArray. Times
+      // each piece at fixture-cardinality (~2k distincts: HLL mode)
+      // and coupon-mode (~100 distincts) sketch sizes.
+      import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+      import org.apache.datasketches.memory.Memory
+      def mkCompact(n: Int): Array[Byte] = {
+        val sk = new HllSketch(12, TgtHllType.HLL_4)
+        (1 to n).foreach(i => sk.update(i.toLong * 2654435761L))
+        sk.toCompactByteArray
+      }
+      Seq(100 -> "coupon", 2000 -> "hll-dense", 60000 -> "hll-full")
+        .foreach { case (card, label) =>
+        val img = mkCompact(card)
+        val n = 20000
+        // warm
+        (1 to 2000).foreach { _ =>
+          val u = new Union(12)
+          u.update(HllSketch.wrap(Memory.wrap(img)))
+        }
+        var t0 = System.nanoTime()
+        (1 to n).foreach(_ => HllSketch.wrap(Memory.wrap(img)))
+        val wrapNs = (System.nanoTime() - t0) / n
+        t0 = System.nanoTime()
+        val u = new Union(12)
+        (1 to n).foreach(_ => u.update(HllSketch.wrap(Memory.wrap(img))))
+        val updNs = (System.nanoTime() - t0) / n
+        t0 = System.nanoTime()
+        val m = 2000
+        (1 to m).foreach(_ => u.getResult(TgtHllType.HLL_4).toCompactByteArray)
+        val resNs = (System.nanoTime() - t0) / m
+        // fresh-union-per-group + k updates + result, k=avg degree 40
+        t0 = System.nanoTime()
+        val g = 2000
+        (1 to g).foreach { _ =>
+          val uu = new Union(12)
+          (1 to 40).foreach(_ => uu.update(HllSketch.wrap(Memory.wrap(img))))
+          uu.getResult(TgtHllType.HLL_4).toCompactByteArray
+        }
+        val grpNs = (System.nanoTime() - t0) / g
+        println(f"[profile] hll-cost $label%-10s bytes=${img.length}%6d " +
+          f"wrap=${wrapNs}%7d ns upd=${updNs}%8d ns " +
+          f"result=${resNs}%8d ns group40=${grpNs}%9d ns")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "read-cost") {
+      // What does ONE `spark.read.parquet` cost at composition time
+      // (schema-inference footer read + file listing + DataFrame
+      // analysis), repeated the way the 370-query catalog repeats it?
+      // Grounds the shared-relation memo decision (VERDICT r15 #4).
+      val n = if (args.length > 1) args(1).toInt else 50
+      Seq("events", "lineitem", "documents").foreach { t =>
+        // warm once (classloading, fs init)
+        spark.read.parquet(s"$sfDir/$t.parquet").schema
+        val t0 = System.nanoTime()
+        (1 to n).foreach { _ =>
+          spark.read.parquet(s"$sfDir/$t.parquet").schema
+        }
+        val per = (System.nanoTime() - t0) / 1e6 / n
+        println(f"[profile] read.parquet($t) x$n: $per%8.3f ms/call")
+      }
+      // and the memoized comparison: same DataFrame reused
+      val t1 = System.nanoTime()
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      (1 to n).foreach(_ => df.schema)
+      println(f"[profile] reuse events df x$n: " +
+        f"${(System.nanoTime() - t1) / 1e6 / n}%8.3f ms/call")
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "qstage") {
+      // Per-stage attribution for arbitrary catalog queries: run each
+      // named query twice cache-cold (run 2 is JVM-warm — the number
+      // that matters) and print, for the warm run, every stage's
+      // task-time total / max task / task count / shuffle volume plus
+      // a job-count + driver-gap summary, so "where do the seconds
+      // go" is answerable per operator instead of per query. Dev
+      // diagnostic only (same status as graph-zipf / q).
+      case class St(var name: String = "", var tasks: Int = 0,
+        var taskMs: Long = 0, var maxMs: Long = 0,
+        var srMB: Long = 0, var swMB: Long = 0, var rows: Long = 0)
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+      val jobSpans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val s = stages.computeIfAbsent(t.stageId, _ => St())
+            s.synchronized {
+              s.tasks += 1
+              s.taskMs += t.taskInfo.duration
+              s.maxMs = math.max(s.maxMs, t.taskInfo.duration)
+              if (t.taskMetrics != null) {
+                s.srMB += t.taskMetrics.shuffleReadMetrics.totalBytesRead
+                s.swMB += t.taskMetrics.shuffleWriteMetrics.bytesWritten
+                s.rows += t.taskMetrics.outputMetrics.recordsWritten
+              }
+            }
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val s = stages.computeIfAbsent(sc.stageInfo.stageId, _ => St())
+            // RDD scope names (the SQL operator tree feeding this
+            // stage) — AQE submits stages from a thread pool, so the
+            // callsite is useless; scopes carry the operator names
+            s.name = sc.stageInfo.rddInfos
+              .flatMap(_.scope.map(_.name)).distinct.mkString("|").take(110)
+          }
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobStart.put(j.jobId, j.time)
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = jobStart.getOrDefault(j.jobId, j.time)
+            jobSpans.add((t0, j.time))
+          }
+        })
+      args.drop(1).foreach { name =>
+        (1 to 2).foreach { i =>
+          Caching.releaseAll()
+          spark.catalog.clearCache()
+          stages.clear(); jobSpans.clear(); jobStart.clear()
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(name)(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (i == 2) {
+            import scala.jdk.CollectionConverters._
+            // wall not covered by any running job ≈ driver-side work
+            // (planning, codegen, collect gaps between jobs)
+            val spans = jobSpans.asScala.toSeq.sortBy(_._1)
+            var covered = 0L; var hi = 0L
+            spans.foreach { case (s, e) =>
+              val s2 = math.max(s, hi)
+              if (e > s2) { covered += e - s2; hi = e }
+              else hi = math.max(hi, e)
+            }
+            val wallMs = (sec * 1000).toLong
+            println(f"[profile] $name%-34s $sec%8.3f s " +
+              f"jobs=${spans.size}%3d job_wall=${covered / 1e3}%7.3f s " +
+              f"driver_gap=${(wallMs - covered) / 1e3}%7.3f s")
+            stages.asScala.toSeq.sortBy(-_._2.taskMs).take(14).foreach {
+              case (sid, s) => println(
+                f"[profile]   stage $sid%4d task_ms=${s.taskMs}%7d " +
+                  f"n=${s.tasks}%4d max=${s.maxMs}%6d " +
+                  f"sr=${s.srMB / (1 << 20)}%5dMB sw=${s.swMB / (1 << 20)}%5dMB " +
+                  s"${s.name}")
+            }
+          } else println(f"[profile] $name%-34s run1 $sec%8.3f s")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.nonEmpty && args(0) == "q") {
       // time individual catalog queries by name, cache-cold min-of-2
       // (same measurement discipline as Bench, without the full

@@ -12,8 +12,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads (/root/reference/yellow_taxi_etl.py:67, cleaning.py:7).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared base-table relations, one per (session, path, mtime)
+    * (VERDICT r15 #4): every `spark.read.parquet` call pays schema
+    * inference (a footer-reading Spark job) plus a fresh
+    * InMemoryFileIndex listing — measured 65-75 ms per call at sf0.1
+    * vs ~1 ms reusing the DataFrame, and a 370-query bench composes
+    * thousands of such reads. Reusing the analyzed relation is METADATA
+    * memoization only — the plan below the memo is byte-identical (same
+    * LogicalRelation, same pushdown surface) and no row data is ever
+    * cached, so the bench's cache-cold-data discipline is untouched.
+    * The path's mtime keys the entry so a rewritten fixture (specs
+    * regenerate tables under tmp dirs) re-lists instead of reading a
+    * stale file index; sessions are weakly keyed so short-lived spec
+    * sessions don't accumulate. */
+  private val relationMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Long), DataFrame]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Exception => -1L } // non-local fs: read directly
+    if (mtime < 0) spark.read.parquet(path)
+    else {
+      val perSession = relationMemo.synchronized {
+        var m = relationMemo.get(spark)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[(String, Long), DataFrame]()
+          relationMemo.put(spark, m)
+        }
+        m
+      }
+      perSession.computeIfAbsent((path, mtime),
+        _ => spark.read.parquet(path))
+    }
+  }
 
   /** Batch glob / multi-file scan with footer schema merge (S2 —
     * the reference glob-reads its 12 monthly files with a

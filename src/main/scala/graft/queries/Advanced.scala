@@ -1706,14 +1706,21 @@ object Advanced {
       .distinct()
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
-    // not checkpointed/persisted — same ReusedExchange reasoning as
-    // q196 (a LogicalRDD barrier measured 2.7× slower there; an r15
-    // persist() experiment read 9.5 s vs 6.3 s un-persisted in the
-    // same JVM — AQE's runtime exchange reuse already dedups the
-    // replicated pipeline, and the cache scan only adds a
-    // materialization barrier)
+    // CHECKPOINTED (r16; replaces the r15 "leave lazy" decision with
+    // a different mechanism than the rejected persist()): the edge
+    // relation is replicated under ~10 consumer subtrees, and while
+    // AQE exchange reuse dedups the EXECUTION, Catalyst/AQE still
+    // plan the full replicated tree — measured 2.1 s of driver gap on
+    // a 7.9 s query. An eager localCheckpoint truncates every
+    // consumer to a flat LogicalRDD (isolated min-of-2: 7.9 → 6.1 s).
+    // Unlike the r15 persist() experiment (9.5 vs 6.3 s — an
+    // InMemoryRelation adds a columnar materialization barrier and
+    // still carries the full logical subtree through the optimizer),
+    // the checkpoint stores plain rows and cuts the PLAN. Blocks are
+    // MEMORY_AND_DISK and freed by the ContextCleaner with the plan.
     val ee = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
     // sketch tier — the 100 TB path: one sketch per node, one sketch
     // ship per edge, one union per node. Sketches are graft's compact
     // HLL_4 encoding (VERDICT r12 #5): same lgK/estimator as the
@@ -1827,8 +1834,14 @@ object Advanced {
       25 else 5
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
+    // eager localCheckpoint — same plan-truncation rationale and
+    // measurement discipline as q346 above (isolated min-of-2:
+    // 7.7 → 6.6 s; the driver was re-planning the replicated
+    // co-occurrence pipeline under every sketch-round and audit-tier
+    // consumer)
     val ee = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
     // ---- sketch tier (the scale path): S1 = sketch(N(v)); Sh =
     // S(h-1) ∪ neighbors' S(h-1). Each round is one edge join +
     // repartition-by-node + union agg (the q346 hub-safety shape).
@@ -1972,18 +1985,18 @@ object Advanced {
       125 else 25
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
-    // PERSISTED, unlike q196/q346 (whose consumers share one lazy
-    // plan via ReusedExchange): this query's consumers are EAGER —
-    // anfSketches runs hops−1 localCheckpoint round jobs and the
-    // exact-audit loop three more, each a separate job that would
-    // otherwise re-derive the whole co-occurrence pair expansion
-    // (~8 evaluations measured; exchange reuse never spans jobs).
-    // One materialization, every round reads the cached edges
-    // (guide §5: reused AND expensive to recompute).
-    val ee = graft.Caching.retain(
-      e.select(col("u"), col("v"))
-        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-        .persist())
+    // MATERIALIZED once — this query's consumers are EAGER
+    // (anfSketches runs hops−1 localCheckpoint round jobs and the
+    // exact-audit loop three more; exchange reuse never spans jobs,
+    // so an un-materialized ee would be re-derived ~8 times).
+    // r15 shipped persist(); r16 switches to an eager localCheckpoint
+    // for the same reason as q346/q356: the persist kept the full
+    // logical subtree in every consumer's plan (driver re-planning),
+    // while the checkpoint truncates it to a flat LogicalRDD
+    // (isolated min-of-2: 9.7 → 7.9 s on the same box).
+    val ee = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
     import graft.functions.SketchFunctions.hll4Estimate
     // the scale path: GLOBAL 5-round propagation, delta from round 4
     val est = graft.ops.Graph.anfSketches(ee, 5, deltaFrom = 4)

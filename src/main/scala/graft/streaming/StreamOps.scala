@@ -35,7 +35,10 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // the file-stream source only accepts directories; point it at
     // the sf dir and glob-filter to the events table
-    val footerSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // footer schema via the shared base-table relation (Tables memo) —
+    // a fresh read.parquet here costs a schema-inference job per
+    // stream construction for the same bytes
+    val footerSchema = graft.Tables.table(spark, dir, "events").schema
     graft.Tables.normalizeEventTs(
       spark.readStream
         .schema(footerSchema)
@@ -52,7 +55,7 @@ object StreamOps {
     * regeneration, applied to the next table). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .schema(graft.Tables.table(spark, dir, "documents").schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
