@@ -77,6 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.HLL4_ESTIMATE,
       "_FUNC_(sketch) - rounded distinct estimate of an HLL_4 sketch",
       exprs => Hll4Estimate(exprs(0)))
+    inject(GraftFunctions.BITMAP64_AGG,
+      "_FUNC_(col) - exact distinct set as a Roaring64 bitmap (binary)",
+      exprs => Bitmap64Agg(exprs(0)))
+    inject(GraftFunctions.BITMAP64_OR_AGG,
+      "_FUNC_(bm) - OR of Roaring64 bitmaps (binary)",
+      exprs => Bitmap64OrAgg(exprs(0)))
+    inject(GraftFunctions.BITMAP64_UNION_CARD,
+      "_FUNC_(a, b) - exact |a UNION b| of two Roaring64 bitmaps",
+      exprs => Bitmap64UnionCard(exprs(0), exprs(1)))
+    inject(GraftFunctions.BITMAP64_CARD,
+      "_FUNC_(bm) - exact cardinality of a Roaring64 bitmap",
+      exprs => Bitmap64Card(exprs(0)))
     // the bloom pair injects under BloomJoin's names and RAW
     // (pre-hashed, explicit-bits) semantics — one builder per name
     // engine-wide, same binding as the programmatic registry path

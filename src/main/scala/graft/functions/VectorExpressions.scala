@@ -1114,6 +1114,10 @@ object GraftFunctions {
   val HLL4_UNION_AGG = "graft_hll4_union_agg"
   val HLL4_UNION = "graft_hll4_union"
   val HLL4_ESTIMATE = "graft_hll4_estimate"
+  val BITMAP64_AGG = "graft_bitmap64_agg"
+  val BITMAP64_OR_AGG = "graft_bitmap64_or_agg"
+  val BITMAP64_UNION_CARD = "graft_bitmap64_union_card"
+  val BITMAP64_CARD = "graft_bitmap64_card"
 
   /** Idempotently register graft's native expressions on a session
     * (temp functions — session-scoped, executor-safe via codegen).
@@ -1161,6 +1165,15 @@ object GraftFunctions {
       HLL4_UNION, exprs => Hll4Union(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       HLL4_ESTIMATE, exprs => Hll4Estimate(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BITMAP64_AGG, exprs => Bitmap64Agg(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BITMAP64_OR_AGG, exprs => Bitmap64OrAgg(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BITMAP64_UNION_CARD,
+      exprs => Bitmap64UnionCard(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BITMAP64_CARD, exprs => Bitmap64Card(exprs(0)), "built-in")
     // bloom pair: ONE owner — graft.ops.BloomJoin registers the raw
     // (pre-hashed xxhash64, explicit numBits) forms under its names;
     // re-registering them here under the same registry keeps every

@@ -1620,42 +1620,54 @@ object Advanced {
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         col("user_id"))
       .distinct()
-    // NOT checkpointed, unlike q243: the three consumers of ee
-    // (degree, both wedge-join sides) share the pair pipeline's
-    // exchanges via ReusedExchange, and a LogicalRDD barrier here
-    // was measured 2.7× SLOWER at sf0.1 (17.3 s vs 6.5 s — the
-    // checkpoint hides size estimates, so the wedge join loses its
-    // broadcast and every consumer reshuffles the flat RDD)
+    // Checkpointed since r16 (the q346/q356/q365 plan-truncation
+    // pattern). The r12-r15 reason NOT to (a LogicalRDD hid size
+    // estimates and the wedge machinery lost its broadcast — 2.7×
+    // slower) died with the wedge machinery below: the bitmap shape
+    // has no broadcast candidates, and with the checkpoint the edge
+    // pipeline runs exactly once and the composed plan drops from
+    // ~1,700 lines to ~140 (measured equal-or-better at sf0.1:
+    // 3.0-3.8 s vs 3.3 s un-checkpointed, within box noise).
     val e = graft.ops.Graph.cooccurEdges(p,
       Seq("event_type", "h"), "user_id", minSupport = 3)
     val ee = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-    val deg = ee.groupBy(col("u").as("src"))
-      .agg(count(lit(1)).cast("long").as("n_direct"))
-    // wedge expansion through the CHUNKED pair machinery (middle
-    // node = bucket, its neighbors = members): identical result to
-    // the ee⋈ee join on the middle node, but a hub's deg² expansion
-    // spreads across rank-slice chunks instead of landing on one
-    // join-key reducer task, and the (u,v) pair aggregation
-    // collapses wedge multiplicity map-side before the reach
-    // distinct. The graph-zipf probe measured the join form at a
-    // 160 s single task in a 178 s run (10× Zipf tier) vs 38 s
-    // max-task for this form at the same 148M wedges — and at the
-    // hub-free fixture the two are within noise of each other.
-    val pairs = graft.ops.Graph.cooccurPairCounts(
-        ee.select(col("u").as("b"), col("v").as("user")),
-        Seq("b"), "user")
-      .select(col("u"), col("v"))
-    val two = pairs.unionByName(
-      pairs.select(col("v").as("u"), col("u").as("v")))
-    val reach = ee.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(two.select(col("u").as("src"), col("v").as("dst")))
-      .distinct()
-    reach.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("n_reach2"))
-      .join(deg, Seq("src"))
-      .select(col("src").as("user_id"), col("n_direct"),
-        col("n_reach2"))
+      .localCheckpoint(true)
+    // Exact 2-hop reach via per-node neighbor BITMAPS (r16, guide
+    // §2.3/§8 — decide with small payloads): the previous shape
+    // materialized the Σdeg² wedge pair stream through the chunked
+    // pair machinery, a (u,v) aggregation, a distinct and a count
+    // (measured at sf0.1: 133 MB of pair shuffle written, 267 MB
+    // read back across the two union branches, ~95 s of ~200 s
+    // total task time). Identical counts come from
+    //   reach₂(u) = |B(u) ∪ ∪_{v∈N(u)} B(v)| − 1
+    // where B(x) is x's exact neighbor set as a Roaring64 bitmap —
+    // the −1 removes u itself (u ∈ B(v) for every neighbor v of an
+    // undirected graph; u ∉ B(u), and u is never in the declared
+    // reach set, so the union overcounts by exactly 1 for every
+    // node with deg ≥ 1, which is every node in ee). Each edge
+    // ships ONE compressed bitmap (the q346 sketch-tier shape, but
+    // exact), wedge multiplicity collapses inside the word-wise OR,
+    // and the Σdeg² pair stream never exists. Hub safety matches
+    // the sketch tier: shuffle_hash on the KB-payload side +
+    // explicit-count repartition by node before the OR aggregate
+    // (AQE would size the exchange by compressed map-side bytes).
+    // A hub's OR work is Σ_{v∈N(u)} |B(v)|/64 word-ops — linear in
+    // the bytes it receives, where the old shape generated deg²
+    // pair rows through one bucket's chunk slices.
+    import graft.functions.BitmapFunctions.{bitmap64Agg, bitmap64OrAgg, bitmap64UnionCard}
+    val s1 = ee.groupBy(col("u"))
+      .agg(count(lit(1)).cast("long").as("n_direct"),
+        bitmap64Agg(col("v")).as("bm"))
+    val np196 = s.sessionState.conf.numShufflePartitions
+    val r2 = ee.join(s1.select(col("u").as("v"), col("bm"))
+        .hint("shuffle_hash"), "v")
+      .repartition(np196, col("u"))
+      .groupBy(col("u")).agg(bitmap64OrAgg(col("bm")).as("bm2"))
+    s1.join(r2, "u")
+      .select(col("u").as("user_id"), col("n_direct"),
+        (bitmap64UnionCard(col("bm"), col("bm2")) - lit(1L))
+          .as("n_reach2"))
       .orderBy(col("user_id"))
   }
 
@@ -1729,9 +1741,22 @@ object Advanced {
     // one sketch PER EDGE, and sketch bytes were the probe-measured
     // dominant shuffle volume in the dense regime (51.9 GB at 100×).
     import graft.functions.SketchFunctions.{hll4Agg, hll4Estimate, hll4Union, hll4UnionAgg}
+    // the EXACT audit tier rides the same two aggregations as the
+    // sketch tier (r16, guide §2.3/§8): each node's exact neighbor
+    // set as a Roaring64 bitmap next to its HLL sketch, each edge
+    // ships (sketch, bitmap) once, and one OR-aggregate per node
+    // replaces the old chunked wedge expansion + (u,v) aggregation
+    // + distinct + count (measured at sf0.1: 133 MB of pair shuffle
+    // written + 267 MB read back + ~95 s of ~200 s total task time
+    // — and a second edge join). reach₂(u) =
+    // |B(u) ∪ ∪_{v∈N(u)} B(v)| − 1, exactly as in q196 (the −1 is u
+    // itself: u ∈ B(v) for every neighbor v, u ∉ B(u), and u is
+    // never in the declared reach set).
+    import graft.functions.BitmapFunctions.{bitmap64Agg, bitmap64OrAgg, bitmap64UnionCard}
     val s1 = ee.groupBy(col("u")).agg(
       hll4Agg(col("v")).as("sk"),
-      count(lit(1)).cast("long").as("n_direct"))
+      count(lit(1)).cast("long").as("n_direct"),
+      bitmap64Agg(col("v")).as("bm"))
     // repartition by u between the sketch-attach join (keyed by v)
     // and the union: on a skewed graph a hub-v task otherwise builds
     // a partial-agg map over ~every u at a KB sketch per entry — the
@@ -1750,28 +1775,18 @@ object Advanced {
     // partitions ≲ executor task memory). On a cluster that knob is
     // the standard ops dial.
     val np346 = s.sessionState.conf.numShufflePartitions
-    val sk2 = ee.join(s1.select(col("u").as("v"), col("sk"))
+    val sk2 = ee.join(s1.select(col("u").as("v"), col("sk"), col("bm"))
         .hint("shuffle_hash"), "v")
       .repartition(np346, col("u"))
-      .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("sk2"))
-    val approx = s1.join(sk2, "u")
-      .select(col("u").as("src"), col("n_direct"),
+      .groupBy(col("u")).agg(hll4UnionAgg(col("sk")).as("sk2"),
+        bitmap64OrAgg(col("bm")).as("bm2"))
+    s1.join(sk2, "u")
+      .select(col("u").as("user_id"), col("n_direct"),
+        (bitmap64UnionCard(col("bm"), col("bm2")) - lit(1L))
+          .as("n_reach2"),
         (hll4Estimate(hll4Union(col("sk"), col("sk2"))) - 1L)
           .as("n_hll"))
-    // exact tier (fixture-scale audit reference): the same chunked
-    // wedge expansion q196 ships — hub-safe for the same reason
-    val pairs = graft.ops.Graph.cooccurPairCounts(
-        ee.select(col("u").as("b"), col("v").as("user")),
-        Seq("b"), "user")
-      .select(col("u"), col("v"))
-    val two = pairs.unionByName(
-      pairs.select(col("v").as("u"), col("u").as("v")))
-    val reach = ee.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(two.select(col("u").as("src"), col("v").as("dst")))
-      .distinct()
-      .groupBy(col("src")).agg(count(lit(1)).cast("long").as("n_reach2"))
-    approx.join(reach, "src")
-      .select(col("src").as("user_id"), col("n_direct"), col("n_reach2"),
+      .select(col("user_id"), col("n_direct"), col("n_reach2"),
         (abs(col("n_hll") - col("n_reach2"))
           <= greatest(lit(1L),
             (lit(0.05) * col("n_reach2")).cast("long"))).as("ok"))

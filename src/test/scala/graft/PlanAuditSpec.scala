@@ -799,14 +799,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val cu = executedPlan("q352_curriculum_phases")
     assert(cu.contains("rangepartitioning"),
       s"q352's global offsets must ride repartitionByRange:\n$cu")
-    // q196 (chunked wedge expansion) and q346 (sketch union): both
-    // must pin their hot-path exchanges -- the explicit-count
-    // repartitions inside cooccurPairCounts for q196, and the
-    // repartition-by-u between sketch-attach join and union in q346
+    // q196 (bitmap reach, r16) and q346 (sketch+bitmap union): both
+    // must pin the repartition-by-u between the payload-attach join
+    // and the per-node aggregate with an EXPLICIT count (AQE sizes
+    // the exchange read by compressed map-side bytes and coalesces
+    // the KB-payload-per-row aggregation into coarse spill tasks),
+    // and keep the attach join a shuffled HASH join (SMJ would sort
+    // the KB-payload relation)
     val kh = executedPlan("q196_khop_reach")
     assert(kh.contains("REPARTITION_BY_NUM"),
-      s"q196's chunked pair generation must pin explicit-count " +
-        s"repartitions:\n$kh")
+      s"q196's bitmap OR aggregation must pin an explicit-count " +
+        s"node repartition:\n$kh")
+    assert(kh.contains("ShuffledHashJoin"),
+      s"q196's bitmap-attach join must be a shuffled hash join:\n$kh")
     // r12 dense-sketch hardening: the node repartition carries an
     // EXPLICIT count (AQE otherwise coalesces the exchange read by
     // compressed map-side bytes into ~GB-spill coarse tasks at the
