@@ -176,7 +176,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("user_id"), col("session_start_us"), col("n_events"),
         col("total_value"))
       .orderBy(col("user_id"), col("session_start_us"))
@@ -1771,7 +1771,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("window_start"), col("event_type"), col("n"),
         r6(col("total_value")).as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -1802,7 +1802,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("event_type"), col("n"),
         r6(col("total_value")).as("total_value"))
       .orderBy(col("event_type"))
@@ -1863,7 +1863,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("user_id"), col("session_start_us"), col("n_events"),
         r6(col("duration_min")).as("duration_min"))
       .orderBy(col("user_id"), col("session_start_us"))
@@ -1911,7 +1911,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("fingerprint"), col("keep_id"))
       .orderBy(col("fingerprint"))
   }
@@ -1964,7 +1964,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .filter(col("n_shared") >= 10)
       .select(col("doc_id"), col("n_shared"))
       .orderBy(col("doc_id"))
@@ -2001,7 +2001,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("user_id"), col("l_id"), col("r_id"),
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
           .as("gap_s"))
@@ -2053,7 +2053,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("user_id"), col("l_id"), col("r_id"),
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
           .as("gap_s"))
@@ -2108,7 +2108,7 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    s.table(sink)
+    graft.streaming.StreamOps.sinkTable(s, d, sink)
       .select(col("user_id"), col("l_id"), col("r_id"),
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
           .as("gap_s"))

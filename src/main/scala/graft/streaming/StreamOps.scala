@@ -443,7 +443,7 @@ object StreamOps {
     * replay of a fixture-sized input, 32 state stores are pure fixed
     * cost: measured 3.0 s → 1.7 s per stream at sf0.1 going 32 → 8.
     * Sized like a deployment would size it — one partition per
-    * ~32 MB of replayed input, floored at 4, capped at the session's
+    * ~32 MB of replayed input, floored at 8, capped at the session's
     * shuffle parallelism (a 100 TB backlog hits the cap and the
     * deployment raises the session setting; the knob only ever
     * SHRINKS state-store count below the batch default, never
@@ -453,15 +453,21 @@ object StreamOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val sess = spark.sessionState.conf.numShufflePartitions
-    // floor 4 (was 8, r15): every state partition pays per-batch
-    // store open/commit I/O across FOUR store instances in a
-    // stream-stream join, and the stream-cost probe reads the
-    // simple-agg stream at 1.7 s with 8 partitions vs 1.3 s with 4
-    // at identical results — the floor only exists so a near-empty
-    // replay still exercises multi-partition state, which 4 does.
-    // Real backlogs size by the bytes/32MB term and the session cap
-    // exactly as before.
-    math.max(4, math.min(sess, (bytes / (32L << 20)).toInt))
+    // floor 8 (4 in r15, 8 before that): r15's 8→4 was measured on
+    // the SIMPLE-AGG stream, where per-partition store open/commit
+    // dominates (1.7 s at 8 vs 1.3 s at 4). r16 re-measured on the
+    // stream-stream interval JOINS, whose per-partition work is the
+    // state×window probe compute (~1.7 s/task at 4): min-of-2 at
+    // sf0.1, floor 4 → 8 → 16 read q153 4.48 → 3.39 → 5.48+ s,
+    // q355 5.36 → 4.62 → 5.78 s, q347 4.04 → 3.79 → 4.18 s with the
+    // agg streams flat (q47 1.27 → 1.36 → 1.41 s) — 8 is the joint
+    // optimum: enough parallelism for the join probes, few enough
+    // stores that open/commit stays amortized. NOTE (ADVICE r15): a
+    // reused stateful checkpoint pins its partition count from the
+    // checkpoint — fresh runs get the new floor, resumed ones keep
+    // their old one; benign for results. Real backlogs size by the
+    // bytes/32MB term and the session cap exactly as before.
+    math.max(8, math.min(sess, (bytes / (32L << 20)).toInt))
   }
 
   /** Start an availableNow stream with [[statePartitionsFor]]-sized
@@ -493,6 +499,21 @@ object StreamOps {
         case "hdfs" | "default" | "" => None
         case cls => Some(cls) // any custom StateStoreProvider class
       }
+
+  /** Read a drained memory sink with scan parallelism bounded to the
+    * replay's own size (r16): sink rows are driver-local, and a bare
+    * `spark.table(name)` parallelizes them to the session default —
+    * so EVERY downstream pass over the tiny result (the declared
+    * orderBy's range-sample pass plus its shuffle write) launches
+    * that many tasks over KBs of data. Measured on q355 at sf0.1:
+    * the two passes burned 10 s of task time across 64 tasks for a
+    * ~180k-row sink; per-task cost was fixed, not data. The coalesce
+    * reuses [[statePartitionsFor]]'s input-volume sizing (bytes/32MB,
+    * floor 4, session cap), so a deployment-scale backlog keeps full
+    * parallelism — the bound only ever SHRINKS a fixture replay's
+    * task count, exactly like the state-store knob above. */
+  def sinkTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.table(name).coalesce(statePartitionsFor(spark, dir))
 
   def drainSized(spark: SparkSession, dir: String)(
       start: => StreamingQuery): StreamingQuery = {
