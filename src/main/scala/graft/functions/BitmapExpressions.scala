@@ -194,6 +194,71 @@ case class Bitmap64UnionCard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bitmap64_union(a, b)` → serialized a ∪ b. */
+case class Bitmap64Union(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = GraftFunctions.BITMAP64_UNION
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two binary bitmaps, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bm = BitmapUtil.fromBytes(a.asInstanceOf[Array[Byte]])
+    bm.or(BitmapUtil.fromBytes(b.asInstanceOf[Array[Byte]]))
+    BitmapUtil.toBytes(bm)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Bitmap64Union =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bitmap64_explode(bm)` → one LongType row per set bit, in
+  * ascending order — the generator that turns a reach bitmap back
+  * into a row relation for the next expansion round's join (q365's
+  * audit chain). Ascending order is Roaring's native iteration; row
+  * order inside a generate is semantically irrelevant to the
+  * consumers (joins/aggregates) but determinism keeps retried tasks
+  * identical. */
+case class Bitmap64Explode(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("value", LongType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary bitmap, got " +
+        child.dataType.simpleString)
+
+  override def prettyName: String = GraftFunctions.BITMAP64_EXPLODE
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val b = child.eval(input)
+    if (b == null) Iterator.empty
+    else {
+      val it = BitmapUtil.fromBytes(b.asInstanceOf[Array[Byte]])
+        .getLongIterator
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = InternalRow(it.next())
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Bitmap64Explode = copy(child = newChild)
+}
+
 /** `graft_bitmap64_card(bm)` → the bitmap's cardinality. */
 case class Bitmap64Card(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -224,4 +289,8 @@ object BitmapFunctions {
     call_function(GraftFunctions.BITMAP64_UNION_CARD, a, b)
   def bitmap64Card(c: Column): Column =
     call_function(GraftFunctions.BITMAP64_CARD, c)
+  def bitmap64Explode(c: Column): Column =
+    call_function(GraftFunctions.BITMAP64_EXPLODE, c)
+  def bitmap64Union(a: Column, b: Column): Column =
+    call_function(GraftFunctions.BITMAP64_UNION, a, b)
 }

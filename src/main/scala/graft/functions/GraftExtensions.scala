@@ -89,6 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.BITMAP64_CARD,
       "_FUNC_(bm) - exact cardinality of a Roaring64 bitmap",
       exprs => Bitmap64Card(exprs(0)))
+    inject(GraftFunctions.BITMAP64_EXPLODE,
+      "_FUNC_(bm) - one bigint row per set bit of a Roaring64 bitmap",
+      exprs => Bitmap64Explode(exprs(0)))
+    inject(GraftFunctions.BITMAP64_UNION,
+      "_FUNC_(a, b) - serialized union of two Roaring64 bitmaps",
+      exprs => Bitmap64Union(exprs(0), exprs(1)))
     // the bloom pair injects under BloomJoin's names and RAW
     // (pre-hashed, explicit-bits) semantics — one builder per name
     // engine-wide, same binding as the programmatic registry path

@@ -1118,6 +1118,8 @@ object GraftFunctions {
   val BITMAP64_OR_AGG = "graft_bitmap64_or_agg"
   val BITMAP64_UNION_CARD = "graft_bitmap64_union_card"
   val BITMAP64_CARD = "graft_bitmap64_card"
+  val BITMAP64_EXPLODE = "graft_bitmap64_explode"
+  val BITMAP64_UNION = "graft_bitmap64_union"
 
   /** Idempotently register graft's native expressions on a session
     * (temp functions — session-scoped, executor-safe via codegen).
@@ -1174,6 +1176,11 @@ object GraftFunctions {
       exprs => Bitmap64UnionCard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       BITMAP64_CARD, exprs => Bitmap64Card(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BITMAP64_EXPLODE, exprs => Bitmap64Explode(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BITMAP64_UNION,
+      exprs => Bitmap64Union(exprs(0), exprs(1)), "built-in")
     // bloom pair: ONE owner — graft.ops.BloomJoin registers the raw
     // (pre-hashed xxhash64, explicit numBits) forms under its names;
     // re-registering them here under the same registry keeps every

@@ -1920,22 +1920,41 @@ object Advanced {
     // sampled rows (sampled-side × deg work, never a full hub deg²
     // — the full-graph exact shape lives in q196/q346), and hop 3
     // is one more edge join over the sampled reach-2 rows
+    // Hop-2 sets become per-source BITMAPS (r16 — the q365 audit
+    // chain, one round shorter): the row-form r3 shuffled every
+    // expansion row through a distinct keyed by the MIDDLE node (no
+    // map-side collapse), here hop 3 explodes each source's reach-2
+    // bitmap, attaches the target's neighbor bitmap, and ORs —
+    // identical sets, multiplicity collapses in the OR. src enters
+    // bm3 via its neighbors' bitmaps (deg ≥ 1 always here), so
+    // n_reach3 = card − 1; bm2 never contains src by construction.
+    import graft.functions.BitmapFunctions.{bitmap64Agg, bitmap64Card, bitmap64OrAgg, bitmap64Union, bitmap64Explode}
     val eeS = ee.filter(col("u") % mod === 0)
     val two = eeS.as("a").join(ee.as("b"), col("a.v") === col("b.u")
         && col("a.u") =!= col("b.v"))
       .select(col("a.u").as("src"), col("b.v").as("dst"))
-    val r2 = eeS.select(col("u").as("src"), col("v").as("dst"))
+    val bm2 = eeS.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(two)
-      .distinct()
-    val r3 = r2.join(ee.select(col("u").as("dst"), col("v")), "dst")
-      .filter(col("v") =!= col("src"))
-      .select(col("src"), col("v").as("dst"))
-      .unionByName(r2)
-      .distinct()
-    val n2 = r2.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("n_reach2"))
-    val n3 = r3.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("n_reach3"))
+      .groupBy(col("src")).agg(bitmap64Agg(col("dst")).as("bm"))
+      .localCheckpoint(true) // two consumers (n2/n3), eager jobs
+    // explicit repartition-by-node BEFORE the bitmap build: with
+    // map-side partials, the final merge deserializes+ORs one
+    // serialized bitmap per (node, map partition) and AQE coalesces
+    // the KB-sized exchange to ONE task (measured: a 1.7 s single-
+    // task straggler on a 6 s query). Raw 16-byte edge rows shuffle
+    // cheaper than partial bitmaps merge.
+    val nbB = ee.repartition(np356, col("u"))
+      .groupBy(col("u").as("d"))
+      .agg(bitmap64Agg(col("v")).as("nb"))
+    val bm3 = bm2.select(col("src"), bitmap64Explode(col("bm")).as("d"))
+      .join(nbB.hint("shuffle_hash"), "d")
+      .groupBy(col("src")).agg(bitmap64OrAgg(col("nb")).as("nbs"))
+      .join(bm2, "src")
+      .select(col("src"), bitmap64Union(col("bm"), col("nbs")).as("bm"))
+    val n2 = bm2.select(col("src"),
+      bitmap64Card(col("bm")).cast("long").as("n_reach2"))
+    val n3 = bm3.select(col("src"),
+      (bitmap64Card(col("bm")) - lit(1L)).cast("long").as("n_reach3"))
     val tol = (exact: org.apache.spark.sql.Column) =>
       greatest(lit(1L), (lit(0.05) * exact).cast("long"))
     est.filter(col("src") % mod === 0)
@@ -2018,24 +2037,60 @@ object Advanced {
       .filter(col("u") % mod === 0)
       .select(col("u").as("src"),
         (hll4Estimate(col("sk")) - 1L).as("e5"))
-    // exact audit, sampled sources filtered BEFORE any expansion
+    // exact audit, sampled sources filtered BEFORE any expansion —
+    // BITMAP-CHAINED since r16 (guide §2.3/§8, the q196/q346 bitmap
+    // form iterated): the row-relation rounds shuffled every
+    // expansion row (reach(r) ⋈ ee is keyed by the MIDDLE node, so
+    // duplicate (src,dst) pairs land in different tasks and the
+    // per-round distinct received the full ~3M-row stream at sf0.1,
+    // ~22 s of task time across the three rounds). Here each round
+    // explodes the sampled sources' reach bitmaps back to (src, d)
+    // rows (|S| · reach rows — KBs), attaches each d's neighbor
+    // bitmap, and ORs per source: identical sets, the multiplicity
+    // collapses inside the OR, and the per-round distinct+checkpoint
+    // disappears. Equivalence of the src-exclusion: the SQL rounds
+    // filter v ≠ src, here src enters the bitmap at round 3 (src ∈
+    // B(d) for every neighbor d) and STAYS — harmless, because
+    // expanding through src only re-adds B(src) ⊆ reach₂, so
+    // bm(r) = reach(r) ∪ {src} for every r ≥ 3 and the final count
+    // subtracts the one extra member. Each round's 12-row bitmap
+    // relation is still checkpointed (the 3^round replication lesson
+    // held when re-measured this round: un-truncated audit rounds
+    // read 8.5-9.0 s vs 7.9-8.4 s), but the checkpoint now holds
+    // |sample| bitmap rows, not the exploded reach relation.
+    import graft.functions.BitmapFunctions.{bitmap64Agg, bitmap64Card, bitmap64OrAgg, bitmap64Union, bitmap64Explode}
+    // explicit repartition-by-node before the bitmap build (same
+    // rationale as q356: map-side partial bitmaps turn the final
+    // merge into an AQE-coalesced single task deserializing one
+    // bitmap per (node, map partition); raw edge rows shuffle
+    // cheaper than partials merge)
+    val nbB = ee
+      .repartition(s.sessionState.conf.numShufflePartitions, col("u"))
+      .groupBy(col("u").as("d"))
+      .agg(bitmap64Agg(col("v")).as("nb"))
+      .localCheckpoint(true) // one bitmap per node, reused by 3 rounds
     val eeS = ee.filter(col("u") % mod === 0)
     val two = eeS.as("a").join(ee.as("b"), col("a.v") === col("b.u")
         && col("a.u") =!= col("b.v"))
       .select(col("a.u").as("src"), col("b.v").as("dst"))
-    var reach = eeS.select(col("u").as("src"), col("v").as("dst"))
+    var reachBm = eeS.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(two)
-      .distinct()
+      .groupBy(col("src")).agg(bitmap64Agg(col("dst")).as("bm"))
+      .localCheckpoint(true)
     (3 to 5).foreach { _ =>
-      reach = reach.join(ee.select(col("u").as("dst"), col("v")), "dst")
-        .filter(col("v") =!= col("src"))
-        .select(col("src"), col("v").as("dst"))
-        .unionByName(reach)
-        .distinct()
+      val exp = reachBm
+        .select(col("src"), bitmap64Explode(col("bm")).as("d"))
+        .join(nbB.hint("shuffle_hash"), "d")
+        .groupBy(col("src")).agg(bitmap64OrAgg(col("nb")).as("nbs"))
+      reachBm = reachBm.join(exp, Seq("src"))
+        .select(col("src"),
+          bitmap64Union(col("bm"), col("nbs")).as("bm"))
         .localCheckpoint(true)
     }
-    val n5 = reach.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("n_reach5"))
+    // src ∈ bm from round 3 on (deg ≥ 1 for every sampled source),
+    // so the declared reach count is cardinality − 1
+    val n5 = reachBm.select(col("src"),
+      (bitmap64Card(col("bm")) - lit(1L)).cast("long").as("n_reach5"))
     est.join(n5, "src")
       .select(col("src").as("user_id"), col("n_reach5"),
         (abs(col("e5") - col("n_reach5"))
