@@ -323,15 +323,6 @@ object Graph {
   def kCoreProfile(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // ONE aggregate per profile row: the directed union has every
-    // edge twice, so n_edges = rows/2 and both stats share a scan.
-    def stats(e: DataFrame): (Long, Long) = {
-      val r = e.select(col("u").as("n"))
-        .unionByName(e.select(col("v").as("n")))
-        .agg(count_distinct(col("n")), count(lit(1)))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1) / 2)
-    }
     val sc = spark.sparkContext
     // release exactly the blocks THIS function checkpointed — the id
     // of each localCheckpoint's backing RDD is read off its
@@ -347,19 +338,38 @@ object Graph {
       }
       out
     }
-    var e = ckpt(edges.select(col("u"), col("v")))
-    val out = scala.collection.mutable.ArrayBuffer((0L, stats(e)))
-    for (r <- 1 to rounds) {
-      val deg = e.select(col("u").as("n"))
+    // ONE degree aggregation per round serves BOTH the peel and the
+    // profile row (r16; guide §1.2 "don't compute things twice"):
+    // the old shape ran a separate count_distinct-over-union stats
+    // scan per round NEXT TO the peel's degree aggregate over the
+    // same union — but the stats ARE the degree relation's: n_nodes
+    // = its row count (nodes with ≥1 edge), n_edges = Σdeg/2 (the
+    // directed union has every edge twice). The degree relation is
+    // nodes-sized, so its eager checkpoint is cheap, and the peel's
+    // semi-join probes read the materialized blocks instead of
+    // re-deriving the union+aggregate (measured at sf0.1: the two
+    // stats scans were 22.7 s of q267's ~60 s total task time).
+    def degOf(e: DataFrame): DataFrame = ckpt(
+      e.select(col("u").as("n"))
         .unionByName(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg")))
+    def statsOf(deg: DataFrame): (Long, Long) = {
+      val r = deg.agg(count(lit(1)),
+        coalesce(sum(col("deg")), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1) / 2)
+    }
+    var e = ckpt(edges.select(col("u"), col("v")))
+    var deg = degOf(e)
+    val out = scala.collection.mutable.ArrayBuffer((0L, statsOf(deg)))
+    for (r <- 1 to rounds) {
       val keep = deg.filter(col("deg") >= k).select(col("n"))
       e = ckpt(e
         .join(keep.select(col("n").as("ku")),
           col("u") === col("ku"), "left_semi")
         .join(keep.select(col("n").as("kv")),
           col("v") === col("kv"), "left_semi"))
-      out += ((r.toLong, stats(e)))
+      deg = degOf(e)
+      out += ((r.toLong, statsOf(deg)))
     }
     val reg = sc.getPersistentRDDs
     ckptIds.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))

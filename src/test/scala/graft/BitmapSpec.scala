@@ -64,6 +64,36 @@ class BitmapSpec extends AnyFunSuite {
     vals.foreach(v => assert(bm.contains(v), s"missing $v"))
   }
 
+  test("bitmap64_explode round-trips the distinct set in ascending order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vals = Seq(5L, -3L, 5L, 0L, 1L << 33, -3L, 7L)
+    val exploded = vals.toDF("v").repartition(3)
+      .agg(bitmap64Agg(col("v")).as("bm"))
+      .select(bitmap64Explode(col("bm")).as("v"))
+      .collect().map(_.getLong(0))
+    // Roaring64Bitmap iterates unsigned-ascending; set equality is
+    // the contract consumers (joins/aggregates) rely on
+    assert(exploded.toSet == vals.toSet)
+    assert(exploded.length == vals.distinct.length)
+  }
+
+  test("bitmap64_union equals or_agg over the same inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1L to 100L).toDF("v").agg(bitmap64Agg(col("v"))).collect()(0)
+      .getAs[Array[Byte]](0)
+    val b = (90L to 150L).toDF("v").agg(bitmap64Agg(col("v"))).collect()(0)
+      .getAs[Array[Byte]](0)
+    val viaUnion = Seq((a, b)).toDF("a", "b")
+      .select(bitmap64Card(bitmap64Union(col("a"), col("b"))))
+      .collect()(0).getLong(0)
+    val viaOrAgg = Seq(a, b).toDF("bm")
+      .agg(bitmap64Card(bitmap64OrAgg(col("bm"))))
+      .collect()(0).getLong(0)
+    assert(viaUnion == 150L && viaOrAgg == 150L)
+  }
+
   test("q196/q346 reach identity: |B(u) OR union of neighbor bitmaps| - 1 " +
       "equals the wedge-expansion distinct count on a planted graph") {
     val spark2 = spark
