@@ -189,6 +189,27 @@ object Profile {
             .groupBy(col("src")).agg(count(lit(1)).as("r"))
             .agg(sum(col("r"))).collect()(0).getLong(0)
         }
+        probe(s"zipf ${k}x 2hop bitmap", wedges) {
+          // q196/q346's r16 exact shape: per-node neighbor bitmaps
+          // shipped once per edge + per-node OR — same result as the
+          // naive/chunked rows above, no Σdeg² pair stream. The skew
+          // claim under test: a hub's OR work is linear in the BYTES
+          // it receives (Σ_{v∈N(u)} |B(v)|), so max_task must stay a
+          // bounded share as the tier grows (VERDICT r15 #5).
+          import graft.functions.BitmapFunctions._
+          graft.functions.GraftFunctions.register(spark)
+          val np = spark.sessionState.conf.numShufflePartitions
+          val s1 = ee.repartition(np, col("u")).groupBy(col("u"))
+            .agg(bitmap64Agg(col("v")).as("bm"))
+          val r = ee.join(s1.select(col("u").as("v"), col("bm"))
+              .hint("shuffle_hash"), "v")
+            .repartition(np, col("u"))
+            .groupBy(col("u")).agg(bitmap64OrAgg(col("bm")).as("bm2"))
+          s1.join(r, "u")
+            .select((bitmap64UnionCard(col("bm"), col("bm2")) - lit(1L))
+              .as("r"))
+            .agg(sum(col("r"))).collect()(0).getLong(0)
+        }
         probe(s"zipf ${k}x 2hop hll", edgeCount) {
           import graft.functions.SketchFunctions._
           val s1 = ee.groupBy(col("u")).agg(
