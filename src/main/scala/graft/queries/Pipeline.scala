@@ -1992,7 +1992,7 @@ object Pipeline {
        ORDER BY 1, 2, 3""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q153_stream_sink"
-    graft.streaming.StreamOps.drainSized(s, d) {
+    graft.streaming.StreamOps.drainSized(s, d, floor = 8) {
       graft.streaming.StreamOps.intervalJoin(
           graft.streaming.StreamOps.eventsStream(s, d),
           graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
@@ -2044,7 +2044,7 @@ object Pipeline {
        ORDER BY user_id, l_id, r_id NULLS FIRST""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q347_stream_sink"
-    graft.streaming.StreamOps.drainSized(s, d) {
+    graft.streaming.StreamOps.drainSized(s, d, floor = 8) {
       graft.streaming.StreamOps.intervalJoinLeftOuter(
           graft.streaming.StreamOps.eventsStream(s, d),
           graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)
@@ -2099,7 +2099,7 @@ object Pipeline {
        ORDER BY user_id, l_id NULLS FIRST, r_id NULLS FIRST""") { (s, d) =>
     import org.apache.spark.sql.streaming.Trigger
     val sink = "graft_q355_stream_sink"
-    graft.streaming.StreamOps.drainSized(s, d) {
+    graft.streaming.StreamOps.drainSized(s, d, floor = 8) {
       graft.streaming.StreamOps.intervalJoinFullOuter(
           graft.streaming.StreamOps.eventsStream(s, d),
           graft.streaming.StreamOps.eventsStream(s, d), withinMinutes = 5)

@@ -443,31 +443,33 @@ object StreamOps {
     * replay of a fixture-sized input, 32 state stores are pure fixed
     * cost: measured 3.0 s → 1.7 s per stream at sf0.1 going 32 → 8.
     * Sized like a deployment would size it — one partition per
-    * ~32 MB of replayed input, floored at 8, capped at the session's
+    * ~32 MB of replayed input, floored per operator shape (see
+    * `floor` below), capped at the session's
     * shuffle parallelism (a 100 TB backlog hits the cap and the
     * deployment raises the session setting; the knob only ever
     * SHRINKS state-store count below the batch default, never
     * schedules more). */
-  def statePartitionsFor(spark: SparkSession, dir: String): Int = {
+  /** @param floor minimum partition count — OPERATOR-SHAPE-derived
+    *   (r16): single-store stateful ops keep 4 (r15's measurement:
+    *   per-partition store open/commit dominates a near-empty
+    *   replay — the simple-agg stream read 1.7 s at 8 vs 1.3 s at
+    *   4, and the RocksDB tws stream 1.6-2.0 s at 4 vs 1.8-2.3 s
+    *   at 8); stream-stream JOINS pass 8 — their per-partition work
+    *   is the state×window probe COMPUTE across FOUR store
+    *   instances (~1.7 s/task at floor 4), and min-of-2 at sf0.1
+    *   read q153 4.48/3.39/5.48+ s and q355 5.36/4.62/5.78 s at
+    *   floors 4/8/16. NOTE (ADVICE r15): a reused stateful
+    *   checkpoint pins its partition count from the checkpoint —
+    *   fresh runs get the floor, resumed ones keep their old one;
+    *   benign for results. Real backlogs size by the bytes/32MB
+    *   term and the session cap exactly as before. */
+  def statePartitionsFor(spark: SparkSession, dir: String,
+      floor: Int = 4): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val sess = spark.sessionState.conf.numShufflePartitions
-    // floor 8 (4 in r15, 8 before that): r15's 8→4 was measured on
-    // the SIMPLE-AGG stream, where per-partition store open/commit
-    // dominates (1.7 s at 8 vs 1.3 s at 4). r16 re-measured on the
-    // stream-stream interval JOINS, whose per-partition work is the
-    // state×window probe compute (~1.7 s/task at 4): min-of-2 at
-    // sf0.1, floor 4 → 8 → 16 read q153 4.48 → 3.39 → 5.48+ s,
-    // q355 5.36 → 4.62 → 5.78 s, q347 4.04 → 3.79 → 4.18 s with the
-    // agg streams flat (q47 1.27 → 1.36 → 1.41 s) — 8 is the joint
-    // optimum: enough parallelism for the join probes, few enough
-    // stores that open/commit stays amortized. NOTE (ADVICE r15): a
-    // reused stateful checkpoint pins its partition count from the
-    // checkpoint — fresh runs get the new floor, resumed ones keep
-    // their old one; benign for results. Real backlogs size by the
-    // bytes/32MB term and the session cap exactly as before.
-    math.max(8, math.min(sess, (bytes / (32L << 20)).toInt))
+    math.max(floor, math.min(sess, (bytes / (32L << 20)).toInt))
   }
 
   /** Start an availableNow stream with [[statePartitionsFor]]-sized
@@ -515,13 +517,13 @@ object StreamOps {
   def sinkTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.table(name).coalesce(statePartitionsFor(spark, dir))
 
-  def drainSized(spark: SparkSession, dir: String)(
+  def drainSized(spark: SparkSession, dir: String, floor: Int = 4)(
       start: => StreamingQuery): StreamingQuery = {
     val key = "spark.sql.shuffle.partitions"
     val pKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     val prevP = spark.conf.getOption(pKey)
-    spark.conf.set(key, statePartitionsFor(spark, dir).toString)
+    spark.conf.set(key, statePartitionsFor(spark, dir, floor).toString)
     // provider, like partition count, is frozen into the checkpoint
     // at first-batch planning — set it BEFORE start()
     resolveProvider(spark).foreach(spark.conf.set(pKey, _))
