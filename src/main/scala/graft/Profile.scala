@@ -1636,7 +1636,10 @@ object Profile {
       // (plans/rNN/<query>_{before,after}.txt). Usage:
       //   Profile explain <outDir> <suffix> <query> [query ...]
       if (args.length < 4) {
-        println("[profile] usage: explain <outDir> <suffix> <query>...")
+        println("[profile] usage: explain <outDir> <suffix> <query>..." +
+          " (NOTE: composition EXECUTES eager catalog queries — " +
+          "iterative collect loops, fixture staging — so a dump on a " +
+          "large sf dir can run multi-second jobs; not a hang)")
         spark.stop(); return
       }
       args.drop(3).filterNot(SparkEntry.queries.contains) match {
